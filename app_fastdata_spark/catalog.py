@@ -1,0 +1,44 @@
+"""Catalog: imports every operator module (triggering registration) and
+exposes the assembled queries/oracles dicts for the driver contract.
+"""
+
+from __future__ import annotations
+
+from . import registry
+
+
+def _load_all() -> None:
+    # Import for side effects: each module registers its queries.
+    from .functions import ip  # noqa: F401
+    from .operators import (  # noqa: F401
+        dedup,
+        enrich,
+        retention,
+        serving,
+        sessions,
+        similarity,
+        textops,
+        tpch,
+        views,
+    )
+    from .ml import kmeans  # noqa: F401
+    from .operators import multimodal  # noqa: F401
+
+
+_loaded = False
+
+
+def queries():
+    global _loaded
+    if not _loaded:
+        _load_all()
+        _loaded = True
+    return registry.queries()
+
+
+def oracles():
+    global _loaded
+    if not _loaded:
+        _load_all()
+        _loaded = True
+    return registry.oracles()

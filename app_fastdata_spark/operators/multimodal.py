@@ -1,0 +1,128 @@
+"""Multimodal column plumbing (BASELINE.json north star).
+
+Images/audio/video are opaque `binary` columns with typed metadata. The
+container has no media libraries, so the decode step is a deterministic
+fake clearly marked as such (`_fake_decode`), while the Spark-side
+plumbing — binary column synthesis, Arrow-batched `mapInPandas`, explicit
+output schema, batch shape — is real and tested.
+
+The synthetic payload is `unhex(md5(text))` (16 bytes), so the DuckDB
+oracle can verify the decode metadata end-to-end: both sides derive
+"width"/"height"/"format" from the same md5 hex digits.
+
+Scale notes: mapInPandas processes Arrow record batches (vectorized
+transfer); at 100 TB the decode stage is a pure map — no shuffle — and
+parallelism is the file-split count. Binary payloads stay out of any
+shuffle key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+_FORMATS = ["png", "jpeg", "webp"]
+
+DECODE_SCHEMA = (
+    "doc_id long, byte_len int, width int, height int, format string"
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach the synthetic opaque binary column (stands in for image bytes)."""
+    return docs.withColumn("payload", F.unhex(F.md5(F.col("text"))))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """STUB for a real image decode (no media libs in this container).
+
+    Deterministic fake: metadata derived from the payload's hex digest —
+    a real implementation would call PIL/ffmpeg here and return true
+    dimensions. The Spark plumbing around it is production-shaped.
+    """
+    hexd = payload.hex()
+    width = ord(hexd[0])
+    height = ord(hexd[1])
+    fmt = _FORMATS[payload[0] % 3]
+    return len(payload), width, height, fmt
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        meta = pdf["payload"].map(_fake_decode)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": meta.map(lambda m: m[0]),
+                "width": meta.map(lambda m: m[1]),
+                "height": meta.map(lambda m: m[2]),
+                "format": meta.map(lambda m: m[3]),
+            }
+        )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "payload").mapInPandas(
+        _decode_batches, schema=DECODE_SCHEMA
+    )
+
+
+# Oracle mirrors the fake decode from the md5 hex: ascii of hex chars 1-2,
+# format from the first byte mod 3.
+register(
+    "multimodal_decode",
+    sql="""
+    WITH h AS (SELECT doc_id, md5(text) AS hexd FROM documents)
+    SELECT doc_id,
+           16 AS byte_len,
+           ascii(substr(hexd, 1, 1)) AS width,
+           ascii(substr(hexd, 2, 1)) AS height,
+           ['png', 'jpeg', 'webp'][
+             (CAST(('0x' || substr(hexd, 1, 2)) AS INTEGER) % 3) + 1
+           ] AS format
+    FROM h
+    """,
+)(multimodal_decode)
+
+
+# Frame-sampling plumbing: treat the payload as a "video" of byte-frames,
+# emit every k-th byte as a frame fingerprint row (1→N mapInPandas shape).
+FRAME_STRIDE = 4
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: list[tuple[int, int, int]] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for idx, off in enumerate(range(0, len(payload), FRAME_STRIDE)):
+                rows.append((doc_id, idx, payload[off]))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_byte"])
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "payload").mapInPandas(
+        _frame_batches, schema="doc_id long, frame_idx int, frame_byte int"
+    )
+
+
+register(
+    "multimodal_frame_sample",
+    sql=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hexd FROM documents),
+    idx AS (SELECT doc_id, hexd, unnest(range(0, 4)) AS frame_idx FROM h)
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(('0x' || substr(hexd, frame_idx * {2 * FRAME_STRIDE} + 1, 2))
+                AS INTEGER) AS frame_byte
+    FROM idx
+    """,
+)(multimodal_frame_sample)

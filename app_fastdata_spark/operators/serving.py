@@ -1,0 +1,181 @@
+"""Dashboard serving queries (U2/U3 read procedures, SURVEY.md §3.2).
+
+Each is the reference procedure re-expressed declaratively:
+filter (P6 recency) → [join dim] → re-aggregate (A7/A8/A9) → top-k (T1-T3).
+NOW is replaced by the explicit AS_OF parameter for determinism
+(SURVEY.md §5); top-k orderings carry full tiebreaks so oracle hashes are
+stable (T2 note).
+
+Scale notes: the serving reads re-aggregate the per-second partials
+(A4/A5/A6 views) — two-tier partial→final aggregation, exactly Spark's
+hash-agg shape; top-k compiles to TakeOrderedAndProject (no global sort).
+Dim joins broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dims import clusters_values_sql, dests_df, dests_values_sql
+from ..params import AS_OF, TOP_K, WINDOW_SECONDS
+from ..registry import register
+from .enrich import events_by_cluster
+from .views import dests_by_second, events_by_second, events_by_src, events_by_src_dest
+
+
+# P6 — sliding recency predicate (GetTopUsers.java:29; db/ddl.sql:164,171):
+# TO_TIMESTAMP(SECOND, SINCE_EPOCH(SECOND, NOW) - w) <= second_ts
+def recency(col: str = "second_ts", as_of: str = AS_OF, window: int = WINDOW_SECONDS) -> Column:
+    cutoff = F.timestamp_seconds(
+        F.unix_timestamp(F.lit(as_of).cast("timestamp")) - F.lit(window)
+    )
+    return F.col(col) >= cutoff
+
+
+_SQL_RECENCY = (
+    f"second_ts >= TIMESTAMP '{AS_OF}' - INTERVAL {WINDOW_SECONDS} SECOND"
+)
+
+
+# GetTopUsers (GetTopUsers.java:25-38): recency filter over events_by_second,
+# re-agg by src, top-k desc with src tiebreak (T2).
+def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_by_second(spark, sf_dir)
+        .filter(recency())
+        .groupBy("src")
+        .agg(F.sum("count_values").alias("counts"))
+        .orderBy(F.desc("counts"), F.asc("src"))
+        .limit(TOP_K)
+    )
+
+
+register(
+    "top_users",
+    sql=f"""
+    WITH ebs AS (
+      SELECT date_trunc('second', ts) AS second_ts, user_id AS src,
+             count(*) AS count_values
+      FROM events GROUP BY 1, 2
+    )
+    SELECT src, sum(count_values) AS counts
+    FROM ebs WHERE {_SQL_RECENCY}
+    GROUP BY src ORDER BY counts DESC, src LIMIT {TOP_K}
+    """,
+)(top_users)
+
+
+# GetTopSources (GetTopSources.java:24-33): top-k over the A1 running view.
+# Reference orders DESC only; src tiebreak added for determinism (T2 note).
+def top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_by_src(spark, sf_dir)
+        .select(F.col("src").alias("sources"), F.col("total_visits").alias("counts"))
+        .orderBy(F.desc("counts"), F.asc("sources"))
+        .limit(TOP_K)
+    )
+
+
+register(
+    "top_sources",
+    sql=f"""
+    SELECT user_id AS sources, count(*) AS counts
+    FROM events GROUP BY user_id
+    ORDER BY counts DESC, sources LIMIT {TOP_K}
+    """,
+)(top_sources)
+
+
+# GetTopSrcDests (GetTopSrcDests.java:25-35): J1 view ⋈ broadcast dim + T3.
+def top_src_dests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dests = dests_df(spark).filter(F.col("url") != "")
+    return (
+        events_by_src_dest(spark, sf_dir)
+        .join(F.broadcast(dests), F.col("dest") == dests.event_type)
+        .select(
+            F.col("src").alias("sources"),
+            F.col("url").alias("destination"),
+            "counts",
+        )
+        .orderBy(F.desc("counts"), F.asc("sources"), F.asc("destination"))
+        .limit(TOP_K)
+    )
+
+
+register(
+    "top_src_dests",
+    sql=f"""
+    WITH v AS (
+      SELECT user_id AS src, event_type AS dest, count(*) AS counts
+      FROM events GROUP BY 1, 2
+    )
+    SELECT v.src AS sources, d.url AS destination, v.counts AS counts
+    FROM v JOIN {dests_values_sql()} ON d.event_type = v.dest AND d.url <> ''
+    ORDER BY counts DESC, sources, destination LIMIT {TOP_K}
+    """,
+)(top_src_dests)
+
+
+# GetTopDests (db/ddl.sql:161-166): P6 + J2 broadcast join + A8 re-agg + T2.
+def top_dests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dests = dests_df(spark).filter(F.col("url") != "")
+    return (
+        dests_by_second(spark, sf_dir)
+        .filter(recency())
+        .join(F.broadcast(dests), F.col("dest") == dests.event_type)
+        .groupBy("url")
+        .agg(F.sum("count_values").alias("counts"))
+        .orderBy(F.desc("counts"), F.asc("url"))
+        .limit(TOP_K)
+    )
+
+
+register(
+    "top_dests",
+    sql=f"""
+    WITH dbs AS (
+      SELECT date_trunc('second', ts) AS second_ts, event_type AS dest,
+             count(*) AS count_values
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.url AS url, sum(count_values) AS counts
+    FROM dbs JOIN {dests_values_sql()} ON d.event_type = dbs.dest AND d.url <> ''
+    WHERE {_SQL_RECENCY}
+    GROUP BY d.url ORDER BY counts DESC, url LIMIT {TOP_K}
+    """,
+)(top_dests)
+
+
+# GetEventsByCluster (db/ddl.sql:168-173): P6 + A9 re-agg + T6 output order.
+def events_by_cluster_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_by_cluster(spark, sf_dir)
+        .filter(recency())
+        .groupBy("cluster")
+        .agg(F.sum("count_values").alias("counts"))
+        .orderBy("cluster")
+    )
+
+
+register(
+    "events_by_cluster_window",
+    sql=f"""
+    WITH scored AS (
+      SELECT e.ts, c.id AS cluster,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY power(CAST(e.user_id % 100 AS DOUBLE) - c.cu, 2)
+                          + power(e.value - c.cv, 2), c.id) AS rn
+      FROM events e CROSS JOIN {clusters_values_sql()}
+    ),
+    ebc AS (
+      SELECT date_trunc('second', ts) AS second_ts, cluster,
+             count(*) AS count_values
+      FROM scored WHERE rn = 1 GROUP BY 1, 2
+    )
+    SELECT cluster, sum(count_values) AS counts
+    FROM ebc WHERE {_SQL_RECENCY}
+    GROUP BY cluster ORDER BY cluster
+    """,
+)(events_by_cluster_window)

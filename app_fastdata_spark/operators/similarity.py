@@ -1,0 +1,237 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Brute-force cosine top-k is the correctness baseline; the IVF-style
+coarse-quantizer variant is the 100 TB scale path (probe p of L coarse
+cells instead of scanning everything).
+
+Determinism/oracle strategy: dot products are computed in DOUBLE with
+strict left-to-right accumulation on BOTH engines — Spark via
+`aggregate(zip_with(...))` (foldLeft) and DuckDB via an explicit 64-term
+left-associative sum expression — so cosines match bit-for-bit and the
+value hash is stable. Cosines are additionally rounded to 9 dp on output.
+
+Scale notes: queries are broadcast (Q ≪ N); the N-side scan is a pure
+projection + per-query top-k (window over query_id — Q partitions, each
+a heap-k). The embedding-cosine near-dup dedup path reuses this module's
+IVF cells to avoid the O(N²) pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+DIM = 64
+N_QUERIES = 20          # vec_id < 20 are the query set
+TOP_K = 5
+IVF_CENTROID_STRIDE = 50   # vec_id % stride == 0 → coarse centroid
+IVF_NPROBE = 2
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision left-to-right dot product (foldLeft — matches the
+    oracle's left-associative sum exactly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"(({_sql_dot(a, b)}) / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+    )
+
+
+# --- brute-force top-k ----------------------------------------------------
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = (
+        cand.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 9).alias("cos"))
+    )
+
+
+register(
+    "sim_topk_cosine",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine("q.qvec", "e.embedding")} AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank,
+           neighbor_id, round(cos, 9) AS cos
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """,
+)(sim_topk_cosine)
+
+
+# --- embedding cosine near-dup (dedup family, oracle-checked) -------------
+
+NEAR_DUP_COSINE = 0.95
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs (a<b) with cosine ≥ threshold. Brute-force pair join as
+    the correctness anchor; the scale path buckets by IVF cell first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 9))
+        .filter(F.col("cos") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+register(
+    "dedup_embedding_cosine",
+    sql=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_sql_cosine("a.embedding", "b.embedding")}, 9) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_sql_cosine("a.embedding", "b.embedding")}, 9)
+          >= {NEAR_DUP_COSINE}
+    """,
+)(dedup_embedding_cosine)
+
+
+# --- IVF-style ANN --------------------------------------------------------
+
+def _cells(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic coarse quantizer: every `stride`-th vector is a
+    centroid; every vector is assigned to its nearest centroid by cosine."""
+    centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "ccos", cosine(F.col("embedding"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    return centroids, assign
+
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search: each query scans only its `nprobe` nearest cells.
+    Recall < 1 by design (approximate); results are still deterministic,
+    and the oracle mirrors the same cell assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assign = _cells(emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    qprobe = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "ccos", cosine(F.col("qvec"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "qvec", "cell_id")
+    )
+    scored = (
+        probes.join(assign, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 9).alias("cos"),
+        )
+    )
+
+
+register(
+    "sim_ann_ivf",
+    sql=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_cosine("e.embedding", "c.cvec")} DESC, c.cell_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    probes AS (
+      SELECT query_id, qvec, cell_id FROM (
+        SELECT q.query_id, q.qvec, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_cosine("q.qvec", "c.cvec")} DESC, c.cell_id
+               ) AS rn
+        FROM q CROSS JOIN centroids c
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_sql_cosine("p.qvec", "a.embedding")} AS cos
+      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank,
+           neighbor_id, round(cos, 9) AS cos
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """,
+)(sim_ann_ivf)

@@ -1,0 +1,151 @@
+"""Text-analysis operators over the `documents` table — the
+training-data-pipeline extensions (SURVEY.md §7 beyond-reference;
+BASELINE.json north star).
+
+All hot-path expressions are built-in column functions (JVM-side,
+codegen'd): tokenization via split, ratios via regexp counts, document
+fingerprints via md5 — no Python UDFs. Each has an exact DuckDB oracle.
+
+Scale notes: every query here is embarrassingly parallel (per-row
+projections + one optional aggregate); no shuffle except final small
+aggs. At 100 TB the only cost is the scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+# Token counting: whitespace tokens, distinct tokens, avg token length.
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+register(
+    "doc_token_stats",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           round(list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks), 6)
+             AS avg_token_len
+    FROM t
+    """,
+)(doc_token_stats)
+
+
+# Quality scoring: char/token lengths, stopword ratio, type-token ratio.
+_STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(stop_hits / F.size(toks), 6).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+        (
+            (F.length("text") >= 100)
+            & (F.size(toks) >= 20)
+            & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.3)
+        ).alias("passes_quality"),
+    )
+
+
+_STOP_SQL = "['the', 'a', 'and', 'of', 'to']"
+
+register(
+    "doc_quality",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, length(text) AS len_chars, len(toks) AS n_tokens,
+           round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                 * 1.0 / len(toks), 6) AS stopword_ratio,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr,
+           (length(text) >= 100 AND len(toks) >= 20
+            AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3) AS passes_quality
+    FROM t
+    """,
+)(doc_quality)
+
+
+# Language-ID heuristic: stopword-hit ratio → 'en' vs 'und'. (The testdata
+# text is synthetic word soup, so the honest n-gram heuristic reduces to a
+# deterministic stopword test; structure matches a real lang-ID pass.)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    ratio = F.size(F.filter(toks, lambda t: t.isin(["the", "a"]))) / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+register(
+    "doc_lang_id",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a')))
+                     * 1.0 / len(toks) >= 0.05
+                THEN 'en' ELSE 'und' END AS pred_lang
+    FROM t
+    """,
+)(doc_lang_id)
+
+
+# Document fingerprinting: md5 over whitespace-normalized lowercase text
+# (the exact-dedup key) + a coarse length bucket.
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        (F.floor(F.length("text") / 100) * 100).cast("long").alias("len_bucket"),
+    )
+
+
+register(
+    "doc_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           CAST(floor(length(text) / 100) * 100 AS BIGINT) AS len_bucket
+    FROM documents
+    """,
+)(doc_fingerprint)

@@ -1,0 +1,70 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from app_fastdata_spark.catalog import queries
+from app_fastdata_spark.session import get_spark
+
+# Headliners: the reference serving loop (SURVEY.md §3.2), the ingest-path
+# operators, the TPC-H-style analytics, and the pipeline extensions.
+HEADLINE = [
+    "top_users",
+    "top_sources",
+    "top_src_dests",
+    "top_dests",
+    "events_by_cluster_window",
+    "nearest_centroid",
+    "session_starts",
+    "events_by_second",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q5_region_revenue",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "sim_topk_cosine",
+    "doc_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once so timings measure the queries.
+    qs["events_by_src"](spark, sf_dir).collect()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        # noop sink: executes the FULL plan (no column pruning from count,
+        # no driver collect overhead in the measurement).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Semantic unit tests for operators whose guarantees go beyond the
+DuckDB oracle comparison (LSH recall properties, kmeans determinism,
+model-swap behavior, entry smoke).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["src", "counts"]
+
+
+def test_contract_shape(spark):
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert len(qs) >= 30
+    assert set(os_) <= set(qs)
+
+
+def test_minhash_lsh_superset_of_exact_near_dups(spark, sf_dir):
+    """LSH candidates must contain every pair with true Jaccard ≥ 0.9 —
+    the b=8, r=2 S-curve catches those with P ≈ 1-2e-6, and the check is
+    deterministic (fixed hash family)."""
+    from app_fastdata_spark.operators.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    assert exact, "testdata should contain at least one true near-dup pair"
+    cand = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert exact <= cand
+
+
+def test_simhash_pairs_have_low_hamming(spark, sf_dir):
+    from app_fastdata_spark.operators.dedup import HAMMING_MAX, dedup_simhash
+
+    for r in dedup_simhash(spark, sf_dir).collect():
+        assert r.hamming <= HAMMING_MAX
+
+
+def test_kmeans_deterministic_and_rounded(spark, sf_dir):
+    from app_fastdata_spark.ml.kmeans import K, train_centers
+    from app_fastdata_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    c1 = [tuple(r) for r in train_centers(ev).collect()]
+    c2 = [tuple(r) for r in train_centers(ev).collect()]
+    assert c1 == c2  # fixed seed ⇒ deterministic
+    assert len(c1) == K
+    assert all(isinstance(r[1], int) and isinstance(r[2], int) for r in c1)
+
+
+def test_model_swap_atomic_overwrite(spark, sf_dir, tmp_path):
+    """ST7: scoring picks up the swapped model (two-phase swap collapsed
+    to an atomic overwrite, db/ddl.sql:23-43)."""
+    from app_fastdata_spark.ml.kmeans import swap_model
+    from app_fastdata_spark.tables import load_table
+
+    path = str(tmp_path / "clusters")
+    m1 = spark.createDataFrame([(0, 10, 100), (1, 50, 300)], "id int, cu int, cv int")
+    swap_model(m1, path)
+    assert spark.read.parquet(path).count() == 2
+    m2 = spark.createDataFrame([(0, 99, 999)], "id int, cu int, cv int")
+    swap_model(m2, path)
+    got = [tuple(r) for r in spark.read.parquet(path).collect()]
+    assert got == [(0, 99, 999)]  # old model fully gone
+
+
+def test_nearest_centroid_in_range(spark, sf_dir):
+    from app_fastdata_spark.dims import CLUSTERS
+    from app_fastdata_spark.operators.enrich import nearest_centroid
+
+    df = nearest_centroid(spark, sf_dir)
+    mm = df.agg(
+        F.min("cluster").alias("lo"), F.max("cluster").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert 0 <= mm.lo and mm.hi < len(CLUSTERS) and mm.n > 0
+
+
+def test_session_starts_obey_gap(spark, sf_dir):
+    """No two session-start rows for the same (src, dest) closer than the
+    gap — the defining invariant of ST2."""
+    from app_fastdata_spark.operators.sessions import session_starts
+    from app_fastdata_spark.params import SESSION_GAP_SECONDS
+
+    rows = session_starts(spark, sf_dir).collect()
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        by_key.setdefault((r.src, r.dest), []).append(r.ts)
+    for tss in by_key.values():
+        tss.sort()
+        for a, b in zip(tss, tss[1:]):
+            assert (b - a).total_seconds() > SESSION_GAP_SECONDS
+
+
+def test_retention_semantics(spark, sf_dir):
+    """Hot view never serves events older than the cutoff (ST5)."""
+    from app_fastdata_spark.operators.retention import retention_survivors_by_src
+    from app_fastdata_spark.params import RETENTION_CUTOFF
+    from app_fastdata_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    live = ev.filter(F.col("ts") > F.lit(RETENTION_CUTOFF).cast("timestamp"))
+    total = retention_survivors_by_src(spark, sf_dir).agg(F.sum("n_live")).collect()[0][0]
+    assert total == live.count()

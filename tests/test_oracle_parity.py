@@ -1,0 +1,45 @@
+"""Oracle parity: every registered query with an oracle must match DuckDB
+on row count, column names, and order-insensitive value hash — the same
+gate the driver runs (t2). Mirrors tools/check_oracle.py at sf0.001 for
+speed (driver runs sf0.01).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from app_fastdata_spark.catalog import oracles, queries
+from app_fastdata_spark.tables import TABLE_NAMES
+
+from tools.check_oracle import normalize
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+_oracle_names = sorted(oracles().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_names)
+def test_query_matches_oracle(name, spark, sf_dir, ddb):
+    sdf = queries()[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = ddb.execute(oracles()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows), f"rowcount {len(srows)} != {len(drows)}"
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert normalize(srows, sdf.columns) == normalize(drows, dcols)
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    qs, os_ = queries(), oracles()
+    for name in sorted(set(qs) - set(os_)):
+        rows = qs[name](spark, sf_dir).collect()
+        assert len(rows) >= 0  # must at least execute with a stable schema
