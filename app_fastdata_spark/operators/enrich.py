@@ -32,9 +32,22 @@ def cluster_score_struct(cid: int, cu: float, cv: float) -> Column:
     return F.struct(score.alias("score"), F.lit(cid).alias("id"))
 
 
-def with_cluster(df: DataFrame) -> DataFrame:
-    """Assign each event its nearest centroid id as a codegen projection."""
-    candidates = F.array(*[cluster_score_struct(cid, cu, cv) for cid, cu, cv in CLUSTERS])
+def with_cluster(
+    df: DataFrame, centers: list[tuple[int, float, float]] | None = None
+) -> DataFrame:
+    """Assign each event its nearest centroid id as a codegen projection.
+
+    `centers` defaults to the literal dim model; pass freshly-read rows to
+    score against a hot-swapped model (ST7) — centers are dim-sized
+    (k=20), so inlining them keeps scoring shuffle- and join-free at any
+    event count.
+    """
+    cs = CLUSTERS if centers is None else centers
+    if not cs:
+        # Reference semantics: cluster is NULL while the model table is
+        # empty (db/ddl.sql:71; NewEvent.java:62-69 argmin over no rows).
+        return df.withColumn("cluster", F.lit(None).cast("int"))
+    candidates = F.array(*[cluster_score_struct(cid, cu, cv) for cid, cu, cv in cs])
     return df.withColumn("cluster", F.array_min(candidates)["id"])
 
 

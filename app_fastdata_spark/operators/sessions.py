@@ -75,6 +75,56 @@ def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full session aggregate (batch twin of streaming session_window, ST2):
+# cumulative-sum session ids → per-session start + event count. This is
+# what the streaming layer's session_start_stream must reproduce.
+def session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_start = (
+        F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0)
+    )
+    sess = ev.withColumn(
+        "sess_id",
+        F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy(
+            F.col("user_id").alias("src"), F.col("event_type").alias("dest"), "sess_id"
+        )
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .drop("sess_id")
+        .select("src", "dest", "session_start", "n_events")
+    )
+
+
+register(
+    "session_aggregate",
+    sql=f"""
+    WITH g AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts))
+                  > {SESSION_GAP_SECONDS} * 1000000
+                  OR lag(ts) OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type, ts,
+             sum(is_start) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g
+    )
+    SELECT user_id AS src, event_type AS dest,
+           min(ts) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, event_type, sess_id
+    """,
+)(session_aggregate)
+
+
 register(
     "session_counts",
     sql=f"""

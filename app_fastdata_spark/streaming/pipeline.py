@@ -1,0 +1,158 @@
+"""Structured Streaming layer — the reference's continuously-maintained
+state re-expressed as streaming queries (SURVEY.md §2.9, §3.1).
+
+The reference pipeline (NewEvent hot loop + materialized views):
+ingest → enrich (dim ids + nearest cluster) → maintain per-second and
+running aggregates → export session-starts. Here that is ONE streaming
+DataFrame fanned out to multiple sinks/aggregations:
+
+  * `events_stream`        — file (or rate) source, S1/S11
+  * `enriched_stream`      — stream-static broadcast joins + centroid
+                             scoring (ST6; same builders as batch, so
+                             batch/stream parity is by construction)
+  * `per_second_counts`    — A4 view as a watermarked windowed agg (ST3),
+                             watermark doubling as retention (ST5)
+  * `running_counts_by_src`— A1 view, update-mode keyed state
+  * `session_start_stream` — ST2: 30 s-gap sessionization via
+                             session_window, emitting per-session start
+                             rows (the events_export contents)
+
+Scale notes: stream-static joins re-resolve the broadcast dim per
+micro-batch (hot model swap ST7 picked up automatically); windowed aggs
+keep state bounded by the watermark; session_window state is bounded by
+gap + watermark. No Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.enrich import with_cluster
+from ..params import SESSION_GAP_SECONDS
+from ..tables import SCHEMAS
+
+RETENTION = "180 seconds"  # run.sh:146 historyseconds (demo config)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the testdata events (S11: checkpointed file
+    source = the reference's atomic-rename harvest handoff, for free)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # file stream source requires a directory path; pathGlobFilter narrows
+    # it to the events table.
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def rate_events_stream(spark: SparkSession, rows_per_second: int = 20000) -> DataFrame:
+    """S1: the LogGenerator as a rate source + column synthesis
+    (client/src/events/LogGenerator.java:237-247). Deterministic per
+    `value`; ≤ratelimit TPS by construction."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 150).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ["click", "error", "purchase", "signup", "view"]]),
+            (F.col("value") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        ((F.col("value") * 2654435761) % 49000 / 100.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+
+
+def enriched_stream(events: DataFrame) -> DataFrame:
+    """ST6: per-event scoring against the literal dim model — a pure
+    projection on the stream (no join, no state)."""
+    return with_cluster(events)
+
+
+def start_enriched_swap_stream(
+    events: DataFrame, clusters_path: str, output_path: str
+):
+    """ST6+ST7: per-micro-batch model re-read. foreachBatch re-reads the
+    swap target each batch (20-row collect), inlines the centers into the
+    scoring projection, and appends to the sink — so an atomic overwrite
+    of `clusters_path` is visible to the very next micro-batch, matching
+    the reference's LoadDsa swap (db/ddl.sql:31-43)."""
+
+    def _score_batch(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        centers = [
+            (int(r.id), float(r.cu), float(r.cv))
+            for r in spark.read.parquet(clusters_path).collect()
+        ]
+        with_cluster(batch, centers).write.mode("append").parquet(output_path)
+
+    return (
+        events.writeStream.foreachBatch(_score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def per_second_counts(events: DataFrame, retention: str = RETENTION) -> DataFrame:
+    """A4/ST3: tumbling 1-second counts by src; the watermark IS the
+    retention policy (ST5 — state older than `retention` is evicted,
+    matching the nibbler's historyseconds semantics)."""
+    return (
+        events.withWatermark("ts", retention)
+        .groupBy(F.window("ts", "1 second").alias("w"), F.col("user_id").alias("src"))
+        .agg(F.count("*").alias("count_values"))
+        .select(F.col("w.start").alias("second_ts"), "src", "count_values")
+    )
+
+
+def running_counts_by_src(events: DataFrame) -> DataFrame:
+    """A1/ST1: ever-growing keyed state over the export stream."""
+    return events.groupBy(F.col("user_id").alias("src")).agg(
+        F.count("*").alias("total_visits")
+    )
+
+
+def session_start_stream(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    retention: str = RETENTION,
+) -> DataFrame:
+    """ST2: the sessionized export. session_window closes a session when
+    no event arrives for `gap_seconds`; each closed session emits one row
+    whose session_start is the window start — exactly the rows the
+    reference inserts into events_export (first event per gap-session,
+    NewEvent.java:70-75)."""
+    return (
+        events.withWatermark("ts", retention)
+        .groupBy(
+            F.session_window("ts", f"{gap_seconds} seconds").alias("w"),
+            F.col("user_id").alias("src"),
+            F.col("event_type").alias("dest"),
+        )
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .select("src", "dest", "session_start", "n_events")
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming DF with Trigger.AvailableNow into a memory sink
+    and return the materialized result (batch-parity harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

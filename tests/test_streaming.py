@@ -1,0 +1,101 @@
+"""Structured Streaming layer tests: batch/stream parity (SURVEY.md §7 M3)
+and the ≥20k events/s ingest-throughput target (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from app_fastdata_spark.streaming import pipeline as P
+
+
+def test_per_second_counts_parity(spark, sf_dir):
+    """Streaming A4 (complete mode, AvailableNow) == batch A4."""
+    from app_fastdata_spark.operators.views import events_by_second
+
+    stream = P.events_stream(spark, sf_dir)
+    got = P.run_to_memory(
+        P.per_second_counts(stream), "psc_parity", output_mode="complete"
+    )
+    want = events_by_second(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_running_counts_parity(spark, sf_dir):
+    from app_fastdata_spark.operators.views import events_by_src
+
+    stream = P.events_stream(spark, sf_dir)
+    got = P.run_to_memory(
+        P.running_counts_by_src(stream), "rc_parity", output_mode="complete"
+    )
+    want = events_by_src(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_window_parity(spark, sf_dir):
+    """Streaming session_window == the batch cumulative-gap sessionization
+    (same gap rule, ST2)."""
+    from app_fastdata_spark.operators.sessions import session_aggregate
+
+    stream = P.events_stream(spark, sf_dir)
+    got = P.run_to_memory(
+        P.session_start_stream(stream), "sw_parity", output_mode="complete"
+    )
+    want = session_aggregate(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_enriched_stream_scores_clusters(spark, sf_dir):
+    stream = P.enriched_stream(P.events_stream(spark, sf_dir))
+    got = P.run_to_memory(stream, "enr_stream")
+    n = got.count()
+    assert n > 0
+    mm = got.agg(F.min("cluster"), F.max("cluster")).collect()[0]
+    assert mm[0] >= 0 and mm[1] < 20
+
+
+def test_model_swap_visible_to_stream(spark, sf_dir, tmp_path):
+    """ST7: after an atomic overwrite of the model table, the next
+    micro-batch scores against the NEW centers."""
+    path = str(tmp_path / "clusters")
+    out_a, out_b = str(tmp_path / "out_a"), str(tmp_path / "out_b")
+    m1 = spark.createDataFrame([(0, 10.0, 100.0), (1, 60.0, 300.0)],
+                               "id int, cu double, cv double")
+    m1.write.mode("overwrite").parquet(path)
+    q = P.start_enriched_swap_stream(P.events_stream(spark, sf_dir), path, out_a)
+    q.awaitTermination()
+    got_a = spark.read.parquet(out_a)
+    assert {r.cluster for r in got_a.select("cluster").distinct().collect()} <= {0, 1}
+    m2 = spark.createDataFrame([(7, 50.0, 200.0)], "id int, cu double, cv double")
+    m2.write.mode("overwrite").parquet(path)  # atomic swap
+    q = P.start_enriched_swap_stream(P.events_stream(spark, sf_dir), path, out_b)
+    q.awaitTermination()
+    got_b = spark.read.parquet(out_b)
+    assert {r.cluster for r in got_b.select("cluster").distinct().collect()} == {7}
+
+
+@pytest.mark.slow
+def test_ingest_throughput_20k(spark):
+    """BASELINE.md target: ≥20,000 events/s through the enrichment
+    pipeline on one machine (run.sh:159). Rate source at 50k rows/s →
+    enrich → noop sink; assert sustained processedRowsPerSecond."""
+    stream = P.enriched_stream(P.rate_events_stream(spark, rows_per_second=50000))
+    q = (
+        stream.writeStream.format("noop")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(12)
+        rates = []
+        progress = q.recentProgress
+        for p in progress[-5:]:
+            if p["numInputRows"] > 0:
+                rates.append(p["processedRowsPerSecond"])
+        assert rates, "no progress recorded"
+        assert max(rates) >= 20000, f"throughput too low: {rates}"
+    finally:
+        q.stop()
