@@ -13,6 +13,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         dedup,
         enrich,
+        export_views,
         retention,
         serving,
         sessions,

@@ -74,13 +74,20 @@ register(
 
 # A6 — events_by_cluster view (db/ddl.sql:134-143): filtered per-second count
 # keyed by the J4-assigned cluster.
-def events_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = with_cluster(load_table(spark, sf_dir, "events"))
-    return (
-        ev.filter(F.col("cluster").isNotNull())  # P3 (ddl.sql:142)
-        .groupBy(F.date_trunc("second", "ts").alias("second_ts"), "cluster")
-        .agg(F.count("*").alias("count_values"))
-    )
+def events_by_cluster(
+    spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
+) -> DataFrame:
+    scored = with_cluster(ev if ev is not None else load_table(spark, sf_dir, "events"))
+    # P3 `WHERE cluster IS NOT NULL` (ddl.sql:142) is statically never
+    # true with the non-empty literal model — and an explicit filter would
+    # re-evaluate the whole 20-center argmin expression a second time in
+    # the Filter node (no cross-operator subexpression reuse). Apply it
+    # only when the model could actually produce nulls.
+    if not CLUSTERS:
+        scored = scored.filter(F.col("cluster").isNotNull())
+    return scored.groupBy(
+        F.date_trunc("second", "ts").alias("second_ts"), "cluster"
+    ).agg(F.count("*").alias("count_values"))
 
 
 register(

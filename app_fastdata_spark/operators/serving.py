@@ -38,12 +38,29 @@ _SQL_RECENCY = (
 )
 
 
+def events_in_window(
+    spark: SparkSession, sf_dir: str, as_of: str = AS_OF, window: int = WINDOW_SECONDS
+) -> DataFrame:
+    """Events scan pre-pruned to the recency window via the RAW ts_ns long
+    column — a plain comparison the parquet reader can use for row-group
+    pruning (the µs-converted ts can't push down; see tables.load_table).
+    Equivalent to the post-agg second_ts filter because AS_OF is
+    second-aligned: date_trunc(s, ts) >= cutoff ⟺ ts >= cutoff."""
+    from datetime import datetime, timezone
+
+    from ..tables import load_table
+
+    dt = datetime.strptime(as_of, "%Y-%m-%d %H:%M:%S").replace(tzinfo=timezone.utc)
+    cutoff_ns = (int(dt.timestamp()) - window) * 1_000_000_000
+    return load_table(spark, sf_dir, "events").filter(F.col("ts_ns") >= cutoff_ns)
+
+
 # GetTopUsers (GetTopUsers.java:25-38): recency filter over events_by_second,
 # re-agg by src, top-k desc with src tiebreak (T2).
 def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        events_by_second(spark, sf_dir)
-        .filter(recency())
+        events_by_second(spark, sf_dir, ev=events_in_window(spark, sf_dir))
+        .filter(recency())  # kept for shape parity; no-op on the pruned scan
         .groupBy("src")
         .agg(F.sum("count_values").alias("counts"))
         .orderBy(F.desc("counts"), F.asc("src"))
@@ -121,8 +138,8 @@ register(
 def top_dests(spark: SparkSession, sf_dir: str) -> DataFrame:
     dests = dests_df(spark).filter(F.col("url") != "")
     return (
-        dests_by_second(spark, sf_dir)
-        .filter(recency())
+        dests_by_second(spark, sf_dir, ev=events_in_window(spark, sf_dir))
+        .filter(recency())  # kept for shape parity; no-op on the pruned scan
         .join(F.broadcast(dests), F.col("dest") == dests.event_type)
         .groupBy("url")
         .agg(F.sum("count_values").alias("counts"))
@@ -150,8 +167,8 @@ register(
 # GetEventsByCluster (db/ddl.sql:168-173): P6 + A9 re-agg + T6 output order.
 def events_by_cluster_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        events_by_cluster(spark, sf_dir)
-        .filter(recency())
+        events_by_cluster(spark, sf_dir, ev=events_in_window(spark, sf_dir))
+        .filter(recency())  # kept for shape parity; no-op on the pruned scan
         .groupBy("cluster")
         .agg(F.sum("count_values").alias("counts"))
         .orderBy("cluster")

@@ -82,10 +82,13 @@ register(
 
 
 # A4 — events_by_second (db/ddl.sql:114-122): tumbling 1-s window count by src.
-# TRUNCATE(SECOND, ts) ≡ date_trunc('second', ts) (F1).
-def events_by_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+# TRUNCATE(SECOND, ts) ≡ date_trunc('second', ts) (F1). `ev` lets serving
+# queries pass a scan-pruned events frame (recency pushdown).
+def events_by_second(
+    spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
+) -> DataFrame:
     return (
-        events(spark, sf_dir)
+        (ev if ev is not None else events(spark, sf_dir))
         .groupBy(
             F.date_trunc("second", "ts").alias("second_ts"),
             F.col("user_id").alias("src"),
@@ -105,9 +108,11 @@ register(
 
 
 # A5 — dests_by_second (db/ddl.sql:124-132): same shape keyed by dest.
-def dests_by_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dests_by_second(
+    spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
+) -> DataFrame:
     return (
-        events(spark, sf_dir)
+        (ev if ev is not None else events(spark, sf_dir))
         .groupBy(
             F.date_trunc("second", "ts").alias("second_ts"),
             F.col("event_type").alias("dest"),

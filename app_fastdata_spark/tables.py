@@ -71,7 +71,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if name == "events":
             from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # Keep the raw nanos value as ts_ns: predicates on the
+            # converted timestamp can't reach the parquet reader (the
+            # ns→µs conversion wraps the column), but a plain long
+            # comparison on ts_ns pushes down to row-group pruning —
+            # recency filters use it (serving.events_in_window).
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
         return df
     return spark.read.parquet(path)
 
