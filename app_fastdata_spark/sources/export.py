@@ -1,0 +1,104 @@
+"""S4/S5/S7/S8/S11 — export sinks and the harvest handoff.
+
+The reference exports its session-start stream through a pluggable
+connector: Avro files on WebHDFS laid out `…/%g/%p/%t` (generation /
+partition / table — db/deployment-hadoop.xml.template:5-10) or JDBC to
+Vertica (deployment-demo.xml.template:5-11). The batch loop then
+atomically renames the export dir before harvesting so in-flight exports
+accumulate separately (hdp.harvest.pig:25-26, compute_clusters.sh:63-64),
+globs the Avro (harvest.pig:25), projects features, and writes Parquet
+(harvest.pig:26-27).
+
+Spark-first: the connector dissolves into `DataFrameWriter` — the
+`%g/%p` layout becomes `partitionBy` on a generation column, the rename
+handoff becomes one `os.rename` (same-filesystem atomicity), and the
+Avro format is probed at runtime (the spark-avro module is external to
+the pyspark wheel; Parquet is the fallback and the better choice anyway
+— columnar, splittable, statistics).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_AVRO_OK: bool | None = None
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Probe once whether the external spark-avro module is on the
+    classpath (S4/S6 use it when present, Parquet otherwise)."""
+    global _AVRO_OK
+    if _AVRO_OK is None:
+        try:
+            spark.read.format("avro").load("/nonexistent-avro-probe")
+            _AVRO_OK = True
+        except Exception as ex:  # noqa: BLE001
+            _AVRO_OK = "Failed to find data source" not in str(ex)
+    return _AVRO_OK
+
+
+def export_format(spark: SparkSession) -> str:
+    return "avro" if avro_available(spark) else "parquet"
+
+
+def write_export(df: DataFrame, base_dir: str, generation: int = 0) -> str:
+    """S4: export-connector file layout — one generation subdir per write
+    (the `%g` of deployment-hadoop.xml.template:8), files partitioned by
+    Spark's own task partitioning (the `%p`). Returns the format used."""
+    fmt = export_format(df.sparkSession)
+    (
+        df.withColumn("generation", F.lit(generation))
+        .write.partitionBy("generation")
+        .format(fmt)
+        .mode("append")
+        .save(base_dir)
+    )
+    return fmt
+
+
+def harvest(
+    spark: SparkSession,
+    export_dir: str,
+    process_dir: str,
+    out_parquet: str,
+    feature_cols: tuple[str, ...] = ("src", "dest", "referral", "agent"),
+) -> DataFrame:
+    """S11 + S6 + P1 + S7: the compute_clusters harvest step.
+
+    1. atomic rename export→process (compute_clusters.sh:63-64) so new
+       exports keep accumulating in a fresh dir;
+    2. glob-scan the handed-off files (harvest.pig:25);
+    3. project the 4 ML feature ints (harvest.pig:26);
+    4. write Parquet for the training job (harvest.pig:27).
+
+    Returns the projected frame (also persisted at out_parquet).
+    """
+    if os.path.exists(process_dir):
+        # stale process dir from a failed prior run (compute_clusters.sh:63)
+        import shutil
+
+        shutil.rmtree(process_dir)
+    os.rename(export_dir, process_dir)  # same-fs atomic handoff
+    fmt = export_format(spark)
+    scanned = spark.read.format(fmt).load(f"{process_dir}/*")
+    trimmed = scanned.select(*feature_cols)
+    trimmed.write.mode("overwrite").parquet(out_parquet)
+    return spark.read.parquet(out_parquet)
+
+
+def jdbc_export_writer(
+    url: str, table: str, properties: dict[str, str] | None = None
+) -> Callable[[DataFrame, int], None]:
+    """S5: the JDBC export target (deployment-demo.xml.template:5-11) as a
+    foreachBatch sink — each micro-batch appends transactionally via the
+    JVM JDBC writer. No driver jars ship in this container, so this is
+    exercised by tests only through its plan construction."""
+
+    def write_batch(batch: DataFrame, _epoch: int) -> None:
+        batch.write.jdbc(url, table, mode="append", properties=properties or {})
+
+    return write_batch
