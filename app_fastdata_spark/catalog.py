@@ -25,6 +25,7 @@ def _load_all() -> None:
     from .ml import kmeans  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .sources import generator  # noqa: F401
+    from .streaming import stateful  # noqa: F401
 
 
 _loaded = False

@@ -99,9 +99,7 @@ def session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "session_aggregate",
-    sql=f"""
+SESSION_AGGREGATE_SQL = f"""
     WITH g AS (
       SELECT user_id, event_type, ts,
              CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
@@ -121,8 +119,9 @@ register(
     SELECT user_id AS src, event_type AS dest,
            min(ts) AS session_start, count(*) AS n_events
     FROM s GROUP BY user_id, event_type, sess_id
-    """,
-)(session_aggregate)
+    """
+
+register("session_aggregate", sql=SESSION_AGGREGATE_SQL)(session_aggregate)
 
 
 register(

@@ -99,3 +99,17 @@ def test_ingest_throughput_20k(spark):
         assert max(rates) >= 20000, f"throughput too low: {rates}"
     finally:
         q.stop()
+
+
+def test_stateful_sessionizer_parity(spark, sf_dir):
+    """applyInPandasWithState sessionizer == batch session_aggregate on a
+    single-batch AvailableNow run (update-mode snapshot = full history)."""
+    from app_fastdata_spark.operators.sessions import session_aggregate
+    from app_fastdata_spark.streaming.stateful import stateful_session_stream
+
+    stream = P.events_stream(spark, sf_dir)
+    got = P.run_to_memory(
+        stateful_session_stream(stream), "stateful_sess", output_mode="update"
+    )
+    want = session_aggregate(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
