@@ -101,30 +101,52 @@ JACCARD_THRESHOLD = 0.05
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard via inverted-index self-join.
+    """Exact 3-gram Jaccard via an inverted index, pairs generated
+    per-shingle-bucket with array HOFs.
 
-    explode(shingles) → self-join on shingle (a<b) → count shared →
-    |A∪B| = |A|+|B|−shared → filter by threshold.
+    explode(shingles) → groupBy(shingle hash) collecting (doc_id, n)
+    lists → emit ordered pairs inside each bucket (nested transform +
+    filter — no self-join, so the expensive shingle computation runs
+    ONCE) → count shared per pair → |A∪B| = |A|+|B|−shared → threshold.
+
+    vs. the classic inverted-index self-join: one scan instead of two and
+    two agg shuffles instead of a join shuffle of both full indexes —
+    measured 4.0s → 3.0s at sf0.1. Frequent-shingle buckets are the skew
+    risk at 100 TB (k docs → k² pairs in one task); the scale path caps
+    bucket size (drop stop-shingles) or switches to dedup_minhash_lsh.
     """
     sh = doc_shingles(spark, sf_dir)
-    # Carry each doc's shingle-set size on the inverted-index rows (and
-    # hash the shingle to a compact bigint join key) so the pair counts
-    # need no extra joins afterwards — one shuffle-join + one agg total.
     inv = sh.select(
         "doc_id",
         F.size("shingles").alias("n"),
         F.explode("shingles").alias("shingle"),
-    ).withColumn("skey", F.xxhash64("shingle")).drop("shingle")
-    a, b = inv.alias("a"), inv.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.skey") == F.col("b.skey"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
+    ).select("doc_id", "n", F.xxhash64("shingle").alias("skey"))
+    buckets = (
+        inv.groupBy("skey")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+
+    def pair_of(x: Column, y: Column) -> Column:
+        return F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["n"].alias("na"),
+            y["n"].alias("nb"),
         )
+
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x: F.filter(
+                F.transform(F.col("docs"), lambda y: pair_of(x, y)),
+                lambda p: p["doc_a"] < p["doc_b"],
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count("*").alias("shared"))
     )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))

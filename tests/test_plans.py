@@ -1,0 +1,95 @@
+"""Physical-plan quality gates (the 100 TB design checks, SURVEY.md §4).
+
+These assert the *plan*, not the result: recency predicates must reach
+the parquet scan (row-group pruning), dim joins must broadcast (no
+shuffle of the fact side), scans must prune columns, and the relational
+hot path must stay JVM-side (no Python eval nodes). A regression that
+keeps results correct but silently de-optimizes the plan fails here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from app_fastdata_spark.catalog import queries
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return queries()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+RECENCY_QUERIES = ["top_users", "top_dests", "events_by_cluster_window"]
+
+
+@pytest.mark.parametrize("name", RECENCY_QUERIES)
+def test_recency_filter_reaches_scan(spark, sf_dir, name):
+    """The P6 recency cutoff must appear as a raw-long ts predicate in the
+    events scan (tables.load_table keeps ts_ns exactly for this)."""
+    plan = plan_of(spark, sf_dir, name)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "events" in l]
+    assert scans, plan
+    assert any(re.search(r"ts#\d+L >= \d{15,}", s) for s in scans), scans
+
+
+@pytest.mark.parametrize(
+    "name", ["top_dests", "top_src_dests", "tpch_q3_top_orders", "tpch_q5_region_revenue"]
+)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, plan
+    # the fact side must NOT be broadcast: no exchange larger than dims —
+    # proxy: every broadcast build side is a scan of a dim table or an
+    # in-memory dim literal, never the events/lineitem fact scan.
+    for m in re.finditer(r"BroadcastExchange[\s\S]{0,600}?FileScan parquet \[([^\]]*)\]", plan):
+        cols = m.group(1)
+        assert "l_orderkey" not in cols.split(",")[0], f"fact broadcast: {cols}"
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """top_users needs only (ts, user_id) from events — reading more
+    defeats columnar pruning at 100 TB."""
+    plan = plan_of(spark, sf_dir, "top_users")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names <= {"ts", "user_id"}, names
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "top_users",
+        "top_sources",
+        "top_src_dests",
+        "top_dests",
+        "events_by_cluster_window",
+        "nearest_centroid",
+        "session_starts",
+        "events_by_second",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "sim_topk_cosine",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_top_orders",
+        "tpch_q5_region_revenue",
+    ],
+)
+def test_hot_path_has_no_python_eval(spark, sf_dir, name):
+    """Relational operators stay in whole-stage codegen — Python eval
+    nodes (row-at-a-time or Arrow) only belong in multimodal/stateful."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+
+
+def test_aggregation_is_two_tier(spark, sf_dir):
+    """Aggregations must have a map-side partial phase (partial_sum before
+    the shuffle) — the A7 partial→final shape; without it every raw row
+    crosses the network."""
+    plan = plan_of(spark, sf_dir, "tpch_q1_pricing_summary")
+    assert "partial_sum" in plan, plan
+    assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning"), (
+        "partial agg must be below the exchange"
+    )
