@@ -1,0 +1,60 @@
+"""U5 system-procedure parity tests."""
+
+from __future__ import annotations
+
+from app_fastdata_spark import introspect as I
+
+
+def test_adhoc_over_registered_views(spark, sf_dir):
+    I.register_views(spark, sf_dir)
+    n = I.adhoc(spark, "SELECT count(*) AS n FROM events").collect()[0].n
+    assert n > 0
+    joined = I.adhoc(
+        spark,
+        """
+        SELECT r_name, count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+    ).collect()
+    assert len(joined) == 5
+
+
+def test_table_statistics(spark, sf_dir):
+    stats = I.table_statistics(spark, sf_dir)
+    by_name = {s["table"]: s for s in stats}
+    assert set(by_name) == set(I.TABLE_NAMES)
+    assert all(s["tuple_count"] > 0 for s in stats)
+    assert by_name["events"]["partitions"] >= 1
+
+
+def test_partition_keys(spark, sf_dir):
+    info = I.partition_keys(spark, sf_dir)
+    assert info["table"] == "events" and info["num_partitions"] >= 1
+
+
+def test_system_catalog_lists_views(spark, sf_dir):
+    I.register_views(spark, sf_dir)
+    names = {t["name"] for t in I.system_catalog(spark)}
+    assert {"events", "lineitem", "documents"} <= names
+
+
+def test_explain_query_formatted(spark, sf_dir):
+    txt = I.explain_query(spark, sf_dir, "top_users")
+    assert "Physical Plan" in txt and "Scan parquet" in txt
+
+
+def test_streaming_progress_shape(spark, sf_dir):
+    from app_fastdata_spark.streaming import pipeline as P
+
+    q = (
+        P.per_second_counts(P.events_stream(spark, sf_dir))
+        .writeStream.format("noop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = I.streaming_progress(q)
+    assert prog["numInputRows"] > 0
+    assert prog["stateRows"] > 0
