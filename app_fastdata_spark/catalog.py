@@ -22,7 +22,7 @@ def _load_all() -> None:
         tpch,
         views,
     )
-    from .ml import kmeans  # noqa: F401
+    from .ml import kmeans, kmeans_udtf  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .sources import generator  # noqa: F401
     from .streaming import stateful  # noqa: F401

@@ -71,3 +71,39 @@ register(
     GROUP BY user_id
     """,
 )(retention_survivors_by_src)
+
+
+# --- storage-level retention (the nibbler rebuilt, SURVEY.md §3.4) --------
+#
+# VoltDB needed chunked DELETE transactions (DeleteAfterDate.java:65-95)
+# because the hot store was row-mutable. Spark-side, the hot store is a
+# time-partitioned parquet layout and retention is O(partitions): drop the
+# directories entirely older than the cutoff — no row rewrite, no chunking,
+# no Nth-ts probe. At 100 TB this is a metadata operation.
+
+def write_time_partitioned(ev: DataFrame, path: str) -> None:
+    """Lay out events partitioned by day (the partition-by-time storage
+    from SURVEY.md §2.9 ST5)."""
+    (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def drop_expired_partitions(spark: SparkSession, path: str, cutoff_day: str) -> int:
+    """Age-based retention: remove day-partitions strictly older than
+    `cutoff_day`. Whole-partition drops only — rows inside the cutoff day
+    survive (the reference's ranged delete has the same ts <= ? boundary
+    semantics at second granularity, DeleteAfterDate.java:53-54).
+    Returns the number of partitions dropped."""
+    import shutil
+    from pathlib import Path
+
+    dropped = 0
+    for p in sorted(Path(path).glob("day=*")):
+        if p.name.split("=", 1)[1] < cutoff_day:
+            shutil.rmtree(p)
+            dropped += 1
+    return dropped

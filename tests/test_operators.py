@@ -115,3 +115,39 @@ def test_retention_semantics(spark, sf_dir):
     live = ev.filter(F.col("ts") > F.lit(RETENTION_CUTOFF).cast("timestamp"))
     total = retention_survivors_by_src(spark, sf_dir).agg(F.sum("n_live")).collect()[0][0]
     assert total == live.count()
+
+
+def test_storage_retention_partition_drop(spark, sf_dir, tmp_path):
+    """ST5 at the storage level: after the drop, the hot store serves no
+    event older than the cutoff and every newer event survives."""
+    from app_fastdata_spark.operators.retention import (
+        drop_expired_partitions,
+        write_time_partitioned,
+    )
+    from app_fastdata_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "hot_events")
+    write_time_partitioned(ev, path)
+    cutoff = "2024-01-15"
+    want_live = ev.filter(F.to_date("ts") >= F.lit(cutoff)).count()
+    dropped = drop_expired_partitions(spark, path, cutoff)
+    assert dropped > 0
+    live = spark.read.parquet(path)
+    assert live.count() == want_live
+    # partition col is read back as date — compare as string
+    assert str(live.agg(F.min("day")).collect()[0][0]) >= cutoff
+
+
+def test_kmeans_udtf_deterministic(spark, sf_dir):
+    """W2/U6: the applyInPandas whole-relation k-means — 20 rounded-int
+    centers, identical across runs (no RNG)."""
+    from app_fastdata_spark.ml.kmeans_udtf import kmeans_centers_udtf
+
+    a = kmeans_centers_udtf(spark, sf_dir).collect()
+    b = kmeans_centers_udtf(spark, sf_dir).collect()
+    assert a == b
+    assert len(a) == 20
+    assert [r.id for r in a] == list(range(20))
+    assert all(isinstance(r.cu, int) and isinstance(r.cv, int) for r in a)

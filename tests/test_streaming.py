@@ -113,3 +113,68 @@ def test_stateful_sessionizer_parity(spark, sf_dir):
     )
     want = session_aggregate(spark, sf_dir)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_fanout_one_source_multiple_sinks(spark, sf_dir, tmp_path):
+    """ST1: the export stream feeds an external sink AND two aggregations
+    simultaneously (db/ddl.sql:78-101) — here one file source drives three
+    concurrent streaming queries."""
+    sink = str(tmp_path / "export_sink")
+    ck = str(tmp_path / "ck")
+    src = P.events_stream(spark, sf_dir)
+    q1 = (
+        src.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", f"{ck}/1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        P.running_counts_by_src(P.events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("fanout_a1")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3 = (
+        P.per_second_counts(P.events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("fanout_a4")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    for q in (q1, q2, q3):
+        q.awaitTermination()
+    n_src = spark.read.parquet(sink).count()
+    assert n_src > 0
+    assert spark.table("fanout_a1").agg(F.sum("total_visits")).collect()[0][0] == n_src
+    assert spark.table("fanout_a4").agg(F.sum("count_values")).collect()[0][0] == n_src
+
+
+def test_watermark_bounds_streaming_state(spark, sf_dir):
+    """ST5: the watermark IS the retention policy — windowed-agg state
+    stays bounded by `retention`, not by total history. With a 1-hour
+    watermark over a month of data, final state must hold only windows
+    near the max event time."""
+    q = (
+        P.per_second_counts(P.events_stream(spark, sf_dir), retention="1 hour")
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total_windows = (
+        P.run_to_memory(
+            P.per_second_counts(P.events_stream(spark, sf_dir)),
+            "wm_all_windows",
+            output_mode="complete",
+        ).count()
+    )
+    # eviction runs when the watermark advances — the final (empty)
+    # micro-batch; read its state metrics, not the last data batch's.
+    final = q.lastProgress["stateOperators"][0]
+    assert final["numRowsRemoved"] > 0
+    assert 0 < final["numRowsTotal"] < total_windows / 10, (final, total_windows)
