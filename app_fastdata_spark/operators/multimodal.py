@@ -126,3 +126,115 @@ register(
     FROM idx
     """,
 )(multimodal_frame_sample)
+
+
+# Resize plumbing: aspect-preserving fit into a 64x64 box. The byte-level
+# resample is faked (payload truncation — no media libs), but the shape
+# math, the 1→1 mapInPandas contract, and the metadata columns are real.
+# Integer floor arithmetic only, so the DuckDB oracle matches exactly.
+RESIZE_BOX = 64
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, w, h, _ = _fake_decode(payload)
+            if w >= h:
+                dw, dh = RESIZE_BOX, (RESIZE_BOX * h) // w
+            else:
+                dw, dh = (RESIZE_BOX * w) // h, RESIZE_BOX
+            resized = payload[:8]  # STUB: real impl resamples pixels here
+            rows.append((doc_id, w, h, dw, dh, len(resized)))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "src_w", "src_h", "dst_w", "dst_h", "payload_len"],
+        )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "payload").mapInPandas(
+        _resize_batches,
+        schema="doc_id long, src_w int, src_h int, dst_w int, dst_h int,"
+        " payload_len int",
+    )
+
+
+register(
+    "multimodal_resize",
+    sql=f"""
+    WITH h AS (
+      SELECT doc_id,
+             ascii(substr(md5(text), 1, 1)) AS w,
+             ascii(substr(md5(text), 2, 1)) AS h
+      FROM documents
+    )
+    SELECT doc_id, w AS src_w, h AS src_h,
+           CAST(CASE WHEN w >= h THEN {RESIZE_BOX}
+                     ELSE ({RESIZE_BOX} * w) // h END AS INTEGER) AS dst_w,
+           CAST(CASE WHEN w >= h THEN ({RESIZE_BOX} * h) // w
+                     ELSE {RESIZE_BOX} END AS INTEGER) AS dst_h,
+           8 AS payload_len
+    FROM h
+    """,
+)(multimodal_resize)
+
+
+# Feature-extraction plumbing: payload bytes → dense float vector (the
+# stage that feeds similarity.py's ANN ops). The "model" is a stub —
+# bytes scaled to [0,1] — but the batch shape (binary in, array<float>
+# out via Arrow) is the production contract. The registered query
+# projects scalar summaries (dim, l2 norm, first component) so the
+# oracle hash avoids cross-engine float-array formatting.
+def _embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            vec = [b / 255.0 for b in payload]  # STUB: real encoder here
+            rows.append(
+                (
+                    doc_id,
+                    vec,
+                    len(vec),
+                    round(math.sqrt(sum(x * x for x in vec)), 6),
+                    round(vec[0], 6),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "embedding", "dim", "l2_norm", "c0"]
+        )
+
+
+def extract_features(docs: DataFrame) -> DataFrame:
+    """binary payload → (doc_id, embedding array<float>, scalars)."""
+    return docs.select("doc_id", "payload").mapInPandas(
+        _embed_batches,
+        schema="doc_id long, embedding array<float>, dim int,"
+        " l2_norm double, c0 double",
+    )
+
+
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs).select("doc_id", "dim", "l2_norm", "c0")
+
+
+register(
+    "multimodal_embed",
+    sql="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(1, 17),
+               i -> CAST(('0x' || substr(md5(text), (i-1)*2 + 1, 2)) AS INTEGER)
+                    / 255.0) AS vec
+      FROM documents
+    )
+    SELECT doc_id, 16 AS dim,
+           round(sqrt(list_sum(list_transform(vec, x -> x * x))), 6) AS l2_norm,
+           round(vec[1], 6) AS c0
+    FROM b
+    """,
+)(multimodal_embed)

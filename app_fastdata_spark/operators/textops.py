@@ -149,3 +149,74 @@ register(
     FROM documents
     """,
 )(doc_fingerprint)
+
+
+# BPE-ish subword token counting: a GPT-2-style pretokenizer regex
+# (contraction suffixes, letter runs, short digit runs, punctuation runs)
+# via regexp_extract_all — JVM regex in Spark, RE2 in DuckDB; the pattern
+# avoids lookaheads so both dialects agree exactly.
+_BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9']+"
+
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+        # tokens-per-whitespace-word: a subword fertility proxy used for
+        # tokenizer-cost estimates over a corpus
+        F.round(
+            F.size(pieces) / F.size(_tokens(F.col("text"))), 6
+        ).alias("fertility"),
+    )
+
+
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")  # escape for SQL string literal
+
+register(
+    "doc_bpe_tokens",
+    sql=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
+             AS n_distinct_pieces,
+           round(len(regexp_extract_all(text, '{_BPE_SQL}')) * 1.0
+                 / len(string_split_regex(trim(text), '\\s+')), 6) AS fertility
+    FROM documents
+    """,
+)(doc_bpe_tokens)
+
+
+# Karp-Rabin polynomial rolling hash over the raw character stream —
+# the incremental-fingerprint primitive (winnowing/Rabin chunking use the
+# same recurrence). acc = (acc*B + code(ch)) mod M, folded with a single
+# array aggregate: one pass, no Python, identical arithmetic in DuckDB.
+_RH_B, _RH_M = 31, 1_000_000_007
+
+
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    rh = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * _RH_B + F.ascii(ch)) % _RH_M,
+    )
+    return docs.select("doc_id", rh.alias("rolling_hash"))
+
+
+register(
+    "doc_rolling_hash",
+    sql=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(text, ''),
+                                         ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, c) -> (acc * {_RH_B} + c) % {_RH_M}
+           ) AS rolling_hash
+    FROM documents
+    """,
+)(doc_rolling_hash)

@@ -151,3 +151,23 @@ def test_kmeans_udtf_deterministic(spark, sf_dir):
     assert len(a) == 20
     assert [r.id for r in a] == list(range(20))
     assert all(isinstance(r.cu, int) and isinstance(r.cv, int) for r in a)
+
+
+def test_multimodal_extract_features_vector_contract(spark, sf_dir):
+    """The feature-extract stage emits a dense float16-dim vector per doc
+    (Arrow-batched) whose scalars agree with the vector itself."""
+    import math
+
+    from app_fastdata_spark.operators.multimodal import (
+        extract_features,
+        with_binary_payload,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    out = extract_features(docs).limit(20).collect()
+    assert out
+    for r in out:
+        assert len(r.embedding) == r.dim == 16
+        assert all(0.0 <= x <= 1.0 for x in r.embedding)
+        assert abs(math.sqrt(sum(x * x for x in r.embedding)) - r.l2_norm) < 1e-4
