@@ -6,8 +6,15 @@ are the bench headliners for multi-join / large-agg throughput.
 Scale notes: scan-side filters and column pruning reach the parquet
 reader (verified via explain — PushedFilters/ReadSchema); dim joins
 (region/nation/customer at testdata ratios) broadcast; large joins
-shuffle on their keys with AQE handling skew; sums are rounded to 2
-decimals on BOTH engines so the value hash is FP-association-proof.
+shuffle on their keys with AQE handling skew.
+
+Rounding-for-parity rule: a SUM's round precision must be >= the exact
+decimal precision of its terms (price*discount terms carry 4 decimals,
+*(1+tax) carries 6). Rounding coarser (e.g. 2) puts exact .xx50 values
+ON the rounding boundary, where Spark's HALF_UP and DuckDB's rounding
+of nearest-double representations disagree — observed as last-cent
+hash mismatches. At term precision every true value is >= 5e-5 from a
+boundary while cross-engine FP association noise is ~1e-10.
 """
 
 from __future__ import annotations
@@ -30,8 +37,8 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -46,8 +53,8 @@ register(
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_discount), 4) AS avg_disc,
            count(*) AS count_order
@@ -71,7 +78,7 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -81,7 +88,7 @@ register(
     "tpch_q3_top_orders",
     sql="""
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -109,7 +116,7 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -117,7 +124,7 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "tpch_q5_region_revenue",
     sql="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -154,3 +161,84 @@ register(
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )(tpch_order_priority_counts)
+
+
+# Q6-style forecast revenue: the pushdown showcase — every predicate is a
+# plain comparison that reaches the parquet reader, the agg is a single
+# map-side-combined scalar. At 100 TB this query is pure scan bandwidth.
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+register(
+    "tpch_q6_forecast_revenue",
+    sql="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)(tpch_q6_forecast_revenue)
+
+
+# Ranking-window analytics: top-3 orders per customer by revenue. The
+# reference has no OVER-clause ranking (SURVEY.md §2.5) — this extends
+# the engine's window surface (row_number over a keyed sort) with an
+# exact oracle. Scale: one shuffle on o_custkey; the rank filter
+# truncates each partition stream early (WindowGroupLimit pushdown).
+def tpch_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("revenue"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(rev, orders.o_orderkey == rev.l_orderkey)
+        .select("o_custkey", "o_orderkey", "revenue")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "revenue", "rk")
+    )
+
+
+register(
+    "tpch_top_orders_per_customer",
+    sql="""
+    WITH rev AS (
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ranked AS (
+      SELECT o_custkey, o_orderkey, revenue,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY revenue DESC, o_orderkey) AS rk
+      FROM orders JOIN rev ON o_orderkey = l_orderkey
+    )
+    SELECT o_custkey, o_orderkey, revenue, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)(tpch_top_orders_per_customer)

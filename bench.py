@@ -30,6 +30,8 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
     "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_top_orders_per_customer",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "sim_topk_cosine",
