@@ -24,6 +24,7 @@ def _load_all() -> None:
     )
     from .ml import kmeans, kmeans_udtf  # noqa: F401
     from .operators import multimodal  # noqa: F401
+    from .plans import skew  # noqa: F401
     from .sources import generator  # noqa: F401
     from .streaming import stateful  # noqa: F401
 

@@ -68,9 +68,7 @@ def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "top_users",
-    sql=f"""
+TOP_USERS_SQL = f"""
     WITH ebs AS (
       SELECT date_trunc('second', ts) AS second_ts, user_id AS src,
              count(*) AS count_values
@@ -79,8 +77,9 @@ register(
     SELECT src, sum(count_values) AS counts
     FROM ebs WHERE {_SQL_RECENCY}
     GROUP BY src ORDER BY counts DESC, src LIMIT {TOP_K}
-    """,
-)(top_users)
+    """
+
+register("top_users", sql=TOP_USERS_SQL)(top_users)
 
 
 # GetTopSources (GetTopSources.java:24-33): top-k over the A1 running view.
