@@ -35,17 +35,24 @@ from ..tables import SCHEMAS
 RETENTION = "180 seconds"  # run.sh:146 historyseconds (demo config)
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the testdata events (S11: checkpointed file
-    source = the reference's atomic-rename harvest handoff, for free)."""
+    source = the reference's atomic-rename harvest handoff, for free).
+
+    `max_files_per_trigger` is the ST10 backpressure knob — the file-source
+    analogue of the client's setMaxTransactionsPerSecond cap
+    (LogGenerator.java:129-131); rate_events_stream caps rows/s directly."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # file stream source requires a directory path; pathGlobFilter narrows
     # it to the events table.
-    raw = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(SCHEMAS["events"]).option(
+        "pathGlobFilter", "events.parquet"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -156,3 +163,47 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def dests_by_second_stream(events: DataFrame, retention: str = RETENTION) -> DataFrame:
+    """A5/ST3 twin: per-second counts keyed by dest (db/ddl.sql:124-132)."""
+    return (
+        events.withWatermark("ts", retention)
+        .groupBy(
+            F.window("ts", "1 second").alias("w"),
+            F.col("event_type").alias("dest"),
+        )
+        .agg(F.count("*").alias("count_values"))
+        .select(F.col("w.start").alias("second_ts"), "dest", "count_values")
+    )
+
+
+def events_by_cluster_stream(events: DataFrame, retention: str = RETENTION) -> DataFrame:
+    """A6/ST3+ST6 twin: scoring projection inside the streaming query,
+    then per-second counts keyed by the assigned cluster
+    (db/ddl.sql:134-143)."""
+    return (
+        with_cluster(events)
+        .withWatermark("ts", retention)
+        .groupBy(F.window("ts", "1 second").alias("w"), "cluster")
+        .agg(F.count("*").alias("count_values"))
+        .select(F.col("w.start").alias("second_ts"), "cluster", "count_values")
+    )
+
+
+def full_ingest_stream(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """ST6 complete: the NewEvent hot loop as ONE streaming projection —
+    stream-static broadcast dim joins (J3) + inline centroid scoring (J4)
+    on every arriving event (NewEvent.java:50-78). The dim frames are
+    re-resolved per micro-batch, so a dim table swap is visible without
+    restarting the query."""
+    from ..dims import dests_df
+
+    dests = dests_df(spark)
+    return (
+        events.join(
+            F.broadcast(dests.select("event_type", F.col("id").alias("dest"), "url")),
+            "event_type",
+        )
+        .transform(with_cluster)
+    )

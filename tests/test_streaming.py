@@ -178,3 +178,38 @@ def test_watermark_bounds_streaming_state(spark, sf_dir):
     final = q.lastProgress["stateOperators"][0]
     assert final["numRowsRemoved"] > 0
     assert 0 < final["numRowsTotal"] < total_windows / 10, (final, total_windows)
+
+
+def test_dests_and_cluster_stream_parity(spark, sf_dir):
+    """A5/A6 streaming twins == batch views (complete-mode AvailableNow)."""
+    from app_fastdata_spark.operators.enrich import events_by_cluster
+    from app_fastdata_spark.operators.views import dests_by_second
+
+    got5 = P.run_to_memory(
+        P.dests_by_second_stream(P.events_stream(spark, sf_dir)),
+        "a5_parity",
+        output_mode="complete",
+    )
+    assert sorted(map(tuple, got5.collect())) == sorted(
+        map(tuple, dests_by_second(spark, sf_dir).collect())
+    )
+    got6 = P.run_to_memory(
+        P.events_by_cluster_stream(P.events_stream(spark, sf_dir)),
+        "a6_parity",
+        output_mode="complete",
+    )
+    assert sorted(map(tuple, got6.collect())) == sorted(
+        map(tuple, events_by_cluster(spark, sf_dir).collect())
+    )
+
+
+def test_full_ingest_stream_shape(spark, sf_dir):
+    """ST6 complete: every event leaves the ingest stream with dim ids
+    (J3) and a cluster assignment (J4)."""
+    out = P.run_to_memory(
+        P.full_ingest_stream(spark, P.events_stream(spark, sf_dir)), "ingest_full"
+    )
+    n = out.count()
+    assert n > 0
+    assert out.filter(F.col("dest").isNull() | F.col("cluster").isNull()).count() == 0
+    assert {"dest", "url", "cluster"} <= set(out.columns)
