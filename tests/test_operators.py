@@ -171,3 +171,15 @@ def test_multimodal_extract_features_vector_contract(spark, sf_dir):
         assert len(r.embedding) == r.dim == 16
         assert all(0.0 <= x <= 1.0 for x in r.embedding)
         assert abs(math.sqrt(sum(x * x for x in r.embedding)) - r.l2_norm) < 1e-4
+
+
+def test_empty_model_yields_null_clusters(spark, sf_dir):
+    """Reference semantics: cluster stays NULL while the model table is
+    empty (db/ddl.sql:71, NewEvent.java:62-69 argmin over zero rows)."""
+    from app_fastdata_spark.operators.enrich import with_cluster
+    from app_fastdata_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = with_cluster(ev, centers=[])
+    assert out.filter(F.col("cluster").isNotNull()).count() == 0
+    assert dict(out.dtypes)["cluster"] == "int"
