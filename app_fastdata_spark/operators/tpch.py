@@ -224,6 +224,200 @@ def tpch_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q4-style priority check: the LEFT-SEMI join class (EXISTS). The reference
+# has no semi-joins beyond the session gap test (SURVEY.md §2.3 note); this
+# completes the engine's join surface with an exact oracle. Scale: the semi
+# join deduplicates build-side keys before probing — no row multiplication,
+# one shuffle pair on orderkey (or broadcast of the filtered side under AQE).
+def tpch_q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "tpch_q4_priority_semijoin",
+    sql="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)(tpch_q4_priority_semijoin)
+
+
+# Q16-flavored dead-stock report: the LEFT-ANTI join class (NOT EXISTS).
+# Parts with no shipment in 1996H1, counted per type. Scale: anti join
+# needs only the distinct probe-side keys — Spark builds a hash set of
+# shipped partkeys (broadcastable once filtered+deduped) and streams parts.
+def tpch_unsold_parts_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select("l_partkey")
+    )
+    return (
+        part.join(shipped, part.p_partkey == shipped.l_partkey, "left_anti")
+        .groupBy("p_type")
+        .agg(F.count("*").alias("unsold_parts"))
+        .orderBy("p_type")
+    )
+
+
+register(
+    "tpch_unsold_parts_anti",
+    sql="""
+    SELECT p_type, count(*) AS unsold_parts
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey
+                        AND l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1996-07-01')
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+)(tpch_unsold_parts_anti)
+
+
+# Q12-style priority split: conditional aggregation over a fact-fact join
+# (CASE WHEN inside SUM). One shuffle on orderkey; the CASE evaluates in
+# the same whole-stage-codegen pass as the join probe.
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "tpch_q12_priority_lines",
+    sql="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)(tpch_q12_priority_lines)
+
+
+# Q14-style promo share: ratio of conditional sum to total over a
+# lineitem ⋈ part join. Sums are rounded at term precision (4, see module
+# docstring); the percentage divides the two ROUNDED sums so both engines
+# divide bit-identical inputs — no cross-engine FP-association noise in
+# the quotient.
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)), 4).alias(
+            "promo_revenue"
+        ),
+        F.round(F.sum(rev), 4).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+register(
+    "tpch_q14_promo_revenue",
+    sql="""
+    WITH agg AS (
+      SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) END), 4)
+               AS promo_revenue,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-03-01'
+    )
+    SELECT promo_revenue, total_revenue,
+           round(100 * promo_revenue / total_revenue, 6) AS promo_pct
+    FROM agg
+    """,
+)(tpch_q14_promo_revenue)
+
+
+# Q18-style large-volume orders: post-aggregation HAVING filter, then a
+# join back to orders for context and a deterministic top-k. Scale: the
+# HAVING prunes to a tiny key set BEFORE the orders join, so the join
+# build side is the filtered aggregate (broadcastable at any SF).
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+register(
+    "tpch_q18_big_orders",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING round(sum(l_quantity), 2) > 300) big
+      ON o_orderkey = l_orderkey
+    ORDER BY total_qty DESC, o_orderkey LIMIT 100
+    """,
+)(tpch_q18_big_orders)
+
+
 register(
     "tpch_top_orders_per_customer",
     sql="""

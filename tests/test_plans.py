@@ -84,6 +84,27 @@ def test_hot_path_has_no_python_eval(spark, sf_dir, name):
     assert "ArrowEvalPython" not in plan, name
 
 
+def test_semi_and_anti_joins_use_join_codegen(spark, sf_dir):
+    """Q4/Q16 shapes must plan as real semi/anti hash joins (build side =
+    the filtered key set), not as a distinct + inner join rewrite."""
+    semi = plan_of(spark, sf_dir, "tpch_q4_priority_semijoin")
+    assert "LeftSemi" in semi, semi
+    anti = plan_of(spark, sf_dir, "tpch_unsold_parts_anti")
+    assert "LeftAnti" in anti, anti
+    for plan in (semi, anti):
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_having_prunes_before_join(spark, sf_dir):
+    """Q18: the HAVING-filtered aggregate must be the broadcast build side
+    of the orders join — at 100 TB the filtered key set is tiny while
+    orders is not."""
+    plan = plan_of(spark, sf_dir, "tpch_q18_big_orders")
+    m = re.search(r"BroadcastExchange[\s\S]{0,2000}?FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "l_orderkey" in m.group(1) or "l_quantity" in m.group(1), m.group(1)
+
+
 def test_aggregation_is_two_tier(spark, sf_dir):
     """Aggregations must have a map-side partial phase (partial_sum before
     the shuffle) — the A7 partial→final shape; without it every raw row
