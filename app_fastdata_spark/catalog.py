@@ -19,6 +19,7 @@ def _load_all() -> None:
         serving,
         sessions,
         similarity,
+        stats,
         textops,
         tpch,
         views,

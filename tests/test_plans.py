@@ -105,6 +105,18 @@ def test_having_prunes_before_join(spark, sf_dir):
     assert "l_orderkey" in m.group(1) or "l_quantity" in m.group(1), m.group(1)
 
 
+def test_multi_distinct_uses_expand(spark, sf_dir):
+    """Two DISTINCT aggregates over different keys must plan through the
+    Expand-based distributed distinct (no driver-side dedup), with the
+    scan pruned to exactly the referenced columns."""
+    plan = plan_of(spark, sf_dir, "events_distinct_users")
+    assert "Expand" in plan, plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names <= {"ts", "user_id", "event_type", "value"}, names
+
+
 def test_aggregation_is_two_tier(spark, sf_dir):
     """Aggregations must have a map-side partial phase (partial_sum before
     the shuffle) — the A7 partial→final shape; without it every raw row
