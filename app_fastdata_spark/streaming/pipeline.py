@@ -149,6 +149,21 @@ def session_start_stream(
     )
 
 
+def dedup_stream(events: DataFrame, retention: str = RETENTION) -> DataFrame:
+    """Streaming exact deduplication on event_id — the stream twin of the
+    batch `dedup_exact` operator (at-least-once sources like Kafka or the
+    file-source re-delivery on checkpoint recovery produce duplicates;
+    this is the standard exactly-once repair stage).
+
+    Scale: `dropDuplicatesWithinWatermark` bounds the state store to ids
+    seen within the watermark horizon — at 100 TB the state is
+    O(retention-window events), not O(all history), which plain
+    dropDuplicates on a stream would require."""
+    return events.withWatermark("ts", retention).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

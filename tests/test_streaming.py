@@ -253,3 +253,23 @@ def test_kafka_builders_gated(spark):
 
         with pytest.raises(Exception, match="Failed to find data source"):
             events_kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_streaming_dedup_parity(spark, sf_dir, tmp_path):
+    """dedup_stream over a doubled source == batch exact dedup: every
+    event_id survives exactly once, values intact."""
+    import shutil
+
+    from app_fastdata_spark.tables import SCHEMAS, load_table
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(str(src))
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    got = P.run_to_memory(P.dedup_stream(stream), "dedup_parity")
+    want = load_table(spark, sf_dir, "events").drop("ts_ns")
+    assert got.count() == want.count()
+    assert sorted(map(tuple, got.select("event_id", "user_id", "value").collect())) == \
+        sorted(map(tuple, want.select("event_id", "user_id", "value").collect()))
