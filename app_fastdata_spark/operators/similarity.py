@@ -159,6 +159,160 @@ register(
 )(dedup_embedding_cosine)
 
 
+# --- random-hyperplane LSH ANN -------------------------------------------
+
+LSH_PLANES = 16          # signature bits
+LSH_BANDS = 4            # 4 bands × 4 bits → 16 buckets/band
+LSH_BITS_PER_BAND = LSH_PLANES // LSH_BANDS
+
+
+def _hyperplanes(planes: int = LSH_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic hyperplanes via a fixed LCG. Components are k/4096-0.5
+    (exact binary fractions), so the Python literal, the Spark literal, and
+    the DuckDB literal are all the SAME double — signature bits match
+    bit-for-bit across engines."""
+    out: list[list[float]] = []
+    state = 0x5DEECE66D
+    for _ in range(planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) % 4096) / 4096 - 0.5)
+        out.append(row)
+    return out
+
+
+_HP = _hyperplanes()
+
+
+def _signature_bands(vec: Column) -> list[Column]:
+    """Band buckets of the sign-bit signature: bucket_b = Σ bit_{4b+r}·2^r."""
+    bits = [
+        (dot(vec, F.array(*[F.lit(v) for v in hp])) >= 0).cast("int")
+        for hp in _HP
+    ]
+    return [
+        sum(
+            bits[b * LSH_BITS_PER_BAND + r] * F.lit(1 << r)
+            for r in range(LSH_BITS_PER_BAND)
+        ).alias(f"b{b}")
+        for b in range(LSH_BANDS)
+    ]
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: candidates share ≥1 of 4 band buckets,
+    then exact-cosine re-rank top-k.
+
+    Scale path: the banded signature turns the O(N·Q) scan into an
+    equi-join on (band, bucket) — explode each side to 4 (band, bucket)
+    rows, join, dedup pairs, re-rank only candidates. At 100 TB the
+    explode+equi-join shuffles on bucket keys (bounded fan-out, no OR-join
+    nested loop); the oracle states the same candidate set with an OR join
+    (semantically identical, fine at oracle scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "embedding", *_signature_bands(F.col("embedding"))
+    )
+    bands_long = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket")
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    qbands = bands_long.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    cand = (
+        bands_long.join(F.broadcast(qbands), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qvecs = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    nvecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nvec"),
+        norm(F.col("embedding")).alias("nn_"),
+    )
+    scored = (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .join(nvecs, "neighbor_id")
+        .withColumn(
+            "cos", dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn_"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 9).alias("cos"))
+    )
+
+
+def _sql_hp_dot(col: str, hp: list[float]) -> str:
+    return " + ".join(
+        f"CAST({col}[{i + 1}] AS DOUBLE) * {v!r}" for i, v in enumerate(hp)
+    )
+
+
+def _sql_bands(col: str) -> list[str]:
+    bits = [
+        f"(CASE WHEN ({_sql_hp_dot(col, hp)}) >= 0 THEN 1 ELSE 0 END)"
+        for hp in _HP
+    ]
+    return [
+        " + ".join(
+            f"{bits[b * LSH_BITS_PER_BAND + r]} * {1 << r}"
+            for r in range(LSH_BITS_PER_BAND)
+        )
+        for b in range(LSH_BANDS)
+    ]
+
+
+_BANDS_SQL = ", ".join(f"({expr}) AS b{b}" for b, expr in enumerate(_sql_bands("embedding")))
+
+register(
+    "sim_ann_lsh",
+    sql=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_BANDS_SQL} FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM sig q JOIN sig e
+        ON e.vec_id <> q.vec_id
+       AND (q.b0 = e.b0 OR q.b1 = e.b1 OR q.b2 = e.b2 OR q.b3 = e.b3)
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_sql_cosine("qe.embedding", "ne.embedding")} AS cos
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank,
+           neighbor_id, round(cos, 9) AS cos
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """,
+)(sim_ann_lsh)
+
+
 # --- IVF-style ANN --------------------------------------------------------
 
 def _cells(emb: DataFrame) -> tuple[DataFrame, DataFrame]:

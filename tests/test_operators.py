@@ -183,3 +183,36 @@ def test_empty_model_yields_null_clusters(spark, sf_dir):
     out = with_cluster(ev, centers=[])
     assert out.filter(F.col("cluster").isNotNull()).count() == 0
     assert dict(out.dtypes)["cluster"] == "int"
+
+
+def test_lsh_planted_near_dups_collide(spark):
+    """Random-hyperplane LSH recall property: vectors with cosine >= 0.99
+    must land in the same bucket for at least one band (deterministic:
+    fixed seed + fixed hyperplanes)."""
+    import numpy as np
+
+    from app_fastdata_spark.operators.similarity import _signature_bands
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(50, 64))
+    dups = base + 0.02 * rng.normal(size=(50, 64))
+    cos = (base * dups).sum(1) / (
+        np.linalg.norm(base, axis=1) * np.linalg.norm(dups, axis=1)
+    )
+    near = [i for i in range(50) if cos[i] >= 0.99]
+    assert len(near) >= 40  # the perturbation scale keeps most pairs near
+
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    rows += [(100 + i, [float(x) for x in dups[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sig = {
+        r["vec_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in df.select(
+            "vec_id", *_signature_bands(F.col("embedding").cast("array<double>"))
+        ).collect()
+    }
+    missed = [
+        i for i in near
+        if not any(sig[i][b] == sig[100 + i][b] for b in range(4))
+    ]
+    assert len(missed) <= max(1, len(near) // 20), (missed, len(near))
