@@ -14,6 +14,7 @@ def _load_all() -> None:
         dedup,
         enrich,
         export_views,
+        joins,
         pipeline_e2e,
         retention,
         serving,

@@ -105,6 +105,24 @@ def test_having_prunes_before_join(spark, sf_dir):
     assert "l_orderkey" in m.group(1) or "l_quantity" in m.group(1), m.group(1)
 
 
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The interval join must go through bucket quantization → hash join;
+    a BroadcastNestedLoopJoin (rows × intervals probes) is the failure
+    mode at scale."""
+    plan = plan_of(spark, sf_dir, "range_join_price_bands")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    """The as-of join compiles to one hash exchange on user_id + an
+    ordered window — no join operator, no extra shuffle."""
+    plan = plan_of(spark, sf_dir, "asof_last_purchase")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+
+
 def test_multi_distinct_uses_expand(spark, sf_dir):
     """Two DISTINCT aggregates over different keys must plan through the
     Expand-based distributed distinct (no driver-side dedup), with the
