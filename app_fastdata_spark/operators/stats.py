@@ -35,7 +35,7 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+            F.countDistinct(F.date_trunc("day", "ts")).alias("n_active_days"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
         .orderBy("event_type")
@@ -55,6 +55,117 @@ register(
     ORDER BY event_type
     """,
 )(events_distinct_users)
+
+
+MID_TS = "2024-01-16 00:00:00"  # testdata midpoint (events span Jan 2024)
+
+
+# Hierarchical subtotal rollup: (event_type, day) → per-type → grand total.
+# ROLLUP plans through one Expand + single agg pass — subtotals cost one
+# extra replicated row per level, not one extra scan per level.
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_trunc("day", "ts"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
+        )
+    )
+
+
+register(
+    "events_rollup",
+    sql="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+    ORDER BY event_type NULLS FIRST, day NULLS FIRST
+    """,
+)(events_rollup)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# Pivot: daily activity matrix, one column per event type. The explicit
+# value list keeps the output schema static (a pivot with discovered
+# values needs an extra distinct pass and breaks schema stability).
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return pivoted.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    ).orderBy("day")
+
+
+register(
+    "events_pivot_daily",
+    sql="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)(events_pivot_daily)
+
+
+# Set operations (absent from the reference, SURVEY.md §2.7): cohort
+# retention via INTERSECT / EXCEPT of the distinct-user sets of the two
+# month halves. Each set op is a distinct-agg + hash join shape in Spark;
+# counts are unioned into one 3-row result.
+def users_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    mid = F.lit(MID_TS).cast("timestamp")
+    h1 = events.filter(F.col("ts") < mid).select("user_id").distinct()
+    h2 = events.filter(F.col("ts") >= mid).select("user_id").distinct()
+
+    def tagged(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("cohort"), F.count("*").alias("n_users")
+        )
+
+    return (
+        tagged("both_halves", h1.intersect(h2))
+        .unionByName(tagged("only_first_half", h1.subtract(h2)))
+        .unionByName(tagged("only_second_half", h2.subtract(h1)))
+        .orderBy("cohort")
+    )
+
+
+register(
+    "users_cohort_setops",
+    sql=f"""
+    WITH h1 AS (SELECT DISTINCT user_id FROM events
+                WHERE ts < TIMESTAMP '{MID_TS}'),
+         h2 AS (SELECT DISTINCT user_id FROM events
+                WHERE ts >= TIMESTAMP '{MID_TS}')
+    SELECT 'both_halves' AS cohort, count(*) AS n_users
+    FROM (SELECT user_id FROM h1 INTERSECT SELECT user_id FROM h2)
+    UNION ALL
+    SELECT 'only_first_half', count(*)
+    FROM (SELECT user_id FROM h1 EXCEPT SELECT user_id FROM h2)
+    UNION ALL
+    SELECT 'only_second_half', count(*)
+    FROM (SELECT user_id FROM h2 EXCEPT SELECT user_id FROM h1)
+    ORDER BY cohort
+    """,
+)(users_cohort_setops)
 
 
 # Exact length percentiles per language — order statistics over the corpus

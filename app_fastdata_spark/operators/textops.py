@@ -220,3 +220,50 @@ register(
     FROM documents
     """,
 )(doc_rolling_hash)
+
+
+# Corpus vocabulary: top-k terms per language by document frequency (tie
+# broken by term). explode → two-tier count agg → per-lang rank. At scale
+# the term count shuffles on (lang, term) — high cardinality, no skew
+# beyond stopwords, which WindowGroupLimit truncates early.
+TOP_TERMS_K = 10
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    terms = docs.select(
+        "lang", F.explode(F.array_distinct(toks)).alias("term")
+    ).filter(F.length("term") >= 3)
+    counts = terms.groupBy("lang", "term").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS_K)
+        .select("lang", "rank", "term", "n_docs")
+    )
+
+
+register(
+    "doc_top_terms",
+    sql=f"""
+    WITH terms AS (
+      SELECT lang, unnest(list_distinct(
+               string_split_regex(trim(lower(text)), '\\s+'))) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, term, count(*) AS n_docs
+      FROM terms WHERE length(term) >= 3
+      GROUP BY lang, term
+    )
+    SELECT lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_docs DESC, term) AS rank,
+           term, n_docs
+    FROM counts
+    QUALIFY rank <= {TOP_TERMS_K}
+    """,
+)(doc_top_terms)

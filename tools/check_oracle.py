@@ -32,7 +32,10 @@ def normalize(rows, cols):
             if isinstance(v, float):
                 v = f"{v:.9g}"
             elif hasattr(v, "isoformat"):
-                v = v.isoformat(sep=" ")
+                try:
+                    v = v.isoformat(sep=" ")
+                except TypeError:  # datetime.date
+                    v = v.isoformat()
             elif isinstance(v, bool):
                 v = str(int(v))
             else:
