@@ -201,3 +201,54 @@ register(
     ORDER BY lang
     """,
 )(doc_length_percentiles)
+
+
+# Per-group argmin with full-row recovery (TPC-H Q2's correlated-min shape,
+# decorrelated): cheapest part per type. min(struct(price, key)) is the
+# distributed argmin — one partial/final agg, deterministic via the key
+# tiebreak, no window sort and no correlated re-scan.
+def part_cheapest_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    best = (
+        part.groupBy("p_type")
+        .agg(F.min(F.struct("p_retailprice", "p_partkey")).alias("m"))
+        .select(
+            "p_type",
+            F.col("m.p_partkey").alias("p_partkey"),
+            F.col("m.p_retailprice").alias("p_retailprice"),
+        )
+    )
+    return best.orderBy("p_type")
+
+
+register(
+    "part_cheapest_by_type",
+    sql="""
+    SELECT p_type, p_partkey, p_retailprice FROM (
+      SELECT p_type, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_type
+                                ORDER BY p_retailprice, p_partkey) AS rn
+      FROM part
+    ) WHERE rn = 1
+    ORDER BY p_type
+    """,
+)(part_cheapest_by_type)
+
+
+# Stratified corpus sampling — the training-data subsampling stage (e.g.
+# downweight an over-represented language). sampleBy is a per-row
+# Bernoulli draw keyed on a seeded hash: embarrassingly parallel, no
+# shuffle, deterministic for a fixed seed. Not SQL-expressible (the
+# draw is Spark's RNG) → rows-only check + property tests.
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.25, "it": 1.0}
+SAMPLE_SEED = 42
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+register("doc_stratified_sample")(doc_stratified_sample)

@@ -32,10 +32,15 @@ HEADLINE = [
     "tpch_q5_region_revenue",
     "tpch_q6_forecast_revenue",
     "tpch_top_orders_per_customer",
+    "tpch_q4_priority_semijoin",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "sim_topk_cosine",
+    "sim_ann_lsh",
     "doc_token_stats",
+    "asof_last_purchase",
+    "range_join_price_bands",
+    "events_rollup",
 ]
 
 

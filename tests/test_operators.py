@@ -216,3 +216,37 @@ def test_lsh_planted_near_dups_collide(spark):
         if not any(sig[i][b] == sig[100 + i][b] for b in range(4))
     ]
     assert len(missed) <= max(1, len(near) // 20), (missed, len(near))
+
+
+def test_stratified_sample_properties(spark, sf_dir):
+    """Deterministic for fixed seed; keeps full-fraction strata intact;
+    samples partial strata to within a tolerance of the target fraction."""
+    from app_fastdata_spark.operators.stats import (
+        SAMPLE_FRACTIONS,
+        doc_stratified_sample,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    got1 = {r.doc_id for r in doc_stratified_sample(spark, sf_dir).collect()}
+    got2 = {r.doc_id for r in doc_stratified_sample(spark, sf_dir).collect()}
+    assert got1 == got2  # seeded determinism
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    samp = {
+        r.lang: r.n
+        for r in doc_stratified_sample(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        if lang not in base:
+            continue
+        if frac == 1.0:
+            assert samp.get(lang, 0) == base[lang], lang
+        else:
+            got_frac = samp.get(lang, 0) / base[lang]
+            assert abs(got_frac - frac) < 0.15, (lang, got_frac, frac)
