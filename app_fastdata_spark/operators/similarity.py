@@ -236,7 +236,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qvecs = emb.select(
+    # Filter BEFORE computing the norm: the broadcast build side carries
+    # 20 query rows, not a norm fold over all N vectors.
+    qvecs = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         norm(F.col("embedding")).alias("qn"),
