@@ -114,3 +114,43 @@ register(
     ORDER BY band_id
     """,
 )(range_join_price_bands)
+
+
+# --- interval self-join (click → purchase attribution) --------------------
+
+ATTRIBUTION_WINDOW = "1 hour"
+
+
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (click, purchase) pair by the same user with the purchase in
+    the hour after the click — the batch twin of the stream-stream
+    interval join in streaming/pipeline.py. Shape: equi-join on user_id
+    (one shuffle pair) + range refine; never a time-only theta join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks.join(purchases, "user_id").filter(
+        (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"))
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
+register(
+    "click_purchase_attribution",
+    sql="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)(click_purchase_attribution)

@@ -252,3 +252,65 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("doc_stratified_sample")(doc_stratified_sample)
+
+
+# Frame-spec window: 7-day trailing moving average over the daily revenue
+# series. The reference has no frame windows (SURVEY.md §2.5); this adds
+# the sliding-frame class with an exact oracle. Scale: daily pre-agg
+# first (shuffle on day — tiny), then ONE window pass over the small
+# series; never a frame over raw events.
+def events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .agg(F.round(F.sum("value"), 4).alias("day_value"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_value",
+        F.round(F.avg("day_value").over(w), 6).alias("ma7"),
+        F.count("*").over(w).alias("n_days_in_frame"),
+    ).orderBy("day")
+
+
+register(
+    "events_daily_moving_avg",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(sum(value), 4) AS day_value
+      FROM events GROUP BY 1
+    )
+    SELECT day, day_value,
+           round(avg(day_value) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+           count(*) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days_in_frame
+    FROM daily ORDER BY day
+    """,
+)(events_daily_moving_avg)
+
+
+# Approximate aggregates — the actual 100 TB hot path for distinct counts
+# and percentiles (HLL++ / QuantileSummaries sketches: mergeable partials,
+# bounded memory, one pass). Deterministic for fixed input but not
+# SQL-reproducible in DuckDB → rows-only check here; the error-bound
+# property vs the exact twins is asserted in tests.
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50_value_approx"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99_value_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register("events_approx_stats")(events_approx_stats)

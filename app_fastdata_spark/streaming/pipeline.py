@@ -164,6 +164,47 @@ def dedup_stream(events: DataFrame, retention: str = RETENTION) -> DataFrame:
     )
 
 
+def click_purchase_join_stream(
+    events: DataFrame, retention: str = RETENTION
+) -> DataFrame:
+    """Stream-stream interval join (click → purchase attribution within
+    1 hour) — the streaming twin of operators/joins.click_purchase_attribution.
+
+    Scale: both sides are watermarked, so the join state store holds only
+    rows within retention + the attribution window per side — Spark can
+    discard a click once no future purchase can match it. The join key is
+    user_id (hash-distributed state), the time range bounds state, never
+    a cross product."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", retention)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", retention)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 1 HOUR
+            """
+        ),
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -250,3 +250,30 @@ def test_stratified_sample_properties(spark, sf_dir):
         else:
             got_frac = samp.get(lang, 0) / base[lang]
             assert abs(got_frac - frac) < 0.15, (lang, got_frac, frac)
+
+
+def test_approx_stats_error_bounds(spark, sf_dir):
+    """HLL distinct counts within 3×rsd of exact; sketch percentiles
+    bracketed by exact neighboring quantiles."""
+    from app_fastdata_spark.operators.stats import events_approx_stats
+    from app_fastdata_spark.tables import load_table
+
+    approx = {r.event_type: r for r in events_approx_stats(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr("percentile(value, 0.4)").alias("p40"),
+            F.expr("percentile(value, 0.6)").alias("p60"),
+            F.expr("percentile(value, 0.98)").alias("p98"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.n_users_approx - e.n_users) <= max(2, 0.06 * e.n_users), et
+        assert e.p40 <= a.p50_value_approx <= e.p60, et
+        assert e.p98 <= a.p99_value_approx <= e.vmax, et

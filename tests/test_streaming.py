@@ -273,3 +273,15 @@ def test_streaming_dedup_parity(spark, sf_dir, tmp_path):
     assert got.count() == want.count()
     assert sorted(map(tuple, got.select("event_id", "user_id", "value").collect())) == \
         sorted(map(tuple, want.select("event_id", "user_id", "value").collect()))
+
+
+def test_stream_stream_interval_join_parity(spark, sf_dir):
+    """Stream-stream click→purchase join (AvailableNow) == the batch
+    interval join, row for row."""
+    from app_fastdata_spark.operators.joins import click_purchase_attribution
+
+    got = P.run_to_memory(
+        P.click_purchase_join_stream(P.events_stream(spark, sf_dir)), "ssj_parity"
+    )
+    want = click_purchase_attribution(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
