@@ -285,3 +285,66 @@ def test_stream_stream_interval_join_parity(spark, sf_dir):
     )
     want = click_purchase_attribution(spark, sf_dir)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_serving_store_matches_batch_views(spark, sf_dir, tmp_path):
+    """ST4: the foreachBatch-upserted per-second store equals the batch A4
+    view, and GetTopUsers served from the store equals the raw-scan
+    top_users query."""
+    from app_fastdata_spark.operators.views import events_by_second
+    from app_fastdata_spark.params import AS_OF, WINDOW_SECONDS
+    from app_fastdata_spark.streaming import serving_store as S
+
+    store = str(tmp_path / "per_second_store")
+    q = S.start_per_second_store(P.events_stream(spark, sf_dir), store)
+    q.awaitTermination()
+
+    got_view = spark.read.parquet(store).select("second_ts", "src", "count_values")
+    want_view = events_by_second(spark, sf_dir)
+    assert sorted(map(tuple, got_view.collect())) == sorted(
+        map(tuple, want_view.collect())
+    )
+
+    from app_fastdata_spark.operators.serving import top_users
+
+    got_top = S.top_users_from_store(spark, store, AS_OF, WINDOW_SECONDS)
+    want_top = top_users(spark, sf_dir)
+    assert [tuple(r) for r in got_top.collect()] == [
+        tuple(r) for r in want_top.collect()
+    ]
+
+
+def test_serving_store_multibatch_upsert(spark, sf_dir, tmp_path):
+    """The upsert's read-merge-write path: two micro-batches whose keys
+    overlap — untouched keys survive, updated keys carry the cumulative
+    count; final store == batch view over all events."""
+    from app_fastdata_spark.operators.views import events_by_second
+    from app_fastdata_spark.streaming import serving_store as S
+    from app_fastdata_spark.tables import SCHEMAS, load_table
+
+    import glob as _glob
+    import shutil
+
+    src = tmp_path / "split_src"
+    src.mkdir()
+    raw = spark.read.schema(SCHEMAS["events"]).parquet(f"{sf_dir}/events.parquet")
+    for name, half in [
+        ("a", raw.filter(F.col("event_id") % 2 == 0)),
+        ("b", raw.filter(F.col("event_id") % 2 == 1)),
+    ]:
+        out = tmp_path / f"half_{name}"
+        half.coalesce(1).write.parquet(str(out))
+        shutil.copy(_glob.glob(f"{out}/part-*.parquet")[0], src / f"{name}.parquet")
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    store = str(tmp_path / "store")
+    q = S.start_per_second_store(stream, store)
+    q.awaitTermination()
+
+    got = spark.read.parquet(store).select("second_ts", "src", "count_values")
+    want = events_by_second(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
