@@ -163,9 +163,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "dedup_ngram_jaccard",
-    sql=f"""
+JACCARD_SQL = f"""
     WITH sh AS ({_SQL_SHINGLES}),
     inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
     sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
@@ -181,8 +179,73 @@ register(
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6)
           >= {JACCARD_THRESHOLD}
+    """
+
+register("dedup_ngram_jaccard", sql=JACCARD_SQL)(dedup_ngram_jaccard)
+
+
+# --- near-dup connected components (dedup clusters) -----------------------
+
+MAX_CC_ITERS = 50
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate pairs into clusters: connected components by
+    iterative min-label propagation (the keep-one-per-cluster stage of a
+    dedup pipeline; the "iterative algorithm" operator class).
+
+    Each iteration: label(u) ← min(label(u), min over neighbors v of
+    label(v)); converged when no label changes. Iterations = component
+    diameter (near-dup clusters are tiny); each is one shuffle join +
+    agg, lineage truncated per iteration with localCheckpoint. At 100 TB
+    use the same loop with pointer-jumping (label(u) ← label(label(u)))
+    to cut rounds to O(log n). Oracle: DuckDB recursive-CTE transitive
+    closure over the same pair set."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("u").distinct().withColumn("component", F.col("u"))
+    for _ in range(MAX_CC_ITERS):
+        prop = edges.join(
+            labels.withColumnRenamed("u", "v"), "v"
+        ).select("u", "component")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("u")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("component", "new")
+            .join(labels, "u")
+            .filter(F.col("new") != F.col("component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), "component").orderBy("doc_id")
+
+
+register(
+    "dedup_components",
+    sql=f"""
+    WITH RECURSIVE pairs AS ({JACCARD_SQL}),
+    ed AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u FROM ed),
+    reach AS (
+      SELECT u, u AS v FROM nodes
+      UNION
+      SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u
+    )
+    SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u ORDER BY u
     """,
-)(dedup_ngram_jaccard)
+)(dedup_components)
 
 
 # --- MinHash + LSH --------------------------------------------------------
