@@ -80,3 +80,31 @@ def top_users_from_store(
         .orderBy(F.desc("counts"), F.asc("src"))
         .limit(k)
     )
+
+
+def compact_store_partition(
+    spark: SparkSession, store_path: str, day: str, target_files: int = 1
+) -> int:
+    """Small-file compaction for one day partition — micro-batch upserts
+    accumulate a file per batch; periodic compaction rewrites the
+    partition to `target_files` files with identical contents. Returns
+    the number of files before compaction.
+
+    Scale: compaction is per-partition (parallel across days, touches
+    only closed/old partitions), and the rewrite is an atomic
+    dynamic-partition overwrite — readers never see a partial state."""
+    import glob as _glob
+
+    part_dir = f"{store_path}/day={day}"
+    before = len(_glob.glob(f"{part_dir}/*.parquet"))
+    if before <= target_files:
+        return before
+    rows = (
+        spark.read.parquet(store_path)
+        .filter(F.col("day") == day)
+        .select("second_ts", "src", "count_values", "day")
+        .coalesce(target_files)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rows.write.mode("overwrite").partitionBy("day").parquet(store_path)
+    return before

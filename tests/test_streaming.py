@@ -348,3 +348,38 @@ def test_serving_store_multibatch_upsert(spark, sf_dir, tmp_path):
     got = spark.read.parquet(store).select("second_ts", "src", "count_values")
     want = events_by_second(spark, sf_dir)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_serving_store_compaction(spark, sf_dir, tmp_path):
+    """Compaction rewrites a day partition to one file with identical
+    contents."""
+    import glob as _glob
+
+    from app_fastdata_spark.streaming import serving_store as S
+
+    store = str(tmp_path / "store_c")
+    q = S.start_per_second_store(P.events_stream(spark, sf_dir), store)
+    q.awaitTermination()
+    days = sorted(
+        d.rsplit("=", 1)[1] for d in _glob.glob(f"{store}/day=*")
+    )
+    day = days[0]
+    # fragment the partition: rewrite it as many files first
+    frag = (
+        spark.read.parquet(store)
+        .filter(F.col("day") == day)
+        .select("second_ts", "src", "count_values", "day")
+        .repartition(8)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    frag.write.mode("overwrite").partitionBy("day").parquet(store)
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(store).drop("day").collect())
+    )
+    n_before = S.compact_store_partition(spark, store, day)
+    assert n_before == 8
+    assert len(_glob.glob(f"{store}/day={day}/*.parquet")) == 1
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(store).drop("day").collect())
+    )
+    assert before_rows == after_rows
