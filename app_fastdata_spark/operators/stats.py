@@ -314,3 +314,37 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_approx_stats")(events_approx_stats)
+
+
+# Semi-structured metadata extraction (the props column carries JSON):
+# schema-enforced from_json parse → typed field → bucketed aggregate.
+# A training pipeline filters on exactly this kind of sidecar metadata.
+# Scale: from_json is JVM-side (Jackson inside codegen), the parse output
+# is pruned to the referenced field, and the bucket agg is the usual
+# partial→final shape. Malformed JSON yields NULL (PERMISSIVE) and lands
+# in the NULL bucket rather than failing the scan.
+def events_props_k_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (
+        events.select((F.floor(k / 10) * 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+register(
+    "events_props_k_buckets",
+    sql="""
+    SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10) * 10
+                AS BIGINT) AS k_bucket,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)(events_props_k_buckets)
