@@ -123,7 +123,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Packing is order-preserving (doc_ids are unique, so comparing packed
     # values == comparing doc_ids). Limits: n < 2^20 shingles per doc
     # (~5 MB of text), doc_id < 2^43. Measured 3.1s → 2.6s at sf0.1.
-    packed = (F.shiftleft(F.col("doc_id"), 20) + F.size("shingles")).alias("dn")
+    # The guard lives INSIDE the packed expression (a separate assert
+    # column could be pruned away by Catalyst): any doc at the packing
+    # limits fails the job loudly instead of silently corrupting pairs.
+    n_sh = F.size("shingles")
+    fits = (n_sh < F.lit(1 << 20)) & (F.col("doc_id") < F.lit(1 << 43))
+    packed = (
+        F.when(fits, F.shiftleft(F.col("doc_id"), 20) + n_sh)
+        .otherwise(
+            F.raise_error(
+                F.lit("dedup_ngram_jaccard: doc_id/shingle-count exceeds packing range")
+            ).cast("long")
+        )
+        .alias("dn")
+    )
     inv = sh.select(packed, F.explode("shingles").alias("shingle")).select(
         "dn", F.xxhash64("shingle").alias("skey")
     )
@@ -228,6 +241,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent partial convergence would split components downstream
+        raise RuntimeError(
+            f"dedup_components did not converge in {MAX_CC_ITERS} iterations "
+            "(component diameter too large — switch to pointer jumping)"
+        )
     return labels.select(F.col("u").alias("doc_id"), "component").orderBy("doc_id")
 
 

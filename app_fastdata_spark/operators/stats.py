@@ -254,11 +254,13 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("doc_stratified_sample")(doc_stratified_sample)
 
 
-# Frame-spec window: 7-day trailing moving average over the daily revenue
-# series. The reference has no frame windows (SURVEY.md §2.5); this adds
-# the sliding-frame class with an exact oracle. Scale: daily pre-agg
-# first (shuffle on day — tiny), then ONE window pass over the small
-# series; never a frame over raw events.
+# Frame-spec window: 7-calendar-day trailing moving average over the
+# daily revenue series. The reference has no frame windows (SURVEY.md
+# §2.5); this adds the sliding-frame class with an exact oracle. The
+# frame is a RANGE over epoch seconds (not ROWS): on a series with gap
+# days, a 7-ROW frame would silently span more than 7 calendar days.
+# Scale: daily pre-agg first (shuffle on day — tiny), then ONE window
+# pass over the small series; never a frame over raw events.
 def events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -267,8 +269,9 @@ def events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.withColumn("day", F.date_trunc("day", "ts"))
         .groupBy("day")
         .agg(F.round(F.sum("value"), 4).alias("day_value"))
+        .withColumn("day_s", F.unix_timestamp("day"))
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    w = Window.orderBy("day_s").rangeBetween(-6 * 86400, 0)
     return daily.select(
         "day",
         "day_value",
@@ -286,10 +289,10 @@ register(
       FROM events GROUP BY 1
     )
     SELECT day, day_value,
-           round(avg(day_value) OVER (ORDER BY day
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
-           count(*) OVER (ORDER BY day
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days_in_frame
+           round(avg(day_value) OVER (ORDER BY CAST(epoch(day) AS BIGINT)
+                 RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 6) AS ma7,
+           count(*) OVER (ORDER BY CAST(epoch(day) AS BIGINT)
+                 RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS n_days_in_frame
     FROM daily ORDER BY day
     """,
 )(events_daily_moving_avg)

@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from .pipeline import RETENTION, per_second_counts
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(fs, Path) for any scheme (file://, hdfs://, s3a://) — local
+    os.path/glob probes silently see nothing on remote stores."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _path_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _hadoop_fs(spark, path_str)
+    return fs.exists(path)
+
+
 def start_per_second_store(
     events: DataFrame, store_path: str, retention: str = RETENTION
 ):
@@ -40,7 +54,10 @@ def start_per_second_store(
             "day", F.date_format("second_ts", "yyyy-MM-dd")
         )
         days = [r.day for r in updates.select("day").distinct().collect()]
-        try:
+        # Explicit existence probe — a broad except around the read would
+        # treat ANY transient read failure as "empty store" and silently
+        # drop the kept rows of the touched partitions.
+        if _path_exists(spark, store_path):
             existing = (
                 spark.read.parquet(store_path)
                 .filter(F.col("day").isin(days))
@@ -50,10 +67,13 @@ def start_per_second_store(
                 updates.select("second_ts", "src"), ["second_ts", "src"], "left_anti"
             )
             merged = keep.unionByName(updates)
-        except Exception:  # first batch: store does not exist yet
+        else:
             merged = updates
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy("day").parquet(store_path)
+        # per-write option, NOT session conf: session-global dynamic mode
+        # would change overwrite semantics for every later write.
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("day").parquet(store_path)
 
     return (
         agg.writeStream.outputMode("update")
@@ -69,12 +89,19 @@ def top_users_from_store(
     """GetTopUsers served from the store: day-partition pruning + recency
     filter on the pre-aggregates + re-agg + top-k — never touches raw
     events."""
-    cutoff = F.timestamp_seconds(
-        F.unix_timestamp(F.lit(as_of).cast("timestamp")) - F.lit(window)
-    )
+    from datetime import datetime, timedelta
+
+    from ..operators.serving import recency
+
+    # Partition pruning needs a predicate on the PARTITION column — the
+    # second_ts filter alone cannot prune day=... directories.
+    cutoff_day = (
+        datetime.strptime(as_of, "%Y-%m-%d %H:%M:%S") - timedelta(seconds=window)
+    ).strftime("%Y-%m-%d")
     return (
         spark.read.parquet(store_path)
-        .filter(F.col("second_ts") >= cutoff)
+        .filter(F.col("day") >= F.lit(cutoff_day).cast("date"))
+        .filter(recency("second_ts", as_of, window))
         .groupBy("src")
         .agg(F.sum("count_values").alias("counts"))
         .orderBy(F.desc("counts"), F.asc("src"))
@@ -93,10 +120,16 @@ def compact_store_partition(
     Scale: compaction is per-partition (parallel across days, touches
     only closed/old partitions), and the rewrite is an atomic
     dynamic-partition overwrite — readers never see a partial state."""
-    import glob as _glob
-
     part_dir = f"{store_path}/day={day}"
-    before = len(_glob.glob(f"{part_dir}/*.parquet"))
+    # Hadoop FS listing, not local glob: works for hdfs://, s3a://, etc.
+    fs, path = _hadoop_fs(spark, part_dir)
+    if not fs.exists(path):
+        raise FileNotFoundError(part_dir)
+    before = sum(
+        1
+        for st in fs.listStatus(path)
+        if st.getPath().getName().endswith(".parquet")
+    )
     if before <= target_files:
         return before
     rows = (
@@ -105,6 +138,7 @@ def compact_store_partition(
         .select("second_ts", "src", "count_values", "day")
         .coalesce(target_files)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    rows.write.mode("overwrite").partitionBy("day").parquet(store_path)
+    rows.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("day").parquet(store_path)
     return before
