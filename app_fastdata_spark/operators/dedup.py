@@ -208,15 +208,25 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pipeline; the "iterative algorithm" operator class).
 
     Each iteration: label(u) ← min(label(u), min over neighbors v of
-    label(v)); converged when no label changes. Iterations = component
-    diameter (near-dup clusters are tiny); each is one shuffle join +
-    agg, lineage truncated per iteration with localCheckpoint. At 100 TB
-    use the same loop with pointer-jumping (label(u) ← label(label(u)))
-    to cut rounds to O(log n). Oracle: DuckDB recursive-CTE transitive
-    closure over the same pair set."""
+    label(v)), then a pointer-jump label(u) ← min(label(u),
+    label(label(u))) — the jump halves the distance to each component's
+    minimum every round, so convergence takes O(log diameter) iterations
+    instead of O(diameter). Each iteration is two shuffle joins + an agg,
+    lineage truncated with localCheckpoint. Oracle: DuckDB recursive-CTE
+    transitive closure over the same pair set."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("u").alias("doc_id"), "component"
+    ).orderBy("doc_id")
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(u, component) for every node in the (doc_a, doc_b) pair set —
+    component = min reachable node id. See dedup_components for the
+    algorithm; factored out so any pair source (jaccard, minhash,
+    simhash, embedding) can be clustered."""
     edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
         .toDF("u", "v")
         .distinct()
         .localCheckpoint()
@@ -226,10 +236,24 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prop = edges.join(
             labels.withColumnRenamed("u", "v"), "v"
         ).select("u", "component")
-        new_labels = (
+        stepped = (
             labels.unionByName(prop)
             .groupBy("u")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: a label is itself a node id, so look up ITS label
+        # and take the smaller — halves each node's distance to the root.
+        jump = stepped.select(
+            F.col("u").alias("component"), F.col("component").alias("jumped")
+        )
+        new_labels = (
+            stepped.join(jump, "component", "left")
+            .select(
+                "u",
+                F.least(
+                    "component", F.coalesce("jumped", "component")
+                ).alias("component"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -244,10 +268,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         # silent partial convergence would split components downstream
         raise RuntimeError(
-            f"dedup_components did not converge in {MAX_CC_ITERS} iterations "
-            "(component diameter too large — switch to pointer jumping)"
+            f"connected_components did not converge in {MAX_CC_ITERS} "
+            "iterations (pointer jumping bounds this at O(log diameter) — "
+            "a graph needing 2^50 diameter is not a dedup cluster)"
         )
-    return labels.select(F.col("u").alias("doc_id"), "component").orderBy("doc_id")
+    return labels
 
 
 register(

@@ -277,3 +277,17 @@ def test_approx_stats_error_bounds(spark, sf_dir):
         assert abs(a.n_users_approx - e.n_users) <= max(2, 0.06 * e.n_users), et
         assert e.p40 <= a.p50_value_approx <= e.p60, et
         assert e.p98 <= a.p99_value_approx <= e.vmax, et
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer jumping converges on a 200-node path graph (diameter 200)
+    well inside MAX_CC_ITERS=50 — pure min-propagation would need 200
+    rounds and raise. Also checks two disjoint components."""
+    from app_fastdata_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(200)]          # component min = 0
+    island = [(1000, 1001), (1001, 1002)]             # component min = 1000
+    pairs = spark.createDataFrame(chain + island, "doc_a long, doc_b long")
+    got = {r.u: r.component for r in connected_components(pairs).collect()}
+    assert all(got[i] == 0 for i in range(201))
+    assert all(got[i] == 1000 for i in (1000, 1001, 1002))
