@@ -430,3 +430,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_simhash")(dedup_simhash)
+
+
+# The keep-one-per-cluster stage: corpus minus non-representative members
+# of each near-dup component. Composition: components (iterative) →
+# non-representatives (component != doc_id) → broadcast anti-join against
+# the corpus. At 100 TB the removal set is |near-dup docs| ≪ |corpus| and
+# broadcasts; the corpus side never shuffles.
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_components(spark, sf_dir)
+    losers = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
+    return (
+        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "dedup_survivors",
+    sql=f"""
+    WITH RECURSIVE pairs AS ({JACCARD_SQL}),
+    ed AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u FROM ed),
+    reach AS (
+      SELECT u, u AS v FROM nodes
+      UNION
+      SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u
+    ),
+    comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.doc_id = d.doc_id AND c.component <> c.doc_id)
+    ORDER BY d.doc_id
+    """,
+)(dedup_survivors)
