@@ -468,3 +468,91 @@ register(
     ORDER BY d.doc_id
     """,
 )(dedup_survivors)
+
+
+# Skew-capped Jaccard: identical pipeline, but shingle buckets larger than
+# STOP_SHINGLE_CAP are dropped BEFORE pair generation — the documented
+# mitigation for the k² pair blow-up of stop-shingles at 100 TB, as real
+# oracle-checked code. `shared` counts only rare shingles, so the score
+# is a lower bound of true Jaccard; a pair is missed only if ALL its
+# shared shingles are stop-shingles (near-dups share many rare shingles).
+STOP_SHINGLE_CAP = 20
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    n_sh = F.size("shingles")
+    fits = (n_sh < F.lit(1 << 20)) & (F.col("doc_id") < F.lit(1 << 43))
+    packed = (
+        F.when(fits, F.shiftleft(F.col("doc_id"), 20) + n_sh)
+        .otherwise(
+            F.raise_error(
+                F.lit("dedup_ngram_jaccard_capped: packing range exceeded")
+            ).cast("long")
+        )
+        .alias("dn")
+    )
+    inv = sh.select(packed, F.explode("shingles").alias("shingle")).select(
+        "dn", F.xxhash64("shingle").alias("skey")
+    )
+    buckets = (
+        inv.groupBy("skey")
+        .agg(F.collect_list("dn").alias("ds"))
+        .filter(F.size("ds").between(2, STOP_SHINGLE_CAP))  # the skew cap
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x: F.filter(
+                F.transform(
+                    F.col("ds"), lambda y: F.struct(x.alias("pa"), y.alias("pb"))
+                ),
+                lambda p: p["pa"] < p["pb"],
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count("*").alias("shared"))
+    )
+    unpacked = pairs.select(
+        F.shiftrightunsigned("pa", 20).alias("doc_a"),
+        (F.col("pa") % (1 << 20)).alias("na"),
+        F.shiftrightunsigned("pb", 20).alias("doc_b"),
+        (F.col("pb") % (1 << 20)).alias("nb"),
+        "shared",
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        unpacked.withColumn("jaccard_lb", F.round(jac, 6))
+        .filter(F.col("jaccard_lb") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "shared", "jaccard_lb")
+    )
+
+
+register(
+    "dedup_ngram_jaccard_capped",
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+    rare AS (SELECT shingle FROM inv GROUP BY shingle
+             HAVING count(*) BETWEEN 2 AND {STOP_SHINGLE_CAP}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM inv a
+      JOIN rare r ON r.shingle = a.shingle
+      JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6)
+             AS jaccard_lb
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6)
+          >= {JACCARD_THRESHOLD}
+    """,
+)(dedup_ngram_jaccard_capped)

@@ -291,3 +291,24 @@ def test_connected_components_long_chain(spark):
     got = {r.u: r.component for r in connected_components(pairs).collect()}
     assert all(got[i] == 0 for i in range(201))
     assert all(got[i] == 1000 for i in (1000, 1001, 1002))
+
+
+def test_capped_jaccard_is_lower_bound_subset(spark, sf_dir):
+    """The skew-capped variant returns a subset of the exact pairs, each
+    with a score <= the true Jaccard (missed shared shingles only)."""
+    from app_fastdata_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_capped,
+    )
+
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard_lb
+        for r in dedup_ngram_jaccard_capped(spark, sf_dir).collect()
+    }
+    assert set(capped) <= set(full)
+    assert all(capped[k] <= full[k] + 1e-9 for k in capped)
+    assert len(capped) >= 0.9 * len(full)  # cap loses only stop-shingle-only pairs
