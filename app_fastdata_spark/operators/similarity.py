@@ -108,8 +108,8 @@ register(
       FROM q JOIN embeddings e ON e.vec_id <> q.query_id
     )
     SELECT query_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos DESC, neighbor_id) AS rank,
+           CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
            neighbor_id, round(cos, 9) AS cos
     FROM scored
     QUALIFY rank <= {TOP_K}
@@ -306,8 +306,8 @@ register(
       JOIN embeddings ne ON ne.vec_id = c.neighbor_id
     )
     SELECT query_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos DESC, neighbor_id) AS rank,
+           CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
            neighbor_id, round(cos, 9) AS cos
     FROM scored
     QUALIFY rank <= {TOP_K}
@@ -407,8 +407,8 @@ register(
       WHERE a.vec_id <> p.query_id
     )
     SELECT query_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos DESC, neighbor_id) AS rank,
+           CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
            neighbor_id, round(cos, 9) AS cos
     FROM scored
     QUALIFY rank <= {TOP_K}

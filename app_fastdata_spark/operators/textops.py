@@ -260,8 +260,8 @@ register(
       GROUP BY lang, term
     )
     SELECT lang,
-           row_number() OVER (PARTITION BY lang
-                              ORDER BY n_docs DESC, term) AS rank,
+           CAST(row_number() OVER (PARTITION BY lang
+                              ORDER BY n_docs DESC, term) AS INTEGER) AS rank,
            term, n_docs
     FROM counts
     QUALIFY rank <= {TOP_TERMS_K}
