@@ -105,6 +105,20 @@ def test_having_prunes_before_join(spark, sf_dir):
     assert "l_orderkey" in m.group(1) or "l_quantity" in m.group(1), m.group(1)
 
 
+def test_fact_fact_join_degrades_to_shuffle_join(spark, sf_dir):
+    """With auto-broadcast disabled (the 100 TB fact-fact case), unhinted
+    joins must plan as shuffle joins (sort-merge or shuffled-hash) on the
+    join key — never a nested loop, and never depend on broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, sf_dir, "tpch_top_orders_per_customer")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "NestedLoop" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
     """The interval join must go through bucket quantization → hash join;
     a BroadcastNestedLoopJoin (rows × intervals probes) is the failure
