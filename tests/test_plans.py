@@ -105,6 +105,18 @@ def test_having_prunes_before_join(spark, sf_dir):
     assert "l_orderkey" in m.group(1) or "l_quantity" in m.group(1), m.group(1)
 
 
+def test_disjunctive_predicates_push_to_both_scans(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs must split per side — the lineitem scan
+    gets the l_quantity disjunction, the part scan gets the
+    p_brand/p_size disjunction (PushedFilters, not post-join eval only)."""
+    plan = plan_of(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    li_scan = next(s for s in scans if "lineitem" in s)
+    part_scan = next(s for s in scans if "part.parquet" in s)
+    assert "l_quantity" in li_scan.split("PushedFilters")[1], li_scan
+    assert "p_brand" in part_scan.split("PushedFilters")[1], part_scan
+
+
 def test_fact_fact_join_degrades_to_shuffle_join(spark, sf_dir):
     """With auto-broadcast disabled (the 100 TB fact-fact case), unhinted
     joins must plan as shuffle joins (sort-merge or shuffled-hash) on the
