@@ -74,7 +74,7 @@ TOP_USERS_SQL = f"""
              count(*) AS count_values
       FROM events GROUP BY 1, 2
     )
-    SELECT src, sum(count_values) AS counts
+    SELECT src, CAST(sum(count_values) AS BIGINT) AS counts
     FROM ebs WHERE {_SQL_RECENCY}
     GROUP BY src ORDER BY counts DESC, src LIMIT {TOP_K}
     """
@@ -155,7 +155,7 @@ register(
              count(*) AS count_values
       FROM events GROUP BY 1, 2
     )
-    SELECT d.url AS url, sum(count_values) AS counts
+    SELECT d.url AS url, CAST(sum(count_values) AS BIGINT) AS counts
     FROM dbs JOIN {dests_values_sql()} ON d.event_type = dbs.dest AND d.url <> ''
     WHERE {_SQL_RECENCY}
     GROUP BY d.url ORDER BY counts DESC, url LIMIT {TOP_K}
@@ -190,7 +190,7 @@ register(
              count(*) AS count_values
       FROM scored WHERE rn = 1 GROUP BY 1, 2
     )
-    SELECT cluster, sum(count_values) AS counts
+    SELECT cluster, CAST(sum(count_values) AS BIGINT) AS counts
     FROM ebc WHERE {_SQL_RECENCY}
     GROUP BY cluster ORDER BY cluster
     """,

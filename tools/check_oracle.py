@@ -3,12 +3,22 @@
 the same scale factor, compare row count, column names, and an
 order-insensitive value hash.
 
+Both result sets are normalized through the PANDAS fetch path
+(``sdf.toPandas()`` / ``res.fetchdf()``) because that is how the driver
+fetches them — it is where DuckDB's HUGEINT becomes float64 and broke
+three round-1 hashes that the old fetchall()-based gate could not see.
+The hash is TYPE-TAGGED (int vs float vs str vs timestamp), which is
+strictly stricter than any plausible rendering the driver applies: if
+this gate passes, equal values arrive in the same type class on both
+sides and render identically.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import sys
 import time
@@ -16,34 +26,59 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
 
 from app_fastdata_spark.catalog import oracles, queries
 from app_fastdata_spark.session import get_spark
 from app_fastdata_spark.tables import TABLE_NAMES
 
 
+def canon(v) -> str:
+    """Canonical type-tagged rendering of one cell value."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "a[" + ",".join(canon(x) for x in v) + "]"
+    if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+        try:
+            v = v.item()  # numpy / pandas scalar → python
+        except Exception:
+            pass
+    if v is None:
+        return "∅"
+    try:
+        if v != v:  # NaN / NaT
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, bool):
+        return f"b{int(v)}"
+    if isinstance(v, int):
+        return f"i{v}"
+    if isinstance(v, float):
+        if math.isinf(v):
+            return f"f{'+' if v > 0 else '-'}inf"
+        return f"f{v:.9g}"
+    if isinstance(v, bytes):
+        return "x" + v.hex()
+    if hasattr(v, "isoformat"):
+        try:
+            s = v.isoformat(sep=" ")
+        except TypeError:  # datetime.date
+            s = v.isoformat()
+        return f"t{s}"
+    return f"s{v}"
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = f"{v:.9g}"
-            elif hasattr(v, "isoformat"):
-                try:
-                    v = v.isoformat(sep=" ")
-                except TypeError:  # datetime.date
-                    v = v.isoformat()
-            elif isinstance(v, bool):
-                v = str(int(v))
-            else:
-                v = str(v)
-            vals.append(v)
-        out.append("\x1f".join(vals))
+    out = ["\x1f".join(canon(row[i]) for i in order) for row in rows]
     out.sort()
     return hashlib.md5("\n".join(out).encode()).hexdigest()
+
+
+def pandas_rows(df):
+    """pandas DataFrame → list of tuples with pandas dtypes preserved
+    (this is the width-sensitive step: HUGEINT arrives as float64)."""
+    return list(df.itertuples(index=False, name=None))
 
 
 def main() -> int:
@@ -64,7 +99,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            srows = pandas_rows(sdf.toPandas())
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -75,8 +110,9 @@ def main() -> int:
             continue
         try:
             res = con.execute(os_[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            ddf = res.fetchdf()
+            dcols = list(ddf.columns)
+            drows = pandas_rows(ddf)
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
