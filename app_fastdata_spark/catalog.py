@@ -45,6 +45,8 @@ DRIVER_PRIORITY: list[str] = [
     "top_users",
     "top_dests",
     "events_by_cluster_window",
+    # --- new this round ---
+    "dedup_embedding_cosine_bucketed",
     # --- never driver-verified in round 1 (registration overflow) ---
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",

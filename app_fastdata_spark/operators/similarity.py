@@ -123,8 +123,10 @@ NEAR_DUP_COSINE = 0.95
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs (a<b) with cosine ≥ threshold. Brute-force pair join as
-    the correctness anchor; the scale path buckets by IVF cell first."""
+    """All pairs (a<b) with cosine ≥ threshold. Brute-force pair join —
+    the inequality-only join plans as a nested-loop cross product, so this
+    is strictly a small-SF correctness ANCHOR (kept out of bench); the
+    scale path is `dedup_embedding_cosine_bucketed` below."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
@@ -157,6 +159,99 @@ register(
           >= {NEAR_DUP_COSINE}
     """,
 )(dedup_embedding_cosine)
+
+
+# --- bucketed embedding near-dup (the 100 TB scale path) ------------------
+
+NEAR_DUP_NPROBE = 2   # each vector lands in its 2 nearest cells
+
+
+def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via IVF-cell candidate generation + exact refine.
+
+    The all-pairs anchor (`dedup_embedding_cosine`) has no equi-key, so
+    Spark plans a nested-loop cross product — O(N²), unusable at scale.
+    Here every vector is assigned to its `NEAR_DUP_NPROBE` nearest coarse
+    cells (same deterministic quantizer as `sim_ann_ivf`), candidate
+    pairs are vectors sharing a cell — an EQUI-join on cell_id — and
+    survivors are refined with the exact bit-identical cosine. Centroid
+    count scales with N (every `IVF_CENTROID_STRIDE`-th vector), so cell
+    population and per-cell pair count stay bounded: total candidate
+    pairs ≈ N · nprobe² · stride/2 — linear in N, shuffled on cell_id.
+    Multi-cell duplicate pairs are removed AFTER the threshold filter,
+    so the distinct runs on the (tiny) near-dup set only.
+
+    Recall < 1 by design: a pair is found iff the two vectors share one
+    of their 2 nearest cells — near-identical vectors have near-identical
+    centroid cosines, so misses need a cell boundary between rank 2 and 3;
+    tests pin the observed recall vs the exact anchor.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    centroids = sig.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    scored = sig.crossJoin(F.broadcast(centroids)).withColumn(
+        "ccos", cosine(F.col("embedding"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NEAR_DUP_NPROBE)
+        .select("vec_id", "embedding", "nrm", "cell_id")
+    )
+    a = assign.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na_"),
+    )
+    b = assign.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb_"),
+    )
+    return (
+        a.join(b, ["cell_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na_") * F.col("nb_")), 9),
+        )
+        .filter(F.col("cos") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", "cos")
+        .distinct()
+    )
+
+
+register(
+    "dedup_embedding_cosine_bucketed",
+    sql=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_cosine("e.embedding", "c.cvec")} DESC, c.cell_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE rn <= {NEAR_DUP_NPROBE}
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_sql_cosine("a.embedding", "b.embedding")}, 9) AS cos
+    FROM assign a JOIN assign b
+      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE round({_sql_cosine("a.embedding", "b.embedding")}, 9)
+          >= {NEAR_DUP_COSINE}
+    """,
+)(dedup_embedding_cosine_bucketed)
 
 
 # --- random-hyperplane LSH ANN -------------------------------------------

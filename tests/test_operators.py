@@ -312,3 +312,45 @@ def test_capped_jaccard_is_lower_bound_subset(spark, sf_dir):
     assert set(capped) <= set(full)
     assert all(capped[k] <= full[k] + 1e-9 for k in capped)
     assert len(capped) >= 0.9 * len(full)  # cap loses only stop-shingle-only pairs
+
+
+def test_bucketed_embedding_neardup_recall_on_planted_dups(spark, tmp_path):
+    """The synthetic embeddings have no true near-dups (max cosine ~0.5),
+    so the registered query is a trivial 0=0 match. This plants real
+    near-duplicates (base + tiny noise → cos ≈ 0.999) and checks the
+    bucketed IVF-cell path recovers them: subset of the exact anchor,
+    recall pinned, and nothing below threshold."""
+    import numpy as np
+
+    from app_fastdata_spark.operators.similarity import (
+        NEAR_DUP_COSINE,
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_bucketed,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(300, 64)).astype(np.float32)
+    rows = [(i, base[i].tolist(), None) for i in range(300)]
+    # 30 planted near-dups of vectors 0..29 (ids 300..329)
+    for i in range(30):
+        noisy = base[i] + rng.normal(scale=0.02, size=64).astype(np.float32)
+        rows.append((300 + i, noisy.astype(np.float32).tolist(), None))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "planted")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cos for r in dedup_embedding_cosine(spark, d).collect()
+    }
+    buck = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in dedup_embedding_cosine_bucketed(spark, d).collect()
+    }
+    planted = {(i, 300 + i) for i in range(30)}
+    assert planted <= set(exact)
+    assert set(buck) <= set(exact)
+    assert all(c >= NEAR_DUP_COSINE for c in buck.values())
+    # near-identical vectors share their nearest cells: expect full recall
+    assert len(set(buck) & planted) >= 28
