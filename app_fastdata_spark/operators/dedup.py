@@ -5,9 +5,11 @@ Four families:
   * exact       — hash-groupBy on a normalized fingerprint (oracle-checked)
   * n-gram      — exact Jaccard over 3-token shingles via an inverted-index
                   self-join (oracle-checked)
-  * MinHash+LSH — signature → bands → bucket join (xxhash64 is Spark-side
-                  only → rows-only check; the superset-of-exact property is
-                  asserted in tests instead)
+  * MinHash+LSH — signature → bands → bucket join (md5-based signatures
+                  match DuckDB bit-for-bit → oracle-checked, plus the
+                  superset-of-exact property in tests)
+  * SimHash     — 64-bit bit-string signature from md5 bits, band LSH +
+                  Hamming refine (oracle-checked)
   * embedding   — cosine near-dup with double-precision arithmetic mirrored
                   exactly in the oracle (oracle-checked)
 
@@ -303,19 +305,22 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=16 minhash values per doc, computed as a pure projection:
-    minhash_i = array_min(transform(shingles, s → xxhash64(i, s)))."""
+    minhash_i = array_min(transform(shingles, s → md5(i|s))).
+
+    The hash is md5 — present in BOTH engines — and the min is the
+    LEXICOGRAPHIC min of the fixed-length lowercase-hex digest, which
+    orders identically to the unsigned 128-bit value, so the signature is
+    bit-identical across Spark and DuckDB and the LSH query is
+    hash-checkable (round-1 used xxhash64 and was rows-only). The per-
+    function "permutation" prepends the function index to the hashed
+    string (distinct inputs fully decorrelate the orderings)."""
     sh = doc_shingles(spark, sf_dir)
 
     def _minhash(i: int) -> Column:
         # closure, NOT a default-arg lambda — pyspark would read a 2-arg
         # lambda as (element, index) and silently drop the seed.
-        # The per-function "permutation" prepends the function index to the
-        # hashed STRING: xxhash64 under different numeric seeds turned out
-        # to produce correlated orderings (measured 12/16 signature
-        # agreement where j=0.96 predicts 15.5/16); distinct inputs fully
-        # decorrelate.
         def h(s: Column) -> Column:
-            return F.xxhash64(F.concat(F.lit(f"{i}|"), s))
+            return F.md5(F.concat(F.lit(f"{i}|"), s))
 
         return F.array_min(F.transform(F.col("shingles"), h))
 
@@ -325,15 +330,18 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: band the signature, hash each band, join on
-    (band_idx, band_hash). Rows-only check (xxhash64 has no DuckDB twin);
-    tests assert candidates ⊇ all pairs with Jaccard ≥ 0.5."""
+    (band_idx, band_hash). Oracle-checked (md5 signatures match DuckDB
+    bit-for-bit); tests additionally assert candidates ⊇ all pairs with
+    Jaccard ≥ 0.5."""
     sigs = minhash_signatures(spark, sf_dir)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                    )
                 ).alias("bh"),
             )
             for b in range(LSH_BANDS)
@@ -353,67 +361,118 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("dedup_minhash_lsh")(dedup_minhash_lsh)
+_SQL_MINHASH_SIG = ", ".join(
+    f"list_aggregate(list_transform(shingles, s -> md5('{i}|' || s)), 'min')"
+    for i in range(MINHASH_K)
+)
+_SQL_BAND_HASH = (
+    "md5("
+    + " || '|' || ".join(f"sig[band * {LSH_ROWS} + {r + 1}]" for r in range(LSH_ROWS))
+    + ")"
+)
+
+register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sig AS (SELECT doc_id, [{_SQL_MINHASH_SIG}] AS sig FROM sh),
+    buckets AS (
+      SELECT doc_id, band, {_SQL_BAND_HASH} AS bh
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {LSH_BANDS})) AS band) bands
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)(dedup_minhash_lsh)
 
 
 # --- SimHash --------------------------------------------------------------
 
+# Hex digit → 4-bit string lookup: positions (v*4+1 .. v*4+4) of this
+# literal hold the MSB-first bits of hex value v. Indexing it with the
+# digit's position in '0123456789abcdef' decodes md5 output into bits
+# using only substr/locate — available and identical in BOTH engines,
+# which is what makes the SimHash signature cross-engine hash-checkable
+# (round-1 used xxhash64 bit ops and was rows-only).
+_HEX_BITS = "".join(format(v, "04b") for v in range(16))
+_HEX_DIGITS = "0123456789abcdef"
+
+SIMHASH_BITS = 64   # first 16 hex chars of md5(token)
+
+
+def _bitstr_expr(var: str, locate_fn: str) -> str:
+    """64-char '0'/'1' string of md5(<var>)'s first 16 hex digits.
+    locate_fn abstracts the engines' reversed arg orders:
+    Spark locate(sub, s) vs DuckDB strpos(s, sub)."""
+    def digit_bits(i: int) -> str:
+        pos = (
+            f"locate(substr(md5({var}), {i}, 1), '{_HEX_DIGITS}')"
+            if locate_fn == "locate"
+            else f"strpos('{_HEX_DIGITS}', substr(md5({var}), {i}, 1))"
+        )
+        return f"substr('{_HEX_BITS}', ({pos} - 1) * 4 + 1, 4)"
+
+    return "concat(" + ", ".join(digit_bits(i) for i in range(1, 17)) + ")"
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc, built from per-token xxhash64 bits entirely
-    with array higher-order functions: for each bit position, sum ±1 over
-    token hashes; sign → bit. Rows-only (xxhash64 is Spark-specific)."""
+    """64-bit SimHash per doc as a 64-char bit STRING: for each bit
+    position, sum ±1 votes over the distinct tokens' md5 bits; sign →
+    bit. Pure projection (array higher-order functions, no shuffle); the
+    string representation is what both engines band and compare."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(tokens_col(F.col("text")))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit b vote: count of tokens with bit set minus count without. One
-    # aggregate per bit, assembled from a static Python loop so every
-    # shift amount is a literal (shiftleft/shiftright take Python ints).
-    def _vote(b: int) -> Column:
-        # closure (not a default-arg lambda): pyspark HOFs require the
-        # merge lambda to declare exactly its positional arity.
-        def merge(acc: Column, h: Column) -> Column:
-            return acc + F.when(F.shiftrightunsigned(h, b) % 2 == 1, 1).otherwise(-1)
-
-        return F.aggregate(hashes, F.lit(0), merge)
-
-    votes = [_vote(b) for b in range(64)]
-    # assemble the signed 64-bit value in two's complement: bits 0-62 add
-    # 2^b; bit 63 adds -2^63 (no long overflow possible).
-    terms = [
-        F.when(votes[b] > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        for b in range(63)
-    ] + [
-        F.when(votes[63] > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    with_bits = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    ).withColumn("bitstrs", F.expr(f"transform(toks, t -> {_bitstr_expr('t', 'locate')})"))
+    votes = [
+        F.expr(
+            f"aggregate(bitstrs, 0, (acc, s) -> "
+            f"acc + (CASE WHEN substr(s, {b + 1}, 1) = '1' THEN 1 ELSE -1 END))"
         )
+        for b in range(SIMHASH_BITS)
     ]
-    sim = terms[0]
-    for t in terms[1:]:
-        sim = sim + t
-    return docs.select("doc_id", sim.alias("simhash")).filter(F.size(toks) > 0)
+    sim = F.concat(*[F.when(v > 0, F.lit("1")).otherwise(F.lit("0")) for v in votes])
+    return with_bits.select("doc_id", sim.alias("simhash"))
 
 
 HAMMING_MAX = 6
+SIMHASH_BANDS = 4
+_BAND_LEN = SIMHASH_BITS // SIMHASH_BANDS
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 4×16-bit band LSH on the signature, then
-    exact Hamming check ≤ HAMMING_MAX. Rows-only check."""
+    exact Hamming check ≤ HAMMING_MAX. Oracle-checked (md5-derived bit
+    strings match DuckDB exactly)."""
     sigs = simhash_signatures(spark, sf_dir)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                (F.shiftrightunsigned(F.col("simhash"), 16 * b) % 65536).alias("bh"),
+                F.substring(F.col("simhash"), b * _BAND_LEN + 1, _BAND_LEN).alias("bh"),
             )
-            for b in range(4)
+            for b in range(SIMHASH_BANDS)
         ]
     )
     buckets = sigs.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
         "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Hamming distance between the 64-char bit strings: explicit 64-term
+    # integer sum (NOT a sum() aggregate) so the column stays INTEGER in
+    # DuckDB too (sum() would widen to HUGEINT → float64 in the driver).
+    ham = F.expr(
+        "("
+        + " + ".join(
+            f"(CASE WHEN substr(a.simhash, {i}, 1) <> substr(b.simhash, {i}, 1) "
+            f"THEN 1 ELSE 0 END)"
+            for i in range(1, SIMHASH_BITS + 1)
+        )
+        + ")"
+    )
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
@@ -429,7 +488,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("dedup_simhash")(dedup_simhash)
+_SQL_SIMHASH_VOTES = ", ".join(
+    f"list_sum(list_transform(bitstrs, s -> "
+    f"CASE WHEN substr(s, {b + 1}, 1) = '1' THEN 1 ELSE -1 END)) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SQL_SIMHASH_CONCAT = "concat(" + ", ".join(
+    f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS)
+) + ")"
+_SQL_HAMMING = "(" + " + ".join(
+    f"(CASE WHEN substr(a.simhash, {i}, 1) <> substr(b.simhash, {i}, 1) "
+    f"THEN 1 ELSE 0 END)"
+    for i in range(1, SIMHASH_BITS + 1)
+) + ")"
+
+register(
+    "dedup_simhash",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+      FROM documents
+    ),
+    bs AS (
+      SELECT doc_id,
+             list_transform(toks, t -> {_bitstr_expr('t', 'strpos')}) AS bitstrs
+      FROM d WHERE len(toks) > 0
+    ),
+    v AS (SELECT doc_id, {_SQL_SIMHASH_VOTES} FROM bs),
+    sig AS (SELECT doc_id, {_SQL_SIMHASH_CONCAT} AS simhash FROM v),
+    buckets AS (
+      SELECT doc_id, simhash, band,
+             substr(simhash, band * {_BAND_LEN} + 1, {_BAND_LEN}) AS bh
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) bands
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_SQL_HAMMING} AS hamming
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    WHERE {_SQL_HAMMING} <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)(dedup_simhash)
 
 
 # The keep-one-per-cluster stage: corpus minus non-representative members
