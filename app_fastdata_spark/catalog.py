@@ -47,6 +47,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_by_cluster_window",
     # --- new this round ---
     "dedup_embedding_cosine_bucketed",
+    "retention_delete_oldest_to_target",
     # --- never driver-verified in round 1 (registration overflow) ---
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",

@@ -73,6 +73,79 @@ register(
 )(retention_survivors_by_src)
 
 
+# --- size-based retention (DeleteOldestToTarget.java:47-116) --------------
+#
+# The reference's row-count-target mode: count the table; if over the
+# target, pick the Nth-oldest timestamp (N = min(excess, chunk target),
+# the chunk cap bounds per-transaction work) and delete everything at or
+# below it. Ties may delete more than N — the boundary is a ts VALUE, and
+# the value at sorted index N is deterministic even with duplicate
+# timestamps, so both engines agree exactly.
+
+MAX_TOTAL_ROWS = 600        # desired table size (maxTotalRows)
+TARGET_MAX_DELETE = 250     # per-chunk delete cap (targetMaxRowsToDelete)
+
+
+def retention_delete_oldest_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection semantics of the size-based nibble as one row:
+    (cutoff_ts, n_deleted, n_remaining).
+
+    Mirrors the reference procedure's shape: a scalar COUNT (one
+    aggregate job — the same count the reference issues), then the
+    Nth-oldest pick as TakeOrderedAndProject (bounded by the chunk cap,
+    no global sort), then one pass counting the would-be-deleted rows
+    against the broadcast 1-row cutoff."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    if total < MAX_TOTAL_ROWS:
+        return spark.createDataFrame(
+            [(None, 0, total)],
+            "cutoff_ts timestamp, n_deleted bigint, n_remaining bigint",
+        )
+    n_consider = min(total - MAX_TOTAL_ROWS, TARGET_MAX_DELETE)
+    cutoff = (
+        ev.select("ts").orderBy("ts").offset(n_consider).limit(1)
+        .select(F.col("ts").alias("cutoff_ts"))
+    )
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .agg(
+            F.first("cutoff_ts").alias("cutoff_ts"),
+            F.sum(
+                F.when(F.col("ts") <= F.col("cutoff_ts"), 1).otherwise(0)
+            ).alias("n_deleted"),
+        )
+        .withColumn("n_remaining", F.lit(total) - F.col("n_deleted"))
+    )
+
+
+register(
+    "retention_delete_oldest_to_target",
+    sql=f"""
+    WITH c AS (SELECT count(*) AS total FROM events),
+    k AS (
+      SELECT least(total - {MAX_TOTAL_ROWS}, {TARGET_MAX_DELETE}) AS n_consider,
+             total
+      FROM c WHERE total >= {MAX_TOTAL_ROWS}
+    ),
+    ranked AS (
+      SELECT ts, row_number() OVER (ORDER BY ts) AS rn FROM events
+    ),
+    cutoff AS (
+      SELECT r.ts AS cutoff_ts FROM ranked r JOIN k ON r.rn = k.n_consider + 1
+    )
+    SELECT cutoff.cutoff_ts AS cutoff_ts,
+           CAST(count(*) FILTER (e.ts <= cutoff.cutoff_ts) AS BIGINT) AS n_deleted,
+           CAST(count(*) FILTER (e.ts > cutoff.cutoff_ts) AS BIGINT) AS n_remaining
+    FROM events e CROSS JOIN cutoff
+    GROUP BY cutoff.cutoff_ts
+    UNION ALL
+    SELECT CAST(NULL AS TIMESTAMP), CAST(0 AS BIGINT), CAST(total AS BIGINT)
+    FROM c WHERE total < {MAX_TOTAL_ROWS}
+    """,
+)(retention_delete_oldest_to_target)
+
+
 # --- storage-level retention (the nibbler rebuilt, SURVEY.md §3.4) --------
 #
 # VoltDB needed chunked DELETE transactions (DeleteAfterDate.java:65-95)
@@ -106,4 +179,36 @@ def drop_expired_partitions(spark: SparkSession, path: str, cutoff_day: str) -> 
         if p.name.split("=", 1)[1] < cutoff_day:
             shutil.rmtree(p)
             dropped += 1
+    return dropped
+
+
+def drop_oldest_partitions_to_target(
+    spark: SparkSession, path: str, max_total_rows: int
+) -> int:
+    """Size-based retention at the storage level (the partition-drop twin
+    of DeleteOldestToTarget.java:47-116): drop whole OLDEST day-partitions
+    while the remaining row count exceeds `max_total_rows`. Whole-
+    partition drops never split a day, so like the reference ("a target,
+    not always a perfect max" — ties there, day granularity here) this
+    may delete past the target; it is guaranteed to make progress. Row
+    counts come from one count aggregate over parquet footer stats (no
+    data scan). Returns partitions dropped."""
+    import shutil
+    from pathlib import Path
+
+    sizes = {
+        r["day"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    dropped = 0
+    for day in sorted(sizes):
+        if total <= max_total_rows:
+            break
+        shutil.rmtree(Path(path) / f"day={day}")
+        total -= sizes[day]
+        dropped += 1
     return dropped

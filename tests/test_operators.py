@@ -354,3 +354,39 @@ def test_bucketed_embedding_neardup_recall_on_planted_dups(spark, tmp_path):
     assert all(c >= NEAR_DUP_COSINE for c in buck.values())
     # near-identical vectors share their nearest cells: expect full recall
     assert len(set(buck) & planted) >= 28
+
+
+def test_size_based_retention_partition_drop(spark, sf_dir, tmp_path):
+    """DeleteOldestToTarget at the storage level: oldest day-partitions
+    drop until the row count reaches the target; days are never split,
+    so the final count may undershoot but survivors are exactly the
+    newest whole days."""
+    from app_fastdata_spark.operators.retention import (
+        drop_oldest_partitions_to_target,
+        write_time_partitioned,
+    )
+    from app_fastdata_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    target = total // 2
+    path = str(tmp_path / "hot_events")
+    write_time_partitioned(ev, path)
+    n_days = ev.select(F.to_date("ts").alias("d")).distinct().count()
+    dropped = drop_oldest_partitions_to_target(spark, path, target)
+    assert 0 < dropped < n_days
+    live = spark.read.parquet(path)
+    n_live = live.count()
+    assert n_live <= target
+    # survivors are a suffix of the day sequence: every surviving row is
+    # newer than every dropped day
+    min_live_day = str(live.agg(F.min("day")).collect()[0][0])
+    dropped_days = sorted(
+        str(r.d) for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )[:dropped]
+    assert all(d < min_live_day for d in dropped_days)
+    # progress guarantee: dropping stopped at the first day that reached
+    # the target, so keeping one more day would have exceeded it
+    prev_day_rows = ev.filter(F.to_date("ts") == F.lit(dropped_days[-1])).count()
+    assert n_live + prev_day_rows > target
