@@ -27,10 +27,20 @@ from .views import dests_by_second, events_by_second, events_by_src, events_by_s
 # P6 — sliding recency predicate (GetTopUsers.java:29; db/ddl.sql:164,171):
 # TO_TIMESTAMP(SECOND, SINCE_EPOCH(SECOND, NOW) - w) <= second_ts
 def recency(col: str = "second_ts", as_of: str = AS_OF, window: int = WINDOW_SECONDS) -> Column:
-    cutoff = F.timestamp_seconds(
-        F.unix_timestamp(F.lit(as_of).cast("timestamp")) - F.lit(window)
+    # The cutoff is a timezone-INDEPENDENT epoch literal computed in
+    # Python (AS_OF is defined in UTC): timestamp_seconds(long) and the
+    # timestamp comparison are both instant-based, so no session-timezone
+    # setting — even one applied by a harness AFTER the DataFrame is
+    # built — can shift this predicate away from the UTC ts_ns prune in
+    # events_in_window. (unix_timestamp(lit(str)) parsed in session tz.)
+    from datetime import datetime, timezone
+
+    epoch = int(
+        datetime.strptime(as_of, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
     )
-    return F.col(col) >= cutoff
+    return F.col(col) >= F.timestamp_seconds(F.lit(epoch - window))
 
 
 _SQL_RECENCY = (

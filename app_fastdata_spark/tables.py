@@ -8,6 +8,8 @@ src→user_id, dest→event_type, ts→ts, size→value.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -60,11 +62,20 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+_TZ_PINNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver supplies its own SparkSession; timestamp semantics (naive
     # parquet values vs the DuckDB oracle) are only correct under UTC, so
-    # pin it defensively here — every query builder passes through.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # pin it defensively — ONCE per session, not per call (a global
+    # conf.set on every builder call is hidden session mutation). Instant-
+    # based predicates (recency, ts_ns prunes) are additionally
+    # tz-independent by construction, so a harness overriding the tz
+    # later cannot shift them.
+    if spark not in _TZ_PINNED:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _TZ_PINNED.add(spark)
     path = f"{sf_dir}/{name}.parquet"
     if name in SCHEMAS:
         df = spark.read.schema(SCHEMAS[name]).parquet(path)

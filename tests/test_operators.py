@@ -390,3 +390,24 @@ def test_size_based_retention_partition_drop(spark, sf_dir, tmp_path):
     # the target, so keeping one more day would have exceeded it
     prev_day_rows = ev.filter(F.to_date("ts") == F.lit(dropped_days[-1])).count()
     assert n_live + prev_day_rows > target
+
+
+def test_recency_is_timezone_independent(spark, sf_dir):
+    """A harness that re-pins a non-UTC session timezone AFTER the
+    DataFrames are built must not shift the recency cutoff: it is an
+    epoch literal, and load_table's defensive UTC pin is once-per-session
+    so it won't silently mask the override either."""
+    from app_fastdata_spark.operators.serving import top_users
+
+    base = [(r.src, r.counts) for r in top_users(spark, sf_dir).collect()]
+    assert base  # window is non-empty at every SF
+    df = top_users(spark, sf_dir)
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        shifted = [(r.src, r.counts) for r in df.collect()]
+        rebuilt = [(r.src, r.counts) for r in top_users(spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert shifted == base
+    assert rebuilt == base
