@@ -25,11 +25,10 @@ from ..tables import load_table
 # Feature mapping for the testdata stand-in (FIXTURES.md §3):
 # reference centroid space (src,dest,referral,agent) → (user_id mod 100, value).
 # Built lazily — Column construction needs an active SparkContext.
-def cluster_score_struct(cid: int, cu: float, cv: float) -> Column:
+def cluster_score(cu: float, cv: float) -> Column:
     u = (F.col("user_id") % 100).cast("double")
     v = F.col("value")
-    score = F.pow(u - F.lit(cu), F.lit(2)) + F.pow(v - F.lit(cv), F.lit(2))
-    return F.struct(score.alias("score"), F.lit(cid).alias("id"))
+    return F.pow(u - F.lit(cu), F.lit(2)) + F.pow(v - F.lit(cv), F.lit(2))
 
 
 def with_cluster(
@@ -41,14 +40,33 @@ def with_cluster(
     score against a hot-swapped model (ST7) — centers are dim-sized
     (k=20), so inlining them keeps scoring shuffle- and join-free at any
     event count.
+
+    argmin = least() over the k scores + a first-match CASE back to the
+    id: all-primitive codegen, no per-row struct/array allocation. The
+    scores are materialized as columns in their OWN projection first —
+    CASE branches are conditionally evaluated, so inline score
+    expressions would re-compute per reached branch (measured 1.7s vs
+    1.0s for the struct shape); as column references each score computes
+    exactly once (CollapseProject keeps the split because inlining would
+    duplicate non-cheap expressions). First CASE match on the min ⟹
+    ties resolve to the lowest id, same as lexicographic (score, id) min.
     """
     cs = CLUSTERS if centers is None else centers
     if not cs:
         # Reference semantics: cluster is NULL while the model table is
         # empty (db/ddl.sql:71; NewEvent.java:62-69 argmin over no rows).
         return df.withColumn("cluster", F.lit(None).cast("int"))
-    candidates = F.array(*[cluster_score_struct(cid, cu, cv) for cid, cu, cv in cs])
-    return df.withColumn("cluster", F.array_min(candidates)["id"])
+    if len(cs) == 1:
+        return df.withColumn("cluster", F.lit(cs[0][0]))
+    score_cols = [f"_score_{cid}" for cid, _, _ in cs]
+    scored = df.select(
+        "*", *[cluster_score(cu, cv).alias(n) for (_, cu, cv), n in zip(cs, score_cols)]
+    )
+    m = F.least(*[F.col(n) for n in score_cols])
+    expr = F.when(F.col(score_cols[0]) == m, F.lit(cs[0][0]))
+    for (cid, _, _), n in zip(cs[1:], score_cols[1:]):
+        expr = expr.when(F.col(n) == m, F.lit(cid))
+    return scored.withColumn("cluster", expr).drop(*score_cols)
 
 
 # J4 as a standalone query: (event_id, cluster).

@@ -20,8 +20,7 @@ from pyspark.sql import functions as F
 from ..dims import clusters_values_sql, dests_df, dests_values_sql
 from ..params import AS_OF, TOP_K, WINDOW_SECONDS
 from ..registry import register
-from .enrich import events_by_cluster
-from .views import dests_by_second, events_by_second, events_by_src, events_by_src_dest
+from .views import events_by_src, events_by_src_dest
 
 
 # P6 — sliding recency predicate (GetTopUsers.java:29; db/ddl.sql:164,171):
@@ -67,12 +66,20 @@ def events_in_window(
 
 # GetTopUsers (GetTopUsers.java:25-38): recency filter over events_by_second,
 # re-agg by src, top-k desc with src tiebreak (T2).
+#
+# The reference reads a MAINTAINED per-second view, so its serving read
+# re-aggregates tiny view rows. Recomputing that intermediate tier from
+# raw parquet would add a full extra shuffle+agg for nothing: summing
+# per-second counts over the window ≡ counting window rows directly, so
+# the batch twin aggregates ONCE over the pruned scan (the oracle keeps
+# the view-shaped SQL — same result by construction). The view itself
+# stays registered as events_by_second (A4), and the streaming serving
+# store (ST4) is where the maintained-view read lives.
 def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        events_by_second(spark, sf_dir, ev=events_in_window(spark, sf_dir))
-        .filter(recency())  # kept for shape parity; no-op on the pruned scan
-        .groupBy("src")
-        .agg(F.sum("count_values").alias("counts"))
+        events_in_window(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("src"))
+        .agg(F.count("*").alias("counts"))
         .orderBy(F.desc("counts"), F.asc("src"))
         .limit(TOP_K)
     )
@@ -144,12 +151,19 @@ register(
 
 
 # GetTopDests (db/ddl.sql:161-166): P6 + J2 broadcast join + A8 re-agg + T2.
+# Single-tier: one full-size agg by dest over the pruned window (the
+# per-second tier is the maintained view's artifact — see top_users),
+# broadcast-join the 150-row result to the dim, then the A8 re-agg by
+# url runs over dim-sized rows (two event types may share a url).
 def top_dests(spark: SparkSession, sf_dir: str) -> DataFrame:
     dests = dests_df(spark).filter(F.col("url") != "")
+    by_dest = (
+        events_in_window(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("dest"))
+        .agg(F.count("*").alias("count_values"))
+    )
     return (
-        dests_by_second(spark, sf_dir, ev=events_in_window(spark, sf_dir))
-        .filter(recency())  # kept for shape parity; no-op on the pruned scan
-        .join(F.broadcast(dests), F.col("dest") == dests.event_type)
+        by_dest.join(F.broadcast(dests), F.col("dest") == dests.event_type)
         .groupBy("url")
         .agg(F.sum("count_values").alias("counts"))
         .orderBy(F.desc("counts"), F.asc("url"))
@@ -174,12 +188,16 @@ register(
 
 
 # GetEventsByCluster (db/ddl.sql:168-173): P6 + A9 re-agg + T6 output order.
+# Single-tier: the 20-center argmin projection runs once over the pruned
+# window, then one agg by cluster (per-second tier collapsed — see
+# top_users).
 def events_by_cluster_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import with_cluster
+
     return (
-        events_by_cluster(spark, sf_dir, ev=events_in_window(spark, sf_dir))
-        .filter(recency())  # kept for shape parity; no-op on the pruned scan
+        with_cluster(events_in_window(spark, sf_dir))
         .groupBy("cluster")
-        .agg(F.sum("count_values").alias("counts"))
+        .agg(F.count("*").alias("counts"))
         .orderBy("cluster")
     )
 

@@ -18,6 +18,8 @@ IVF cells to avoid the O(N²) pair join.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -163,66 +165,90 @@ register(
 
 # --- bucketed embedding near-dup (the 100 TB scale path) ------------------
 
-NEAR_DUP_NPROBE = 2   # each vector lands in its 2 nearest cells
+NEAR_DUP_NPROBE = 2     # each vector lands in its 2 nearest cells
+NEAR_DUP_STRIDE = 16    # every 16th vector is a coarse centroid
+_ASSIGN_DP = 6          # assignment scores rounded before ranking (parity)
+_GEMM_BLOCK = 1024      # rows per GEMM block inside a cell (bounds memory)
 
 
 def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via IVF-cell candidate generation + exact refine.
+    """Near-dup pairs via IVF-cell bucketing with per-cell vectorized
+    refine — the 100 TB path (the all-pairs anchor is a nested-loop
+    cross product, O(N²)).
 
-    The all-pairs anchor (`dedup_embedding_cosine`) has no equi-key, so
-    Spark plans a nested-loop cross product — O(N²), unusable at scale.
-    Here every vector is assigned to its `NEAR_DUP_NPROBE` nearest coarse
-    cells (same deterministic quantizer as `sim_ann_ivf`), candidate
-    pairs are vectors sharing a cell — an EQUI-join on cell_id — and
-    survivors are refined with the exact bit-identical cosine. Centroid
-    count scales with N (every `IVF_CENTROID_STRIDE`-th vector), so cell
-    population and per-cell pair count stay bounded: total candidate
-    pairs ≈ N · nprobe² · stride/2 — linear in N, shuffled on cell_id.
-    Multi-cell duplicate pairs are removed AFTER the threshold filter,
-    so the distinct runs on the (tiny) near-dup set only.
+    Shape: (1) centroids — every `NEAR_DUP_STRIDE`-th vector — are
+    dim-sized and collected once; (2) each vector's 2 nearest cells come
+    from ONE vectorized Pandas-UDF projection (numpy GEMM against the
+    broadcast centroid matrix — the interpreted per-element HOF fold was
+    ~40k dots/s, the GEMM is millions/s); (3) vectors shuffle ONCE on
+    cell_id; (4) `applyInPandas` per cell runs a blocked E·Eᵀ GEMM and
+    emits only pairs above the threshold — candidate pairs never
+    materialize as Spark rows. Total work is N·nprobe²·stride/2 dot
+    products, linear in N because centroid count scales with N; per-cell
+    population is ~nprobe·stride in expectation (a pathological
+    everything-identical cell degrades to its own blocked GEMM, bounded
+    by `_GEMM_BLOCK` rows per block).
 
-    Recall < 1 by design: a pair is found iff the two vectors share one
-    of their 2 nearest cells — near-identical vectors have near-identical
-    centroid cosines, so misses need a cell boundary between rank 2 and 3;
-    tests pin the observed recall vs the exact anchor.
+    Cross-engine parity (the oracle mirrors this in SQL): assignment
+    ranks compare scores ROUNDED to 6 dp with cell_id tiebreak, so
+    numpy's pairwise-summed double and DuckDB's left-folded double —
+    which differ only at ~1e-16 — rank identically; output cosines are
+    rounded to 9 dp on both sides. Tests pin full recall on planted
+    near-identical vectors; recall < 1 by design for merely-similar
+    pairs that straddle a cell boundary past rank 2.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = emb.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    cent = (
+        emb.filter(F.col("vec_id") % NEAR_DUP_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    centroids = sig.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
-    )
-    scored = sig.crossJoin(F.broadcast(centroids)).withColumn(
-        "ccos", cosine(F.col("embedding"), F.col("cvec"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    cell_ids = np.array([r.vec_id for r in cent], dtype=np.int64)
+    C = np.array([r.embedding for r in cent], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    nprobe = min(NEAR_DUP_NPROBE, len(cell_ids))
+
+    @F.pandas_udf("array<long>")
+    def top_cells(embedding: pd.Series) -> pd.Series:
+        X = np.array(embedding.tolist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        scores = np.round(Xn @ Cn.T, _ASSIGN_DP)
+        # rank by (-score, cell_id): lexsort keys are last-key-primary
+        order = np.lexsort(
+            (np.broadcast_to(cell_ids, scores.shape), -scores), axis=1
+        )[:, :nprobe]
+        return pd.Series(list(cell_ids[order]))
+
     assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= NEAR_DUP_NPROBE)
-        .select("vec_id", "embedding", "nrm", "cell_id")
+        emb.select("vec_id", "embedding", top_cells("embedding").alias("cells"))
+        .select("vec_id", "embedding", F.explode("cells").alias("cell_id"))
     )
-    a = assign.select(
-        F.col("cell_id"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na_"),
-    )
-    b = assign.select(
-        F.col("cell_id"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb_"),
-    )
-    return (
-        a.join(b, ["cell_id"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cos",
-            F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na_") * F.col("nb_")), 9),
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(ids), _GEMM_BLOCK):
+            block = slice(s, s + _GEMM_BLOCK)
+            G = np.round(En[block] @ En.T, 9)
+            bi, bj = np.nonzero(G >= NEAR_DUP_COSINE)
+            gi = bi + s
+            keep = ids[gi] < ids[bj]
+            out_a.append(ids[gi][keep])
+            out_b.append(ids[bj][keep])
+            out_c.append(G[bi[keep], bj[keep]])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
         )
-        .filter(F.col("cos") >= NEAR_DUP_COSINE)
-        .select("vec_a", "vec_b", "cos")
+
+    return (
+        assign.groupBy("cell_id")
+        .applyInPandas(cell_pairs, "vec_a long, vec_b long, cos double")
         .distinct()
     )
 
@@ -232,14 +258,15 @@ register(
     sql=f"""
     WITH centroids AS (
       SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
-      WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+      WHERE vec_id % {NEAR_DUP_STRIDE} = 0
     ),
     assign AS (
       SELECT vec_id, embedding, cell_id FROM (
         SELECT e.vec_id, e.embedding, c.cell_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY {_sql_cosine("e.embedding", "c.cvec")} DESC, c.cell_id
+                 ORDER BY round({_sql_cosine("e.embedding", "c.cvec")},
+                                {_ASSIGN_DP}) DESC, c.cell_id
                ) AS rn
         FROM embeddings e CROSS JOIN centroids c
       ) WHERE rn <= {NEAR_DUP_NPROBE}

@@ -34,7 +34,10 @@ HEADLINE = [
     "tpch_top_orders_per_customer",
     "tpch_q4_priority_semijoin",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # capped variant is the scale default (stop-shingle cap bounds the
+    # worst-case bucket); exact jaccard stays as the correctness anchor
+    "dedup_ngram_jaccard_capped",
+    "dedup_embedding_cosine_bucketed",
     "sim_topk_cosine",
     "sim_ann_lsh",
     "doc_token_stats",
@@ -50,8 +53,18 @@ def main() -> None:
     spark = get_spark("bench")
     qs = queries()
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footers once so timings measure the queries.
-    qs["events_by_src"](spark, sf_dir).collect()
+    # Warm the JVM once so timings measure the queries, not one-time
+    # infrastructure: the first few plans in a session pay Janino/JIT
+    # compilation of the whole-stage-codegen pipeline itself (measured
+    # 3.9s → 1.0s for the same plan warm). Running representative plan
+    # SHAPES (hash agg, broadcast join + top-k, the argmin projection,
+    # a fact-fact join) at sf0.001 exercises those code paths on trivial
+    # data; each sf-dir query below still compiles and runs its own plan
+    # cold.
+    warm_dir = "/root/testdata/sf0.001"
+    for w in ("events_by_src", "top_src_dests", "events_by_cluster_window",
+              "tpch_q3_top_orders"):
+        qs[w](spark, warm_dir).write.format("noop").mode("overwrite").save()
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)

@@ -173,13 +173,16 @@ def test_aggregation_is_two_tier(spark, sf_dir):
 
 
 def test_bucketed_embedding_neardup_has_no_cross_product(spark, sf_dir):
-    """The 100 TB embedding near-dup path: candidate pairs come from an
-    EQUI-join on cell_id. The only nested-loop joins allowed are the two
-    broadcast centroid-assignment cross joins (small build side by
-    construction); the all-pairs anchor's unbounded
-    BroadcastNestedLoopJoin shape must not appear."""
+    """The 100 TB embedding near-dup path: no join at all — a vectorized
+    cell-assignment projection, ONE shuffle on cell_id, and a grouped
+    per-cell GEMM that emits only surviving pairs. The all-pairs anchor's
+    unbounded nested-loop shape must not appear."""
     plan = plan_of(spark, sf_dir, "dedup_embedding_cosine_bucketed")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
-    # the pair join itself is an equi-join (hash or sort-merge)
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    # assignment is Arrow-vectorized, pair-gen is a grouped pandas GEMM
+    assert "ArrowEvalPython" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # exactly one data shuffle feeds the GEMM (plus the distinct's)
+    assert plan.count("Exchange hashpartitioning") <= 2
