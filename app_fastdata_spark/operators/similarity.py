@@ -307,21 +307,6 @@ def _hyperplanes(planes: int = LSH_PLANES, dim: int = DIM) -> list[list[float]]:
 _HP = _hyperplanes()
 
 
-def _signature_bands(vec: Column) -> list[Column]:
-    """Band buckets of the sign-bit signature: bucket_b = Σ bit_{4b+r}·2^r."""
-    bits = [
-        (dot(vec, F.array(*[F.lit(v) for v in hp])) >= 0).cast("int")
-        for hp in _HP
-    ]
-    return [
-        sum(
-            bits[b * LSH_BITS_PER_BAND + r] * F.lit(1 << r)
-            for r in range(LSH_BITS_PER_BAND)
-        ).alias(f"b{b}")
-        for b in range(LSH_BANDS)
-    ]
-
-
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: candidates share ≥1 of 4 band buckets,
     then exact-cosine re-rank top-k.
@@ -333,22 +318,33 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested loop); the oracle states the same candidate set with an OR join
     (semantically identical, fine at oracle scale)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = emb.select(
-        "vec_id", "embedding", *_signature_bands(F.col("embedding"))
+    # Band buckets in ONE vectorized pass: numpy GEMM against the 16
+    # hyperplanes, sign bits packed 4 per band. The HOF-fold form ran 16
+    # interpreted dot folds per vector and the subtree evaluated twice
+    # (once per join side) — measured ~40k folds/s; the GEMM is
+    # millions/s. Parity: bits are SIGNS of dots whose numpy-vs-DuckDB
+    # difference is ~1e-16, so a flip needs |dot| at that scale —
+    # negligible, and the exact-cosine re-rank (bit-identical fold) is
+    # unchanged either way.
+    _H = np.array(_HP, dtype=np.float64)
+    _band_w = np.array([1 << r for r in range(LSH_BITS_PER_BAND)], dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def band_buckets(embedding: pd.Series) -> pd.Series:
+        X = np.array(embedding.tolist(), dtype=np.float64)
+        bits = (X @ _H.T >= 0).astype(np.int64)
+        buckets = np.stack(
+            [
+                bits[:, b * LSH_BITS_PER_BAND:(b + 1) * LSH_BITS_PER_BAND] @ _band_w
+                for b in range(LSH_BANDS)
+            ],
+            axis=1,
+        ).astype(np.int32)
+        return pd.Series(list(buckets))
+
+    bands_long = emb.select(
+        "vec_id", F.posexplode(band_buckets("embedding")).alias("band", "bucket")
     )
-    bands_long = sig.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket")
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     qbands = bands_long.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )

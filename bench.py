@@ -63,7 +63,8 @@ def main() -> None:
     # cold.
     warm_dir = "/root/testdata/sf0.001"
     for w in ("events_by_src", "top_src_dests", "events_by_cluster_window",
-              "tpch_q3_top_orders"):
+              "tpch_q3_top_orders", "sim_ann_lsh",
+              "dedup_embedding_cosine_bucketed"):
         qs[w](spark, warm_dir).write.format("noop").mode("overwrite").save()
     for name in HEADLINE:
         t0 = time.time()
