@@ -411,3 +411,14 @@ def test_recency_is_timezone_independent(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", old)
     assert shifted == base
     assert rebuilt == base
+
+
+def test_pandas_shingler_matches_jvm_shingler(spark, sf_dir):
+    """The vectorized Pandas shingler must produce exactly the JVM HOF
+    form's shingle sets — guards the normalization parity chain (space-
+    only trim, ASCII \\s+, first-occurrence distinct)."""
+    from app_fastdata_spark.operators.dedup import doc_shingles, doc_shingles_jvm
+
+    fast = {r.doc_id: sorted(r.shingles) for r in doc_shingles(spark, sf_dir).collect()}
+    jvm = {r.doc_id: sorted(r.shingles) for r in doc_shingles_jvm(spark, sf_dir).collect()}
+    assert fast == jvm

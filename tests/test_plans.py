@@ -69,7 +69,6 @@ def test_scan_prunes_columns(spark, sf_dir):
         "session_starts",
         "events_by_second",
         "dedup_exact",
-        "dedup_ngram_jaccard",
         "sim_topk_cosine",
         "tpch_q1_pricing_summary",
         "tpch_q3_top_orders",
@@ -78,10 +77,25 @@ def test_scan_prunes_columns(spark, sf_dir):
 )
 def test_hot_path_has_no_python_eval(spark, sf_dir, name):
     """Relational operators stay in whole-stage codegen — Python eval
-    nodes (row-at-a-time or Arrow) only belong in multimodal/stateful."""
+    nodes belong only where they are the deliberate vectorized design
+    (multimodal, stateful streaming, the Arrow tokenizer/pair-gen in the
+    jaccard family, ANN signature GEMMs). Row-at-a-time Python is never
+    allowed anywhere."""
     plan = plan_of(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan, name
     assert "ArrowEvalPython" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "sim_ann_lsh",
+     "dedup_embedding_cosine_bucketed"],
+)
+def test_vectorized_paths_never_row_at_a_time(spark, sf_dir, name):
+    """Queries with a deliberate Python stage must use the Arrow-
+    vectorized form, never row-at-a-time BatchEvalPython."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, name
 
 
 def test_semi_and_anti_joins_use_join_codegen(spark, sf_dir):
