@@ -185,37 +185,42 @@ def test_empty_model_yields_null_clusters(spark, sf_dir):
     assert dict(out.dtypes)["cluster"] == "int"
 
 
-def test_lsh_planted_near_dups_collide(spark):
-    """Random-hyperplane LSH recall property: vectors with cosine >= 0.99
-    must land in the same bucket for at least one band (deterministic:
-    fixed seed + fixed hyperplanes)."""
+def test_lsh_planted_near_dups_collide(spark, tmp_path):
+    """Random-hyperplane LSH recall, end-to-end on the production path:
+    a planted near-duplicate (cosine >= 0.99) of each query vector must
+    come back as its rank-1 neighbor — i.e. it collided in at least one
+    band and survived the exact re-rank."""
     import numpy as np
 
-    from app_fastdata_spark.operators.similarity import _signature_bands
+    from app_fastdata_spark.operators.similarity import N_QUERIES, sim_ann_lsh
 
     rng = np.random.default_rng(7)
-    base = rng.normal(size=(50, 64))
-    dups = base + 0.02 * rng.normal(size=(50, 64))
-    cos = (base * dups).sum(1) / (
-        np.linalg.norm(base, axis=1) * np.linalg.norm(dups, axis=1)
+    base = rng.normal(size=(200, 64))
+    dups = base[:N_QUERIES] + 0.02 * rng.normal(size=(N_QUERIES, 64))
+    cos = (base[:N_QUERIES] * dups).sum(1) / (
+        np.linalg.norm(base[:N_QUERIES], axis=1) * np.linalg.norm(dups, axis=1)
     )
-    near = [i for i in range(50) if cos[i] >= 0.99]
-    assert len(near) >= 40  # the perturbation scale keeps most pairs near
+    near = [i for i in range(N_QUERIES) if cos[i] >= 0.99]
+    assert len(near) >= 15  # the perturbation scale keeps most pairs near
 
-    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
-    rows += [(100 + i, [float(x) for x in dups[i]]) for i in range(50)]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    sig = {
-        r["vec_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
-        for r in df.select(
-            "vec_id", *_signature_bands(F.col("embedding").cast("array<double>"))
-        ).collect()
-    }
-    missed = [
-        i for i in near
-        if not any(sig[i][b] == sig[100 + i][b] for b in range(4))
+    rows = [(i, base[i].astype(np.float32).tolist(), None) for i in range(200)]
+    rows += [
+        (1000 + i, dups[i].astype(np.float32).tolist(), None)
+        for i in range(N_QUERIES)
     ]
-    assert len(missed) <= max(1, len(near) // 20), (missed, len(near))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "planted")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in sim_ann_lsh(spark, d).collect()
+        if r.rank == 1
+    }
+    missed = [i for i in near if top1.get(i) != 1000 + i]
+    assert len(missed) <= max(1, len(near) // 10), (missed, len(near))
 
 
 def test_stratified_sample_properties(spark, sf_dir):
