@@ -48,6 +48,12 @@ DRIVER_PRIORITY: list[str] = [
     # --- new this round ---
     "dedup_embedding_cosine_bucketed",
     "retention_delete_oldest_to_target",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q21_lone_returner",
+    "tpch_q22_dormant_customers",
     # --- never driver-verified in round 1 (registration overflow) ---
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",

@@ -200,3 +200,25 @@ def test_bucketed_embedding_neardup_has_no_cross_product(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     # exactly one data shuffle feeds the GEMM (plus the distinct's)
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_new_join_classes_plan_shapes(spark, sf_dir):
+    """Q13/Q15/Q16/Q17/Q21/Q22 physical shapes: outer join preserved (not
+    rewritten to inner), the scalar-max and scalar-avg filters broadcast
+    their 1-row side, Q16's distinct agg expands, Q21 plans a real
+    semi+anti pair, and none of them touch Python."""
+    q13 = plan_of(spark, sf_dir, "tpch_q13_custdist")
+    assert "LeftOuter" in q13, q13
+    q15 = plan_of(spark, sf_dir, "tpch_q15_top_supplier")
+    assert "BroadcastExchange" in q15, q15
+    # single-distinct rewrites to a two-level HashAggregate (no Expand —
+    # that's the multi-distinct shape, gated elsewhere)
+    q16 = plan_of(spark, sf_dir, "tpch_q16_supplier_cnt")
+    assert "LeftAnti" in q16 and "partial_count(distinct" in q16, q16
+    q21 = plan_of(spark, sf_dir, "tpch_q21_lone_returner")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21, q21
+    q22 = plan_of(spark, sf_dir, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in q22 and "BroadcastExchange" in q22, q22
+    for p in (q13, q15, q16, q21, q22):
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
