@@ -48,6 +48,7 @@ DRIVER_PRIORITY: list[str] = [
     # --- new this round ---
     "dedup_embedding_cosine_bucketed",
     "retention_delete_oldest_to_target",
+    "sim_ann_lsh",
     "tpch_q13_custdist",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
