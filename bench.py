@@ -33,6 +33,9 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_top_orders_per_customer",
     "tpch_q4_priority_semijoin",
+    "tpch_q13_custdist",
+    "tpch_q16_supplier_cnt",
+    "tpch_q21_lone_returner",
     "dedup_exact",
     # capped variant is the scale default (stop-shingle cap bounds the
     # worst-case bucket); exact jaccard stays as the correctness anchor

@@ -427,3 +427,48 @@ def test_pandas_shingler_matches_jvm_shingler(spark, sf_dir):
     fast = {r.doc_id: sorted(r.shingles) for r in doc_shingles(spark, sf_dir).collect()}
     jvm = {r.doc_id: sorted(r.shingles) for r in doc_shingles_jvm(spark, sf_dir).collect()}
     assert fast == jvm
+
+
+def test_capped_jaccard_survives_stop_shingle_skew(spark, tmp_path):
+    """The 100 TB skew guarantee: a stop-shingle shared by EVERY document
+    must not produce a k^2 pair bomb — the capped variant drops the hot
+    bucket before pair generation, still finds true near-dups through
+    their rare shingles, and never emits a pair whose only overlap is the
+    stop-shingle."""
+    import time
+
+    from app_fastdata_spark.operators.dedup import (
+        STOP_SHINGLE_CAP,
+        dedup_ngram_jaccard_capped,
+    )
+
+    n = 4000
+    stop = "the quick fox"  # one 3-gram shared by all docs
+    rows = []
+    for i in range(n):
+        # unique filler so docs share nothing except the stop shingle
+        filler = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((i, f"{stop} {filler}", None, None, None))
+    # 20 true near-dup pairs: same filler, one token changed
+    for i in range(20):
+        filler = " ".join(f"w{i}x{j}" for j in range(11)) + " zz"
+        rows.append((10_000 + i, f"{stop} {filler}", None, None, None))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "skewdocs")
+    df.coalesce(4).write.parquet(f"{d}/documents.parquet")
+
+    t0 = time.time()
+    pairs = dedup_ngram_jaccard_capped(spark, d).collect()
+    elapsed = time.time() - t0
+    # the hot bucket (4020 docs) would alone emit ~8M pairs; capped must
+    # finish in bounded time with only rare-shingle pairs
+    assert elapsed < 60, elapsed
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    planted = {(i, 10_000 + i) for i in range(20)}
+    assert planted <= got, planted - got
+    # every emitted pair shares at least one RARE shingle: the stop-only
+    # combinations (i, j) for unrelated i, j must be absent
+    unrelated = [(i, j) for i in range(100, 110) for j in range(200, 210)]
+    assert not (got & set(unrelated))
