@@ -1,0 +1,314 @@
+"""Pure-Python Avro Object Container File codec for flat export records.
+
+S4/S6 context: the reference's export connector writes Avro files that
+the harvest step globs back in (db/deployment-hadoop.xml.template:5-10,
+hdp.harvest.pig:25). The `spark-avro` module is external to the pyspark
+wheel and absent from this container, so round 1 probed and fell back to
+Parquet. This module implements the Avro 1.x container format directly —
+header (magic, metadata map with the JSON schema, sync marker) and
+null-codec data blocks with binary-encoded records — for the flat
+primitive schemas an export stream carries. Writes happen executor-side
+through ``mapInPandas`` (one file per partition batch, the connector's
+``%p``), reads are distributed the same way (each task decodes its own
+file), so the path scales like any other file source.
+
+Encoding per the public Avro spec: longs/ints are zigzag varints,
+doubles are little-endian IEEE-754, strings are length-prefixed UTF-8,
+nullable fields are 2-branch unions with a zigzag branch index,
+timestamps are ``long`` with the ``timestamp-micros`` logical type.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+_BLOCK_RECORDS = 4096
+
+_SPARK_TO_AVRO = {
+    "long": "long",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def avro_schema_of(schema: T.StructType, name: str = "export_record") -> dict:
+    fields = []
+    for f in schema.fields:
+        tn = f.dataType.typeName()
+        if tn == "timestamp":
+            at: object = {"type": "long", "logicalType": "timestamp-micros"}
+        elif tn in _SPARK_TO_AVRO:
+            at = _SPARK_TO_AVRO[tn]
+        else:
+            raise TypeError(f"unsupported export field type: {tn} ({f.name})")
+        fields.append(
+            {"name": f.name, "type": ["null", at] if f.nullable else at}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+# --- binary primitives ----------------------------------------------------
+
+def _write_long(n: int, out: io.BytesIO) -> None:
+    u = (n << 1) ^ (n >> 63)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.write(bytes((b | 0x80,)))
+        else:
+            out.write(bytes((b,)))
+            return
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _write_bytes(b: bytes, out: io.BytesIO) -> None:
+    _write_long(len(b), out)
+    out.write(b)
+
+
+def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_long(buf, pos)
+    return buf[pos:pos + n], pos + n
+
+
+def _encode_cell(avro_type: object, v, out: io.BytesIO) -> None:
+    if isinstance(avro_type, list):  # ["null", t]
+        if v is None or v != v:
+            _write_long(0, out)
+            return
+        _write_long(1, out)
+        avro_type = avro_type[1]
+    if isinstance(avro_type, dict):  # logical timestamp-micros
+        if isinstance(v, datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=timezone.utc)
+            v = int(v.timestamp() * 1_000_000)
+        elif isinstance(v, pd.Timestamp):
+            v = v.value // 1000
+        _write_long(int(v), out)
+    elif avro_type in ("long", "int"):
+        _write_long(int(v), out)
+    elif avro_type == "double":
+        out.write(struct.pack("<d", float(v)))
+    elif avro_type == "float":
+        out.write(struct.pack("<f", float(v)))
+    elif avro_type == "string":
+        _write_bytes(str(v).encode("utf-8"), out)
+    elif avro_type == "boolean":
+        out.write(b"\x01" if v else b"\x00")
+    elif avro_type == "bytes":
+        _write_bytes(bytes(v), out)
+    else:  # pragma: no cover
+        raise TypeError(f"unsupported avro type {avro_type}")
+
+
+def _decode_cell(avro_type: object, buf: bytes, pos: int):
+    if isinstance(avro_type, list):
+        branch, pos = _read_long(buf, pos)
+        if branch == 0:
+            return None, pos
+        avro_type = avro_type[1]
+    if isinstance(avro_type, dict):
+        us, pos = _read_long(buf, pos)
+        return datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc).replace(
+            tzinfo=None
+        ), pos
+    if avro_type in ("long", "int"):
+        return _read_long(buf, pos)
+    if avro_type == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if avro_type == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if avro_type == "string":
+        b, pos = _read_bytes(buf, pos)
+        return b.decode("utf-8"), pos
+    if avro_type == "boolean":
+        return buf[pos] == 1, pos + 1
+    if avro_type == "bytes":
+        return _read_bytes(buf, pos)
+    raise TypeError(f"unsupported avro type {avro_type}")  # pragma: no cover
+
+
+# --- container file -------------------------------------------------------
+
+def write_container(path: str, schema_json: dict, rows: list[tuple]) -> int:
+    """Write one Avro OCF with the null codec. Returns records written."""
+    sync = uuid.uuid5(uuid.NAMESPACE_OID, path).bytes  # deterministic
+    types = [f["type"] for f in schema_json["fields"]]
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        meta = io.BytesIO()
+        _write_long(2, meta)
+        _write_bytes(b"avro.schema", meta)
+        _write_bytes(json.dumps(schema_json).encode(), meta)
+        _write_bytes(b"avro.codec", meta)
+        _write_bytes(b"null", meta)
+        _write_long(0, meta)  # end of metadata map
+        fh.write(meta.getvalue())
+        fh.write(sync)
+        for s in range(0, len(rows), _BLOCK_RECORDS):
+            block = rows[s:s + _BLOCK_RECORDS]
+            payload = io.BytesIO()
+            for row in block:
+                for t, v in zip(types, row):
+                    _encode_cell(t, v, payload)
+            head = io.BytesIO()
+            _write_long(len(block), head)
+            _write_long(len(payload.getvalue()), head)
+            fh.write(head.getvalue())
+            fh.write(payload.getvalue())
+            fh.write(sync)
+    return len(rows)
+
+
+def read_schema(path: str) -> dict:
+    """Header-only read: the schema JSON from a container's metadata map
+    (no record decode — used for driver-side schema discovery)."""
+    with open(path, "rb") as fh:
+        buf = fh.read(1 << 16)
+    schema_json, _, _ = _read_header(buf, path)
+    return schema_json
+
+
+def _read_header(buf: bytes, path: str) -> tuple[dict, bytes, int]:
+    if buf[:4] != MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # block with explicit byte size
+            _, pos = _read_long(buf, pos)
+            n = -n
+        for _ in range(n):
+            k, pos = _read_bytes(buf, pos)
+            v, pos = _read_bytes(buf, pos)
+            meta[k.decode()] = v
+    if meta.get("avro.codec", b"null") != b"null":
+        raise ValueError("only the null codec is supported")
+    schema_json = json.loads(meta["avro.schema"])
+    sync = buf[pos:pos + 16]
+    pos += 16
+    return schema_json, sync, pos
+
+
+def read_container(path: str) -> tuple[dict, list[tuple]]:
+    """Read one Avro OCF (null codec). Returns (schema_json, rows)."""
+    buf = open(path, "rb").read()
+    schema_json, sync, pos = _read_header(buf, path)
+    types = [f["type"] for f in schema_json["fields"]]
+    rows: list[tuple] = []
+    while pos < len(buf):
+        count, pos = _read_long(buf, pos)
+        size, pos = _read_long(buf, pos)
+        end = pos + size
+        for _ in range(count):
+            row = []
+            for t in types:
+                v, pos = _decode_cell(t, buf, pos)
+                row.append(v)
+            rows.append(tuple(row))
+        assert pos == end, f"{path}: block size mismatch"
+        assert buf[pos:pos + 16] == sync, f"{path}: sync marker mismatch"
+        pos += 16
+    return schema_json, rows
+
+
+_AVRO_TO_SPARK = {v: k for k, v in _SPARK_TO_AVRO.items()}
+
+
+def spark_schema_of(schema_json: dict) -> T.StructType:
+    """Inverse of avro_schema_of — lets harvest discover the schema from
+    a container header instead of requiring it up front."""
+    fields = []
+    for f in schema_json["fields"]:
+        at = f["type"]
+        nullable = isinstance(at, list)
+        if nullable:
+            at = at[1]
+        if isinstance(at, dict):
+            tn = "timestamp"
+        else:
+            tn = _AVRO_TO_SPARK[at]
+        spark_types = {
+            "long": T.LongType,
+            "integer": T.IntegerType,
+            "double": T.DoubleType,
+            "float": T.FloatType,
+            "string": T.StringType,
+            "boolean": T.BooleanType,
+            "binary": T.BinaryType,
+            "timestamp": T.TimestampType,
+        }
+        fields.append(T.StructField(f["name"], spark_types[tn](), nullable))
+    return T.StructType(fields)
+
+
+# --- distributed Spark surface -------------------------------------------
+
+def write_avro(df: DataFrame, out_dir: str) -> list[str]:
+    """Distributed Avro write: each Arrow batch becomes one container
+    file written executor-side (the connector's per-partition `%p`
+    files). Returns the written file paths (the action that drives the
+    job collects only this dim-sized manifest)."""
+    os.makedirs(out_dir, exist_ok=True)
+    schema_json = avro_schema_of(df.schema)
+    cols = [f.name for f in df.schema.fields]
+
+    def _write(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
+            n = write_container(
+                path, schema_json, list(pdf[cols].itertuples(index=False, name=None))
+            )
+            yield pd.DataFrame({"path": [path], "n_rows": [n]})
+
+    manifest = df.mapInPandas(_write, "path string, n_rows long").collect()
+    return [r.path for r in manifest]
+
+
+def read_avro(spark: SparkSession, paths: list[str], schema: T.StructType) -> DataFrame:
+    """Distributed Avro read: the file list parallelizes and each task
+    decodes its own containers."""
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(len(paths), 32) or 1
+    )
+    names = [f.name for f in schema.fields]
+
+    def _read(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                _, rows = read_container(p)
+                yield pd.DataFrame(rows, columns=names)
+
+    return files.mapInPandas(_read, schema)

@@ -11,10 +11,14 @@ globs the Avro (harvest.pig:25), projects features, and writes Parquet
 
 Spark-first: the connector dissolves into `DataFrameWriter` — the
 `%g/%p` layout becomes `partitionBy` on a generation column, the rename
-handoff becomes one `os.rename` (same-filesystem atomicity), and the
-Avro format is probed at runtime (the spark-avro module is external to
-the pyspark wheel; Parquet is the fallback and the better choice anyway
-— columnar, splittable, statistics).
+handoff becomes one `os.rename` (same-filesystem atomicity). The Avro
+format itself: the external spark-avro module is probed at runtime and
+used when present; when absent (this container), the export path still
+writes REAL Avro object container files through the pure-Python codec in
+`avro_codec.py` (executor-side mapInPandas, one file per partition — the
+connector's `%p`), and harvest decodes them distributedly, discovering
+the schema from the container header. Parquet remains available via
+`fmt="parquet"` for pipelines that prefer it (columnar, statistics).
 """
 
 from __future__ import annotations
@@ -42,14 +46,21 @@ def avro_available(spark: SparkSession) -> bool:
 
 
 def export_format(spark: SparkSession) -> str:
-    return "avro" if avro_available(spark) else "parquet"
+    return "avro" if avro_available(spark) else "avro-py"
 
 
-def write_export(df: DataFrame, base_dir: str, generation: int = 0) -> str:
+def write_export(
+    df: DataFrame, base_dir: str, generation: int = 0, fmt: str | None = None
+) -> str:
     """S4: export-connector file layout — one generation subdir per write
     (the `%g` of deployment-hadoop.xml.template:8), files partitioned by
     Spark's own task partitioning (the `%p`). Returns the format used."""
-    fmt = export_format(df.sparkSession)
+    fmt = fmt or export_format(df.sparkSession)
+    if fmt == "avro-py":
+        from .avro_codec import write_avro
+
+        write_avro(df, os.path.join(base_dir, f"generation={generation}"))
+        return fmt
     (
         df.withColumn("generation", F.lit(generation))
         .write.partitionBy("generation")
@@ -83,8 +94,18 @@ def harvest(
 
         shutil.rmtree(process_dir)
     os.rename(export_dir, process_dir)  # same-fs atomic handoff
-    fmt = export_format(spark)
-    scanned = spark.read.format(fmt).load(f"{process_dir}/*")
+    import glob as _glob
+
+    avro_files = sorted(_glob.glob(f"{process_dir}/*/*.avro"))
+    if avro_files:
+        from .avro_codec import read_avro, read_schema, spark_schema_of
+
+        # schema discovery from one container header (driver-side, cheap)
+        scanned = read_avro(
+            spark, avro_files, spark_schema_of(read_schema(avro_files[0]))
+        )
+    else:
+        scanned = spark.read.format(export_format(spark)).load(f"{process_dir}/*")
     trimmed = scanned.select(*feature_cols)
     trimmed.write.mode("overwrite").parquet(out_parquet)
     return spark.read.parquet(out_parquet)
