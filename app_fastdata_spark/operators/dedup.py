@@ -243,15 +243,66 @@ JACCARD_SQL = f"""
 register("dedup_ngram_jaccard", sql=JACCARD_SQL)(dedup_ngram_jaccard)
 
 
+# Skew cap for the scale-path Jaccard (see dedup_ngram_jaccard_capped
+# below): shingle buckets larger than this are dropped BEFORE pair
+# generation — the documented mitigation for the k² pair blow-up of
+# stop-shingles at 100 TB. Defined here (with its oracle SQL) so the
+# clustering chain (components/survivors) can default onto the capped
+# pair source.
+STOP_SHINGLE_CAP = 20
+
+CAPPED_JACCARD_SQL = f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+    rare AS (SELECT shingle FROM inv GROUP BY shingle
+             HAVING count(*) BETWEEN 2 AND {STOP_SHINGLE_CAP}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM inv a
+      JOIN rare r ON r.shingle = a.shingle
+      JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6)
+             AS jaccard_lb
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6)
+          >= {JACCARD_THRESHOLD}
+    """
+
+# The recursive-CTE transitive closure the components/survivors oracles
+# share, parameterized by the pair-producing SQL.
+_SQL_COMPONENTS = """
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    ed AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u FROM ed),
+    reach AS (
+      SELECT u, u AS v FROM nodes
+      UNION
+      SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u
+    )
+"""
+
+
 # --- near-dup connected components (dedup clusters) -----------------------
 
 MAX_CC_ITERS = 50
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_components(spark: SparkSession, sf_dir: str, pair_source=None) -> DataFrame:
     """Group near-duplicate pairs into clusters: connected components by
     iterative min-label propagation (the keep-one-per-cluster stage of a
     dedup pipeline; the "iterative algorithm" operator class).
+
+    The pair source defaults to the SKEW-CAPPED Jaccard — the 100 TB path
+    (bounded buckets, no stop-shingle k² bomb); any (doc_a, doc_b) pair
+    producer can be plugged in (`pair_source`), and the uncapped twin is
+    registered as `dedup_components_uncapped` for small-SF anchoring.
 
     Each iteration: label(u) ← min(label(u), min over neighbors v of
     label(v)), then a pointer-jump label(u) ← min(label(u),
@@ -260,10 +311,24 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of O(diameter). Each iteration is two shuffle joins + an agg,
     lineage truncated with localCheckpoint. Oracle: DuckDB recursive-CTE
     transitive closure over the same pair set."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    src = pair_source if pair_source is not None else dedup_ngram_jaccard_capped
+    pairs = src(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs).select(
         F.col("u").alias("doc_id"), "component"
     ).orderBy("doc_id")
+
+
+def dedup_components_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-SF anchor: clustering over the UNCAPPED exact-Jaccard pairs
+    (complete pair set, but k² stop-shingle risk at scale — see
+    dedup_components for the default scale path)."""
+    return dedup_components(spark, sf_dir, pair_source=dedup_ngram_jaccard)
+
+
+# Telemetry: iterations-to-converge of the most recent
+# connected_components run (bench records this as `cc_iters` so a
+# pair-source change that alters graph shape is visible across rounds).
+CC_STATS: dict[str, int | None] = {"iters": None}
 
 
 def connected_components(pairs: DataFrame) -> DataFrame:
@@ -278,7 +343,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     labels = edges.select("u").distinct().withColumn("component", F.col("u"))
-    for _ in range(MAX_CC_ITERS):
+    for it in range(MAX_CC_ITERS):
         prop = edges.join(
             labels.withColumnRenamed("u", "v"), "v"
         ).select("u", "component")
@@ -310,6 +375,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            CC_STATS["iters"] = it + 1
             break
     else:
         # silent partial convergence would split components downstream
@@ -323,19 +389,15 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
 register(
     "dedup_components",
-    sql=f"""
-    WITH RECURSIVE pairs AS ({JACCARD_SQL}),
-    ed AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs),
-    nodes AS (SELECT DISTINCT u FROM ed),
-    reach AS (
-      SELECT u, u AS v FROM nodes
-      UNION
-      SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u
-    )
-    SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u ORDER BY u
-    """,
+    sql=_SQL_COMPONENTS.format(pairs_sql=CAPPED_JACCARD_SQL)
+    + "    SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u ORDER BY u",
 )(dedup_components)
+
+register(
+    "dedup_components_uncapped",
+    sql=_SQL_COMPONENTS.format(pairs_sql=JACCARD_SQL)
+    + "    SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u ORDER BY u",
+)(dedup_components_uncapped)
 
 
 # --- MinHash + LSH --------------------------------------------------------
@@ -581,9 +643,9 @@ register(
 # non-representatives (component != doc_id) → broadcast anti-join against
 # the corpus. At 100 TB the removal set is |near-dup docs| ≪ |corpus| and
 # broadcasts; the corpus side never shuffles.
-def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_survivors(spark: SparkSession, sf_dir: str, pair_source=None) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    comp = dedup_components(spark, sf_dir)
+    comp = dedup_components(spark, sf_dir, pair_source=pair_source)
     losers = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
     return (
         docs.join(F.broadcast(losers), "doc_id", "left_anti")
@@ -592,37 +654,38 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "dedup_survivors",
-    sql=f"""
-    WITH RECURSIVE pairs AS ({JACCARD_SQL}),
-    ed AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs),
-    nodes AS (SELECT DISTINCT u FROM ed),
-    reach AS (
-      SELECT u, u AS v FROM nodes
-      UNION
-      SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u
-    ),
-    comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+def dedup_survivors_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-SF anchor twin over the uncapped exact-Jaccard pair set."""
+    return dedup_survivors(spark, sf_dir, pair_source=dedup_ngram_jaccard)
+
+
+_SQL_SURVIVORS_TAIL = """
+    , comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
     SELECT d.doc_id, d.lang, d.source, d.n_chars
     FROM documents d
     WHERE NOT EXISTS (SELECT 1 FROM comp c
                       WHERE c.doc_id = d.doc_id AND c.component <> c.doc_id)
     ORDER BY d.doc_id
-    """,
+    """
+
+register(
+    "dedup_survivors",
+    sql=_SQL_COMPONENTS.format(pairs_sql=CAPPED_JACCARD_SQL) + _SQL_SURVIVORS_TAIL,
 )(dedup_survivors)
+
+register(
+    "dedup_survivors_uncapped",
+    sql=_SQL_COMPONENTS.format(pairs_sql=JACCARD_SQL) + _SQL_SURVIVORS_TAIL,
+)(dedup_survivors_uncapped)
 
 
 # Skew-capped Jaccard: identical pipeline, but shingle buckets larger than
-# STOP_SHINGLE_CAP are dropped BEFORE pair generation — the documented
-# mitigation for the k² pair blow-up of stop-shingles at 100 TB, as real
-# oracle-checked code. `shared` counts only rare shingles, so the score
-# is a lower bound of true Jaccard; a pair is missed only if ALL its
-# shared shingles are stop-shingles (near-dups share many rare shingles).
-STOP_SHINGLE_CAP = 20
-
-
+# STOP_SHINGLE_CAP (defined above, with CAPPED_JACCARD_SQL) are dropped
+# BEFORE pair generation — the documented mitigation for the k² pair
+# blow-up of stop-shingles at 100 TB, as real oracle-checked code.
+# `shared` counts only rare shingles, so the score is a lower bound of
+# true Jaccard; a pair is missed only if ALL its shared shingles are
+# stop-shingles (near-dups share many rare shingles).
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(spark, sf_dir)
     n_sh = F.size("shingles")
@@ -687,28 +750,6 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "dedup_ngram_jaccard_capped",
-    sql=f"""
-    WITH sh AS ({_SQL_SHINGLES}),
-    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-    sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
-    rare AS (SELECT shingle FROM inv GROUP BY shingle
-             HAVING count(*) BETWEEN 2 AND {STOP_SHINGLE_CAP}),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM inv a
-      JOIN rare r ON r.shingle = a.shingle
-      JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b, shared,
-           round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6)
-             AS jaccard_lb
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6)
-          >= {JACCARD_THRESHOLD}
-    """,
-)(dedup_ngram_jaccard_capped)
+register("dedup_ngram_jaccard_capped", sql=CAPPED_JACCARD_SQL)(
+    dedup_ngram_jaccard_capped
+)

@@ -472,3 +472,43 @@ def test_capped_jaccard_survives_stop_shingle_skew(spark, tmp_path):
     # combinations (i, j) for unrelated i, j must be absent
     unrelated = [(i, j) for i in range(100, 110) for j in range(200, 210)]
     assert not (got & set(unrelated))
+
+
+def test_components_chain_rides_capped_source(spark, tmp_path):
+    """dedup_components/survivors default to the CAPPED pair source, so the
+    clustering chain inherits the stop-shingle skew guarantee: a shingle
+    shared by every doc must not blow up the chain, and planted near-dups
+    still cluster (and are deduped to one survivor per cluster)."""
+    import time
+
+    from app_fastdata_spark.operators.dedup import (
+        dedup_components,
+        dedup_survivors,
+    )
+
+    n = 1200
+    stop = "the quick fox"
+    rows = []
+    for i in range(n):
+        filler = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((i, f"{stop} {filler}", "en", "s", 60))
+    for i in range(10):
+        filler = " ".join(f"w{i}x{j}" for j in range(11)) + " zz"
+        rows.append((10_000 + i, f"{stop} {filler}", "en", "s", 60))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "skewdocs_cc")
+    df.coalesce(4).write.parquet(f"{d}/documents.parquet")
+
+    t0 = time.time()
+    comp = {r.doc_id: r.component for r in dedup_components(spark, d).collect()}
+    elapsed = time.time() - t0
+    assert elapsed < 90, elapsed
+    # each planted pair (i, 10_000+i) is one component rooted at i
+    for i in range(10):
+        assert comp.get(10_000 + i) == i, (i, comp.get(10_000 + i))
+    surv = {r.doc_id for r in dedup_survivors(spark, d).collect()}
+    # losers (the 10_000+i twins) are gone; all originals survive
+    assert not any(10_000 + i in surv for i in range(10))
+    assert all(i in surv for i in range(n))
