@@ -8,7 +8,7 @@ Parquet. This module implements the Avro 1.x container format directly —
 header (magic, metadata map with the JSON schema, sync marker) and
 null-codec data blocks with binary-encoded records — for the flat
 primitive schemas an export stream carries. Writes happen executor-side
-through ``mapInPandas`` (one file per partition batch, the connector's
+through ``mapInArrow`` (one file per partition batch, the connector's
 ``%p``), reads are distributed the same way (each task decodes its own
 file), so the path scales like any other file source.
 
@@ -16,6 +16,12 @@ Encoding per the public Avro spec: longs/ints are zigzag varints,
 doubles are little-endian IEEE-754, strings are length-prefixed UTF-8,
 nullable fields are 2-branch unions with a zigzag branch index,
 timestamps are ``long`` with the ``timestamp-micros`` logical type.
+Codecs: ``null`` and ``deflate`` (RFC 1951 raw-deflate block payloads).
+
+The executor-side surface is ``mapInArrow`` (NOT ``mapInPandas``): a
+nullable long column converted to pandas becomes float64 (NaN-as-null),
+silently corrupting int64 values above 2^53 — iterating the Arrow batch
+keeps 64-bit integers exact and nulls explicit.
 """
 
 from __future__ import annotations
@@ -157,8 +163,12 @@ def _decode_cell(avro_type: object, buf: bytes, pos: int):
 
 # --- container file -------------------------------------------------------
 
-def write_container(path: str, schema_json: dict, rows: list[tuple]) -> int:
-    """Write one Avro OCF with the null codec. Returns records written."""
+def write_container(
+    path: str, schema_json: dict, rows: list[tuple], codec: str = "null"
+) -> int:
+    """Write one Avro OCF (codec: null | deflate). Returns records written."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
     sync = uuid.uuid5(uuid.NAMESPACE_OID, path).bytes  # deterministic
     types = [f["type"] for f in schema_json["fields"]]
     with open(path, "wb") as fh:
@@ -168,7 +178,7 @@ def write_container(path: str, schema_json: dict, rows: list[tuple]) -> int:
         _write_bytes(b"avro.schema", meta)
         _write_bytes(json.dumps(schema_json).encode(), meta)
         _write_bytes(b"avro.codec", meta)
-        _write_bytes(b"null", meta)
+        _write_bytes(codec.encode(), meta)
         _write_long(0, meta)  # end of metadata map
         fh.write(meta.getvalue())
         fh.write(sync)
@@ -178,11 +188,17 @@ def write_container(path: str, schema_json: dict, rows: list[tuple]) -> int:
             for row in block:
                 for t, v in zip(types, row):
                     _encode_cell(t, v, payload)
+            data = payload.getvalue()
+            if codec == "deflate":
+                import zlib
+
+                # Avro deflate = RFC 1951 raw stream (no zlib header)
+                data = zlib.compress(data)[2:-4]
             head = io.BytesIO()
             _write_long(len(block), head)
-            _write_long(len(payload.getvalue()), head)
+            _write_long(len(data), head)
             fh.write(head.getvalue())
-            fh.write(payload.getvalue())
+            fh.write(data)
             fh.write(sync)
     return len(rows)
 
@@ -192,11 +208,11 @@ def read_schema(path: str) -> dict:
     (no record decode — used for driver-side schema discovery)."""
     with open(path, "rb") as fh:
         buf = fh.read(1 << 16)
-    schema_json, _, _ = _read_header(buf, path)
+    schema_json, _, _, _ = _read_header(buf, path)
     return schema_json
 
 
-def _read_header(buf: bytes, path: str) -> tuple[dict, bytes, int]:
+def _read_header(buf: bytes, path: str) -> tuple[dict, bytes, int, str]:
     if buf[:4] != MAGIC:
         raise ValueError(f"{path}: not an Avro object container file")
     pos = 4
@@ -212,31 +228,39 @@ def _read_header(buf: bytes, path: str) -> tuple[dict, bytes, int]:
             k, pos = _read_bytes(buf, pos)
             v, pos = _read_bytes(buf, pos)
             meta[k.decode()] = v
-    if meta.get("avro.codec", b"null") != b"null":
-        raise ValueError("only the null codec is supported")
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"{path}: unsupported avro codec {codec!r}")
     schema_json = json.loads(meta["avro.schema"])
     sync = buf[pos:pos + 16]
     pos += 16
-    return schema_json, sync, pos
+    return schema_json, sync, pos, codec
 
 
 def read_container(path: str) -> tuple[dict, list[tuple]]:
-    """Read one Avro OCF (null codec). Returns (schema_json, rows)."""
+    """Read one Avro OCF (codec: null | deflate). Returns (schema_json, rows)."""
     buf = open(path, "rb").read()
-    schema_json, sync, pos = _read_header(buf, path)
+    schema_json, sync, pos, codec = _read_header(buf, path)
     types = [f["type"] for f in schema_json["fields"]]
     rows: list[tuple] = []
     while pos < len(buf):
         count, pos = _read_long(buf, pos)
         size, pos = _read_long(buf, pos)
         end = pos + size
+        data = buf[pos:end]
+        if codec == "deflate":
+            import zlib
+
+            data = zlib.decompress(data, -15)  # raw RFC 1951, per Avro spec
+        dpos = 0
         for _ in range(count):
             row = []
             for t in types:
-                v, pos = _decode_cell(t, buf, pos)
+                v, dpos = _decode_cell(t, data, dpos)
                 row.append(v)
             rows.append(tuple(row))
-        assert pos == end, f"{path}: block size mismatch"
+        assert dpos == len(data), f"{path}: block size mismatch"
+        pos = end
         assert buf[pos:pos + 16] == sync, f"{path}: sync marker mismatch"
         pos += 16
     return schema_json, rows
@@ -274,26 +298,33 @@ def spark_schema_of(schema_json: dict) -> T.StructType:
 
 # --- distributed Spark surface -------------------------------------------
 
-def write_avro(df: DataFrame, out_dir: str) -> list[str]:
+def write_avro(df: DataFrame, out_dir: str, codec: str = "null") -> list[str]:
     """Distributed Avro write: each Arrow batch becomes one container
     file written executor-side (the connector's per-partition `%p`
     files). Returns the written file paths (the action that drives the
-    job collects only this dim-sized manifest)."""
+    job collects only this dim-sized manifest).
+
+    Uses ``mapInArrow`` (not ``mapInPandas``): a nullable long column
+    converted to pandas becomes float64 (NaN-as-null), silently
+    corrupting int64 values above 2^53; ``to_pylist()`` on the Arrow
+    batch keeps 64-bit integers exact and nulls as explicit ``None``.
+    """
     os.makedirs(out_dir, exist_ok=True)
     schema_json = avro_schema_of(df.schema)
     cols = [f.name for f in df.schema.fields]
 
     def _write(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
-            n = write_container(
-                path, schema_json, list(pdf[cols].itertuples(index=False, name=None))
-            )
-            yield pd.DataFrame({"path": [path], "n_rows": [n]})
+        import pyarrow as pa
 
-    manifest = df.mapInPandas(_write, "path string, n_rows long").collect()
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            columns = [batch.column(c).to_pylist() for c in cols]
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
+            n = write_container(path, schema_json, list(zip(*columns)), codec=codec)
+            yield pa.RecordBatch.from_pydict({"path": [path], "n_rows": [n]})
+
+    manifest = df.mapInArrow(_write, "path string, n_rows long").collect()
     return [r.path for r in manifest]
 
 
@@ -304,11 +335,27 @@ def read_avro(spark: SparkSession, paths: list[str], schema: T.StructType) -> Da
         min(len(paths), 32) or 1
     )
     names = [f.name for f in schema.fields]
+    # Integer columns must not round-trip through float64 (pandas'
+    # NaN-as-null upcast corrupts int64 above 2^53): rebuild them as
+    # pandas nullable Int64/Int32 extension arrays instead.
+    int_dtypes = {
+        f.name: {"long": "Int64", "integer": "Int32"}[f.dataType.typeName()]
+        for f in schema.fields
+        if f.dataType.typeName() in ("long", "integer")
+    }
 
     def _read(batches):
         for pdf in batches:
             for p in pdf["path"]:
                 _, rows = read_container(p)
-                yield pd.DataFrame(rows, columns=names)
+                cols = list(zip(*rows)) if rows else [[] for _ in names]
+                yield pd.DataFrame(
+                    {
+                        n: pd.array(list(c), dtype=int_dtypes[n])
+                        if n in int_dtypes
+                        else pd.Series(list(c), dtype=object)
+                        for n, c in zip(names, cols)
+                    }
+                )
 
     return files.mapInPandas(_read, schema)

@@ -15,7 +15,7 @@ handoff becomes one `os.rename` (same-filesystem atomicity). The Avro
 format itself: the external spark-avro module is probed at runtime and
 used when present; when absent (this container), the export path still
 writes REAL Avro object container files through the pure-Python codec in
-`avro_codec.py` (executor-side mapInPandas, one file per partition — the
+`avro_codec.py` (executor-side mapInArrow, one file per partition — the
 connector's `%p`), and harvest decodes them distributedly, discovering
 the schema from the container header. Parquet remains available via
 `fmt="parquet"` for pipelines that prefer it (columnar, statistics).
@@ -96,16 +96,39 @@ def harvest(
     os.rename(export_dir, process_dir)  # same-fs atomic handoff
     import glob as _glob
 
+    # Route by what is ACTUALLY on disk, not by what a fresh probe says the
+    # session could write: a fmt="parquet" export, an avro export from a
+    # jar-present session, and an EMPTY export (write_avro emits no files
+    # for empty partitions) must all harvest. ("avro-py" is this repo's
+    # codec marker, never a spark.read format.)
     avro_files = sorted(_glob.glob(f"{process_dir}/*/*.avro"))
-    if avro_files:
+    parquet_files = sorted(_glob.glob(f"{process_dir}/*/*.parquet"))
+    if avro_files and avro_available(spark):
+        # jar-present sessions read through the JVM reader — it handles
+        # every container codec (snappy/deflate/...), whereas the pure-
+        # Python decoder is the jar-FREE fallback (null/deflate only).
+        scanned = spark.read.format("avro").load(f"{process_dir}/*")
+    elif avro_files:
         from .avro_codec import read_avro, read_schema, spark_schema_of
 
         # schema discovery from one container header (driver-side, cheap)
         scanned = read_avro(
             spark, avro_files, spark_schema_of(read_schema(avro_files[0]))
         )
+    elif parquet_files:
+        # partitionBy("generation") layout → partition discovery from the
+        # process root recovers the generation column.
+        scanned = spark.read.parquet(process_dir)
     else:
-        scanned = spark.read.format(export_format(spark)).load(f"{process_dir}/*")
+        # empty export: no harvestable files at all. The downstream
+        # training job consumes integer features (harvest.pig:26), so an
+        # empty long-typed frame keeps the handoff total rather than
+        # failing the whole batch loop on a quiet interval.
+        from pyspark.sql import types as T
+
+        scanned = spark.createDataFrame(
+            [], T.StructType([T.StructField(c, T.LongType(), True) for c in feature_cols])
+        )
     trimmed = scanned.select(*feature_cols)
     trimmed.write.mode("overwrite").parquet(out_parquet)
     return spark.read.parquet(out_parquet)

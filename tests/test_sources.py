@@ -166,3 +166,181 @@ def test_export_harvest_via_python_avro(spark, sf_dir, tmp_path):
     )
     assert feats.count() == 500
     assert set(feats.columns) == {"src", "dest", "referral", "agent"}
+
+
+def test_harvest_parquet_export(spark, sf_dir, tmp_path):
+    """A fmt="parquet" export (advertised in the module docstring) must
+    harvest: the on-disk format drives the read path, never the session's
+    avro probe result ("avro-py" is not a spark.read format)."""
+    from app_fastdata_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id AS src",
+            "CAST(user_id % 5 AS LONG) AS dest",
+            "CAST(user_id % 7 AS LONG) AS referral",
+            "CAST(user_id % 11 AS LONG) AS agent",
+        )
+        .limit(300)
+    )
+    export_dir = str(tmp_path / "export_pq")
+    fmt = write_export(ev, export_dir, generation=0, fmt="parquet")
+    assert fmt == "parquet"
+    feats = harvest(
+        spark, export_dir, str(tmp_path / "process_pq"), str(tmp_path / "f_pq.parquet")
+    )
+    assert feats.count() == 300
+    assert set(feats.columns) == {"src", "dest", "referral", "agent"}
+
+
+def test_harvest_empty_export(spark, sf_dir, tmp_path):
+    """An export dir with no data files (write_avro emits nothing for empty
+    partitions) harvests to an empty feature frame instead of raising —
+    a quiet interval must not fail the batch loop."""
+    from app_fastdata_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id AS src", "user_id AS dest",
+            "user_id AS referral", "user_id AS agent",
+        )
+        .filter("src < 0")  # empty
+    )
+    export_dir = str(tmp_path / "export_empty")
+    write_export(ev, export_dir, generation=0)
+    feats = harvest(
+        spark,
+        export_dir,
+        str(tmp_path / "process_empty"),
+        str(tmp_path / "f_empty.parquet"),
+    )
+    assert feats.count() == 0
+    assert feats.columns == ["src", "dest", "referral", "agent"]
+
+
+def test_avro_container_deflate_roundtrip(tmp_path):
+    """Deflate-codec containers round-trip bit-identically (Avro deflate
+    is a raw RFC 1951 stream, no zlib header/checksum)."""
+    from app_fastdata_spark.sources.avro_codec import read_container, write_container
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+        ],
+    }
+    rows = [(i, None if i % 3 == 0 else f"v{i}") for i in range(10_000)]
+    p_null = str(tmp_path / "null.avro")
+    p_defl = str(tmp_path / "defl.avro")
+    write_container(p_null, schema, rows, codec="null")
+    write_container(p_defl, schema, rows, codec="deflate")
+    assert os.path.getsize(p_defl) < os.path.getsize(p_null)
+    for p in (p_null, p_defl):
+        got_schema, got = read_container(p)
+        assert got_schema == schema
+        assert got == rows
+
+
+def test_avro_int64_beyond_2p53_exact(spark, tmp_path):
+    """Nullable long columns must not round-trip through float64: int64
+    values above 2^53 (where float64 loses integer precision) survive
+    the distributed write+read exactly, alongside explicit nulls."""
+    from app_fastdata_spark.sources.avro_codec import (
+        read_avro,
+        read_schema,
+        spark_schema_of,
+        write_avro,
+    )
+
+    big = [(1, 2**53 + 1), (2, 9_007_199_254_740_993), (3, None), (4, -(2**62) - 7)]
+    df = spark.createDataFrame(big, "id long, v long")
+    out = str(tmp_path / "big_avro")
+    paths = write_avro(df, out)
+    back = read_avro(spark, paths, spark_schema_of(read_schema(paths[0])))
+    got = sorted([(r.id, r.v) for r in back.collect()])
+    assert got == big
+
+
+def test_avro_fuzz_roundtrip(tmp_path):
+    """Property-style fuzz: random flat schemas and values round-trip
+    through the container codec (both codecs) without loss."""
+    import math
+    import random
+
+    from app_fastdata_spark.sources.avro_codec import read_container, write_container
+
+    rng = random.Random(0xA7C0)
+    type_pool = ["long", "int", "double", "string", "boolean", "bytes"]
+    for trial in range(20):
+        n_fields = rng.randint(1, 6)
+        types = [rng.choice(type_pool) for _ in range(n_fields)]
+        nullable = [rng.random() < 0.5 for _ in range(n_fields)]
+        schema = {
+            "type": "record",
+            "name": f"fuzz{trial}",
+            "fields": [
+                {"name": f"f{i}", "type": ["null", t] if nl else t}
+                for i, (t, nl) in enumerate(zip(types, nullable))
+            ],
+        }
+
+        def val(t, nl):
+            if nl and rng.random() < 0.2:
+                return None
+            if t == "long":
+                return rng.randint(-(2**63), 2**63 - 1)
+            if t == "int":
+                return rng.randint(-(2**31), 2**31 - 1)
+            if t == "double":
+                return rng.choice([0.0, -1.5, math.pi, 1e308, -1e-308])
+            if t == "string":
+                return "".join(
+                    rng.choice("abcé中\U0001f600 ")
+                    for _ in range(rng.randint(0, 12))
+                )
+            if t == "boolean":
+                return rng.random() < 0.5
+            return bytes(rng.randrange(256) for _ in range(rng.randint(0, 16)))
+
+        rows = [
+            tuple(val(t, nl) for t, nl in zip(types, nullable))
+            for _ in range(rng.randint(0, 300))
+        ]
+        codec = rng.choice(["null", "deflate"])
+        p = str(tmp_path / f"fuzz{trial}.avro")
+        write_container(p, schema, rows, codec=codec)
+        got_schema, got = read_container(p)
+        assert got_schema == schema
+        assert got == rows
+
+
+def test_avro_malformed_container_rejected(tmp_path):
+    """Corrupt headers fail loudly, never silently mis-decode: wrong
+    magic, truncated header, unknown codec."""
+    import pytest
+
+    from app_fastdata_spark.sources.avro_codec import read_container, write_container
+
+    schema = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    good = str(tmp_path / "good.avro")
+    write_container(good, schema, [(1,), (2,)])
+    raw = open(good, "rb").read()
+
+    bad_magic = str(tmp_path / "bad_magic.avro")
+    open(bad_magic, "wb").write(b"PAR1" + raw[4:])
+    with pytest.raises(ValueError, match="not an Avro"):
+        read_container(bad_magic)
+
+    truncated = str(tmp_path / "trunc.avro")
+    open(truncated, "wb").write(raw[:10])
+    with pytest.raises((ValueError, IndexError)):
+        read_container(truncated)
+
+    bad_codec = str(tmp_path / "bad_codec.avro")
+    open(bad_codec, "wb").write(raw.replace(b"null", b"zstd", 1))
+    with pytest.raises(ValueError, match="unsupported avro codec"):
+        read_container(bad_codec)
