@@ -18,6 +18,8 @@ IVF cells to avoid the O(N²) pair join.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -166,9 +168,17 @@ register(
 # --- bucketed embedding near-dup (the 100 TB scale path) ------------------
 
 NEAR_DUP_NPROBE = 2     # each vector lands in its 2 nearest cells
-NEAR_DUP_STRIDE = 16    # every 16th vector is a coarse centroid
 _ASSIGN_DP = 6          # assignment scores rounded before ranking (parity)
 _GEMM_BLOCK = 1024      # rows per GEMM block inside a cell (bounds memory)
+
+
+def _ivf_stride(n_vec: int) -> int:
+    """Centroid stride for ~√N cells: assignment work is N·k and refine
+    work is N²·nprobe²/k, so k=√N balances them at N^1.5 total dot
+    products — the classic IVF coarse-quantizer sizing. A fixed stride
+    (the round-2 shape) made k grow like N, turning assignment into an
+    O(N²) GEMM and collecting O(N) centroids to the driver."""
+    return max(1, math.isqrt(n_vec))
 
 
 def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,30 +186,33 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     refine — the 100 TB path (the all-pairs anchor is a nested-loop
     cross product, O(N²)).
 
-    Shape: (1) centroids — every `NEAR_DUP_STRIDE`-th vector — are
-    dim-sized and collected once; (2) each vector's 2 nearest cells come
-    from ONE vectorized Pandas-UDF projection (numpy GEMM against the
-    broadcast centroid matrix — the interpreted per-element HOF fold was
-    ~40k dots/s, the GEMM is millions/s); (3) vectors shuffle ONCE on
-    cell_id; (4) `applyInPandas` per cell runs a blocked E·Eᵀ GEMM and
-    emits only pairs above the threshold — candidate pairs never
-    materialize as Spark rows. Total work is N·nprobe²·stride/2 dot
-    products, linear in N because centroid count scales with N; per-cell
-    population is ~nprobe·stride in expectation (a pathological
-    everything-identical cell degrades to its own blocked GEMM, bounded
-    by `_GEMM_BLOCK` rows per block).
+    Shape: (1) centroids — every `stride`-th vector, stride=⌊√N⌋, so
+    centroid count ≈ √N — are collected once (driver memory O(√N)) and
+    shipped via `SparkContext.broadcast` (once per executor, not per
+    task); (2) each vector's 2 nearest cells come from ONE vectorized
+    Pandas-UDF projection (numpy GEMM against the broadcast centroid
+    matrix — the interpreted per-element HOF fold was ~40k dots/s, the
+    GEMM is millions/s); (3) vectors shuffle ONCE on cell_id; (4)
+    `applyInPandas` per cell runs a blocked E·Eᵀ GEMM and emits only
+    pairs above the threshold — candidate pairs never materialize as
+    Spark rows. Total work is O(N^1.5·nprobe²) dot products (assignment
+    N·√N, refine N²·nprobe²/√N); per-cell population is ~nprobe·√N in
+    expectation (a pathological everything-identical cell degrades to
+    its own blocked GEMM, bounded by `_GEMM_BLOCK` rows per block).
 
-    Cross-engine parity (the oracle mirrors this in SQL): assignment
-    ranks compare scores ROUNDED to 6 dp with cell_id tiebreak, so
-    numpy's pairwise-summed double and DuckDB's left-folded double —
-    which differ only at ~1e-16 — rank identically; output cosines are
-    rounded to 9 dp on both sides. Tests pin full recall on planted
-    near-identical vectors; recall < 1 by design for merely-similar
-    pairs that straddle a cell boundary past rank 2.
+    Cross-engine parity (the oracle mirrors this in SQL, including the
+    √N stride via a scalar subquery): assignment ranks compare scores
+    ROUNDED to 6 dp with cell_id tiebreak, so numpy's pairwise-summed
+    double and DuckDB's left-folded double — which differ only at
+    ~1e-16 — rank identically; output cosines are rounded to 9 dp on
+    both sides. Tests pin full recall on planted near-identical vectors;
+    recall < 1 by design for merely-similar pairs that straddle a cell
+    boundary past rank 2.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    stride = _ivf_stride(emb.count())
     cent = (
-        emb.filter(F.col("vec_id") % NEAR_DUP_STRIDE == 0)
+        emb.filter(F.col("vec_id") % stride == 0)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -207,17 +220,19 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     C = np.array([r.embedding for r in cent], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     nprobe = min(NEAR_DUP_NPROBE, len(cell_ids))
+    bc = spark.sparkContext.broadcast((cell_ids, Cn))
 
     @F.pandas_udf("array<long>")
     def top_cells(embedding: pd.Series) -> pd.Series:
+        b_ids, b_cn = bc.value
         X = np.array(embedding.tolist(), dtype=np.float64)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        scores = np.round(Xn @ Cn.T, _ASSIGN_DP)
+        scores = np.round(Xn @ b_cn.T, _ASSIGN_DP)
         # rank by (-score, cell_id): lexsort keys are last-key-primary
         order = np.lexsort(
-            (np.broadcast_to(cell_ids, scores.shape), -scores), axis=1
+            (np.broadcast_to(b_ids, scores.shape), -scores), axis=1
         )[:, :nprobe]
-        return pd.Series(list(cell_ids[order]))
+        return pd.Series(list(b_ids[order]))
 
     assign = (
         emb.select("vec_id", "embedding", top_cells("embedding").alias("cells"))
@@ -256,9 +271,15 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
 register(
     "dedup_embedding_cosine_bucketed",
     sql=f"""
-    WITH centroids AS (
+    WITH stride AS (
+      -- mirror _ivf_stride: ⌊√N⌋ centroids (isqrt == FLOOR(SQRT) for
+      -- any N a test SF reaches; doubles are exact to 2^53)
+      SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s
+      FROM embeddings
+    ),
+    centroids AS (
       SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
-      WHERE vec_id % {NEAR_DUP_STRIDE} = 0
+      WHERE vec_id % (SELECT s FROM stride) = 0
     ),
     assign AS (
       SELECT vec_id, embedding, cell_id FROM (
