@@ -1,10 +1,13 @@
 """Multimodal column plumbing (BASELINE.json north star).
 
 Images/audio/video are opaque `binary` columns with typed metadata. The
-container has no media libraries, so the decode step is a deterministic
-fake clearly marked as such (`_fake_decode`), while the Spark-side
-plumbing — binary column synthesis, Arrow-batched `mapInPandas`, explicit
-output schema, batch shape — is real and tested.
+decode step probes for a real decoder (PIL) at runtime and uses it for
+any payload that parses as an image; payloads that don't (including
+every synthetic md5 payload below) fall back to a deterministic fake
+clearly marked as such (`_fake_decode`). The Spark-side plumbing —
+binary column synthesis, Arrow-batched `mapInPandas`, explicit output
+schema, batch shape — is identical on both paths, so shipping media
+libs into the executor image is a zero-code-change upgrade.
 
 The synthetic payload is `unhex(md5(text))` (16 bytes), so the DuckDB
 oracle can verify the decode metadata end-to-end: both sides derive
@@ -42,11 +45,13 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
-    """STUB for a real image decode (no media libs in this container).
+    """Deterministic synthetic decode (fallback when no media lib is
+    present or the payload is not a parseable image).
 
-    Deterministic fake: metadata derived from the payload's hex digest —
-    a real implementation would call PIL/ffmpeg here and return true
-    dimensions. The Spark plumbing around it is production-shaped.
+    Metadata derived from the payload's hex digest — the real
+    implementation is `decode_payload`, which calls PIL when importable
+    and returns true dimensions. The Spark plumbing is identical around
+    both.
     """
     hexd = payload.hex()
     width = ord(hexd[0])
@@ -55,9 +60,53 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return len(payload), width, height, fmt
 
 
+_PIL_IMAGE = None
+_PIL_PROBED = False
+
+
+def _pil_image():
+    """Probe once per process for a real image decoder (executor-side:
+    each Python worker probes its own interpreter)."""
+    global _PIL_IMAGE, _PIL_PROBED
+    if not _PIL_PROBED:
+        try:
+            from PIL import Image as _img
+
+            _PIL_IMAGE = _img
+        except ImportError:
+            _PIL_IMAGE = None
+        _PIL_PROBED = True
+    return _PIL_IMAGE
+
+
+def decode_payload(payload: bytes) -> tuple[int, int, int, str]:
+    """(byte_len, width, height, format) for an opaque media payload.
+
+    Real decode via PIL when it is importable AND the bytes parse as an
+    image; the deterministic synthetic fallback otherwise. Both paths
+    return the same shape, so the mapInPandas schema never changes with
+    the environment.
+    """
+    img_mod = _pil_image()
+    if img_mod is not None:
+        import io
+
+        try:
+            with img_mod.open(io.BytesIO(payload)) as im:
+                return (
+                    len(payload),
+                    int(im.width),
+                    int(im.height),
+                    (im.format or "unknown").lower(),
+                )
+        except Exception:  # noqa: BLE001 — not an image: synthetic fallback
+            pass
+    return _fake_decode(payload)
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        meta = pdf["payload"].map(_fake_decode)
+        meta = pdf["payload"].map(decode_payload)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -139,7 +188,7 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            _, w, h, _ = _fake_decode(payload)
+            _, w, h, _ = decode_payload(payload)
             if w >= h:
                 dw, dh = RESIZE_BOX, (RESIZE_BOX * h) // w
             else:

@@ -512,3 +512,40 @@ def test_components_chain_rides_capped_source(spark, tmp_path):
     # losers (the 10_000+i twins) are gone; all originals survive
     assert not any(10_000 + i in surv for i in range(10))
     assert all(i in surv for i in range(n))
+
+
+def test_decode_payload_fallback_on_non_image_bytes():
+    """Non-image bytes take the deterministic synthetic path regardless
+    of whether a real decoder is installed — both paths share one output
+    shape, so the environment never changes the mapInPandas schema."""
+    from app_fastdata_spark.operators.multimodal import (
+        _fake_decode,
+        decode_payload,
+    )
+
+    payload = bytes.fromhex("0123456789abcdef" * 2)  # md5-shaped, not an image
+    got = decode_payload(payload)
+    assert got == _fake_decode(payload)
+    byte_len, width, height, fmt = got
+    assert byte_len == 16
+    assert isinstance(width, int) and isinstance(height, int)
+    assert isinstance(fmt, str)
+
+
+def test_decode_payload_real_image_via_pil():
+    """Skipped unless PIL ships in the image: a real PNG decodes to its
+    true dimensions through the same decode_payload entry point."""
+    import pytest
+
+    pytest.importorskip("PIL.Image")
+    import io
+
+    from PIL import Image
+
+    from app_fastdata_spark.operators.multimodal import decode_payload
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    byte_len, width, height, fmt = decode_payload(payload)
+    assert (byte_len, width, height, fmt) == (len(payload), 37, 21, "png")
