@@ -8,7 +8,6 @@ src→user_id, dest→event_type, ts→ts, size→value.
 
 from __future__ import annotations
 
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -62,20 +61,17 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-_TZ_PINNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver supplies its own SparkSession; timestamp semantics (naive
     # parquet values vs the DuckDB oracle) are only correct under UTC, so
-    # pin it defensively — ONCE per session, not per call (a global
-    # conf.set on every builder call is hidden session mutation). Instant-
-    # based predicates (recency, ts_ns prunes) are additionally
-    # tz-independent by construction, so a harness overriding the tz
-    # later cannot shift them.
-    if spark not in _TZ_PINNED:
+    # RE-pin on every load (idempotent — conf.set to the current value is
+    # a no-op): a harness that flips the session tz between query builds
+    # would otherwise shift string→timestamp literal casts (e.g. TPC-H
+    # date filters) relative to the oracle. Instant-based predicates
+    # (recency, ts_ns prunes) are additionally tz-independent by
+    # construction.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        _TZ_PINNED.add(spark)
     path = f"{sf_dir}/{name}.parquet"
     if name in SCHEMAS:
         df = spark.read.schema(SCHEMAS[name]).parquet(path)

@@ -399,23 +399,30 @@ def test_size_based_retention_partition_drop(spark, sf_dir, tmp_path):
 
 def test_recency_is_timezone_independent(spark, sf_dir):
     """A harness that re-pins a non-UTC session timezone AFTER the
-    DataFrames are built must not shift the recency cutoff: it is an
-    epoch literal, and load_table's defensive UTC pin is once-per-session
-    so it won't silently mask the override either."""
+    DataFrames are built must not shift results: recency cutoffs are
+    epoch literals (tz-independent even if the override sticks), and a
+    rebuild through load_table re-pins UTC, so date-literal casts (the
+    TPC-H filters) parse identically to the oracle too."""
     from app_fastdata_spark.operators.serving import top_users
+    from app_fastdata_spark.operators.tpch import tpch_q6_forecast_revenue
 
     base = [(r.src, r.counts) for r in top_users(spark, sf_dir).collect()]
     assert base  # window is non-empty at every SF
+    base_rev = tpch_q6_forecast_revenue(spark, sf_dir).collect()[0].revenue
     df = top_users(spark, sf_dir)
     old = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         shifted = [(r.src, r.counts) for r in df.collect()]
         rebuilt = [(r.src, r.counts) for r in top_users(spark, sf_dir).collect()]
+        rebuilt_rev = tpch_q6_forecast_revenue(spark, sf_dir).collect()[0].revenue
+        # rebuilding through load_table restored the UTC pin
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert shifted == base
     assert rebuilt == base
+    assert rebuilt_rev == base_rev
 
 
 def test_pandas_shingler_matches_jvm_shingler(spark, sf_dir):
