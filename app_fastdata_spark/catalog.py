@@ -27,7 +27,7 @@ def _load_all() -> None:
     )
     from .ml import kmeans, kmeans_udtf  # noqa: F401
     from .operators import multimodal  # noqa: F401
-    from .plans import skew  # noqa: F401
+    from .plans import bucketing, skew  # noqa: F401
     from .sources import generator  # noqa: F401
     from .streaming import stateful  # noqa: F401
 
@@ -58,11 +58,13 @@ DRIVER_PRIORITY: list[str] = [
     # --- similarity.py centroid derivation changes this round ---
     "dedup_embedding_cosine_bucketed",
     "sim_ann_lsh",
-    # --- multimodal decode gains a real-decoder probe this round ---
+    # --- multimodal decode gains a real-decoder probe this round
+    #     (frame_sample/embed don't touch decode_payload; their r2 rows
+    #     stand, freeing window slots for new registrations) ---
     "multimodal_decode",
-    "multimodal_frame_sample",
     "multimodal_resize",
-    "multimodal_embed",
+    # --- new this round ---
+    "bucketed_colocated_join",
     # --- stale: green in round 1 only, unchanged since — re-evidence ---
     "session_aggregate",
     "session_counts",

@@ -49,3 +49,46 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_b")
+
+
+def test_registered_bucketed_join_is_exchange_free(spark, sf_dir):
+    """The driver-visible bucketed_colocated_join: the fact-dim join
+    itself must carry NO Exchange on either side (the shuffle happened
+    once, at bucketed-write time); only the dim-sized final rollup may
+    shuffle."""
+    from app_fastdata_spark.plans.bucketing import colocated_fact_dim
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_fact_dim(spark, sf_dir)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_query_matches_unbucketed(spark, sf_dir):
+    """Bucketing is a physical layout choice, never a semantic one: the
+    registered rollup equals the same plan over plain (unbucketed)
+    reads."""
+    from app_fastdata_spark.catalog import queries
+    from app_fastdata_spark.tables import load_table
+
+    got = [tuple(r) for r in queries()["bucketed_colocated_join"](spark, sf_dir).collect()]
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.min("event_type").alias("fav_type"))
+    want = [
+        tuple(r)
+        for r in ev.join(dim, "user_id")
+        .groupBy("fav_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("fav_type")
+        .collect()
+    ]
+    assert got == want
