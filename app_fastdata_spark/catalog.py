@@ -65,6 +65,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_resize",
     # --- new this round ---
     "bucketed_colocated_join",
+    "dedup_embedding_cosine_bucketed_loose",
     # --- stale: green in round 1 only, unchanged since — re-evidence ---
     "session_aggregate",
     "session_counts",

@@ -181,7 +181,9 @@ def _ivf_stride(n_vec: int) -> int:
     return max(1, math.isqrt(n_vec))
 
 
-def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine_bucketed(
+    spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_COSINE
+) -> DataFrame:
     """Near-dup pairs via IVF-cell bucketing with per-cell vectorized
     refine — the 100 TB path (the all-pairs anchor is a nested-loop
     cross product, O(N²)).
@@ -247,7 +249,7 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         for s in range(0, len(ids), _GEMM_BLOCK):
             block = slice(s, s + _GEMM_BLOCK)
             G = np.round(En[block] @ En.T, 9)
-            bi, bj = np.nonzero(G >= NEAR_DUP_COSINE)
+            bi, bj = np.nonzero(G >= threshold)
             gi = bi + s
             keep = ids[gi] < ids[bj]
             out_a.append(ids[gi][keep])
@@ -268,9 +270,8 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-register(
-    "dedup_embedding_cosine_bucketed",
-    sql=f"""
+def _bucketed_neardup_sql(threshold: float) -> str:
+    return f"""
     WITH stride AS (
       -- mirror _ivf_stride: ⌊√N⌋ centroids (isqrt == FLOOR(SQRT) for
       -- any N a test SF reaches; doubles are exact to 2^53)
@@ -297,9 +298,36 @@ register(
     FROM assign a JOIN assign b
       ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
     WHERE round({_sql_cosine("a.embedding", "b.embedding")}, 9)
-          >= {NEAR_DUP_COSINE}
-    """,
+          >= {threshold}
+    """
+
+
+register(
+    "dedup_embedding_cosine_bucketed", sql=_bucketed_neardup_sql(NEAR_DUP_COSINE)
 )(dedup_embedding_cosine_bucketed)
+
+
+# The synthetic embeddings carry no true near-dups (max pairwise cosine
+# ~0.5 at sf0.01), so the production-threshold query is oracle-green on
+# an EMPTY result. This looser twin exists to make the driver evidence
+# substantive: same plan, threshold where the corpus has real pairs, so
+# the value-hash check covers non-trivial output.
+SIMILAR_PAIR_COSINE = 0.4
+
+
+def dedup_embedding_cosine_bucketed_loose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_embedding_cosine_bucketed at a merely-similar threshold."""
+    return dedup_embedding_cosine_bucketed(
+        spark, sf_dir, threshold=SIMILAR_PAIR_COSINE
+    )
+
+
+register(
+    "dedup_embedding_cosine_bucketed_loose",
+    sql=_bucketed_neardup_sql(SIMILAR_PAIR_COSINE),
+)(dedup_embedding_cosine_bucketed_loose)
 
 
 # --- random-hyperplane LSH ANN -------------------------------------------
