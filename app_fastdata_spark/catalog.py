@@ -95,10 +95,13 @@ DRIVER_PRIORITY: list[str] = [
     "users_cohort_setops",
     "doc_length_percentiles",
     "part_cheapest_by_type",
-    "doc_stratified_sample",
     "events_daily_moving_avg",
-    "events_approx_stats",
     "events_props_k_buckets",
+    # doc_stratified_sample / events_approx_stats are no_oracle-by-design:
+    # a re-run only re-records a rows-only row, worth less than a fresh
+    # oracle-green row for the two new curation ops below.
+    "doc_contamination",
+    "doc_repetition",
     "doc_token_stats",
     "doc_quality",
 ]

@@ -267,3 +267,160 @@ register(
     QUALIFY rank <= {TOP_TERMS_K}
     """,
 )(doc_top_terms)
+
+
+# Benchmark-contamination check: corpus documents sharing >= K distinct
+# 3-token shingles with any "benchmark" document (here: doc_id < 20 —
+# the stand-in for a held-out eval set shipped alongside the corpus).
+# The decisive LLM-curation op: train/test overlap silently inflates
+# evals, and at 100 TB the benchmark side is tiny — so it broadcasts,
+# and the corpus side is one scan + one shuffle on (doc, bench).
+CONTAM_BENCH_MAX_ID = 20
+CONTAM_MIN_SHARED = 3
+
+
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(corpus doc, benchmark doc, shared-shingle count, overlap frac)
+    for every pair with >= CONTAM_MIN_SHARED shared distinct shingles.
+
+    Plan shape: the exploded benchmark shingle set (20 docs) broadcasts;
+    the corpus explodes once and equi-joins on the shingle string; the
+    (doc_id, bench_id) rollup is the only shuffle. Per-doc shingles are
+    already distinct (array_distinct in the shingler), so count(*) after
+    the join IS the distinct shared count.
+    """
+    from .dedup import doc_shingles
+
+    sh = doc_shingles(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID).select(
+        F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s")
+    )
+    corp = sh.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID).select(
+        "doc_id", F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("s"),
+    )
+    return (
+        corp.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "bench_id", "n_shingles")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+register(
+    "doc_contamination",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+             )) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id, unnest(shingles) AS s FROM sh
+      WHERE doc_id < {CONTAM_BENCH_MAX_ID}
+    ),
+    corp AS (
+      SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+      FROM sh WHERE doc_id >= {CONTAM_BENCH_MAX_ID}
+    )
+    SELECT c.doc_id, b.bench_id, count(*) AS n_shared,
+           round(count(*) * 1.0 / c.n_shingles, 6) AS overlap_frac
+    FROM corp c JOIN bench b USING (s)
+    GROUP BY c.doc_id, b.bench_id, c.n_shingles
+    HAVING count(*) >= {CONTAM_MIN_SHARED}
+    """,
+)(doc_contamination)
+
+
+# Gopher-style repetition scoring: the fraction of bigrams taken by the
+# single most common bigram, plus the duplicate-token fraction — the
+# standard "remove boilerplate/spam" quality rule for training corpora.
+REPETITION_FLAG_FRAC = 0.1
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics over ALL bigram occurrences (not
+    distinct — repetition is the point). Explode → count by (doc, gram)
+    → per-doc max: two shuffles on doc-keyed data, no Python in the
+    path."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    n_bi = F.size("toks") - 1
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n_bi),
+        F.slice("toks", 2, n_bi),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    grams = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.explode(bigrams).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "n_tokens", "n_distinct", "g").agg(
+        F.count("*").alias("c")
+    )
+    n_bigrams = F.col("n_tokens") - 1
+    return (
+        counts.groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.max("c").alias("top_bigram_n"))
+        .select(
+            "doc_id",
+            n_bigrams.alias("n_bigrams"),
+            "top_bigram_n",
+            F.round(F.col("top_bigram_n") / n_bigrams, 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "dup_token_frac"
+            ),
+            (F.col("top_bigram_n") / n_bigrams > REPETITION_FLAG_FRAC).alias(
+                "is_repetitive"
+            ),
+        )
+    )
+
+
+register(
+    "doc_repetition",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             toks[i] || ' ' || toks[i + 1] AS g
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, n_tokens, n_distinct, g, count(*) AS c
+      FROM bg GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id,
+           CAST(n_tokens - 1 AS INTEGER) AS n_bigrams,
+           max(c) AS top_bigram_n,
+           round(max(c) * 1.0 / (n_tokens - 1), 6) AS top_bigram_frac,
+           round(1 - n_distinct * 1.0 / n_tokens, 6) AS dup_token_frac,
+           max(c) * 1.0 / (n_tokens - 1) > {REPETITION_FLAG_FRAC}
+             AS is_repetitive
+    FROM cnt GROUP BY doc_id, n_tokens, n_distinct
+    """,
+)(doc_repetition)
