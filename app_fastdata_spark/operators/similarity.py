@@ -31,7 +31,6 @@ from ..tables import load_table
 DIM = 64
 N_QUERIES = 20          # vec_id < 20 are the query set
 TOP_K = 5
-IVF_CENTROID_STRIDE = 50   # vec_id % stride == 0 → coarse centroid
 IVF_NPROBE = 2
 
 
@@ -485,9 +484,12 @@ register(
 # --- IVF-style ANN --------------------------------------------------------
 
 def _cells(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Deterministic coarse quantizer: every `stride`-th vector is a
-    centroid; every vector is assigned to its nearest centroid by cosine."""
-    centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+    """Deterministic coarse quantizer: every ⌊√N⌋-th vector is a centroid
+    (≈√N cells — a fixed stride would grow the broadcast and the
+    assignment cross-join linearly with N); every vector is assigned to
+    its nearest centroid by cosine."""
+    stride = _ivf_stride(emb.count())
+    centroids = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
     )
     scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
@@ -539,9 +541,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "sim_ann_ivf",
     sql=f"""
-    WITH centroids AS (
+    WITH stride AS (
+      SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s
+      FROM embeddings
+    ),
+    centroids AS (
       SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
-      WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+      WHERE vec_id % (SELECT s FROM stride) = 0
     ),
     assign AS (
       SELECT vec_id, embedding, cell_id FROM (
