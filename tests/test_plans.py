@@ -73,6 +73,8 @@ def test_scan_prunes_columns(spark, sf_dir):
         "tpch_q1_pricing_summary",
         "tpch_q3_top_orders",
         "tpch_q5_region_revenue",
+        "doc_repetition",
+        "bucketed_colocated_join",
     ],
 )
 def test_hot_path_has_no_python_eval(spark, sf_dir, name):
@@ -89,7 +91,7 @@ def test_hot_path_has_no_python_eval(spark, sf_dir, name):
 @pytest.mark.parametrize(
     "name",
     ["dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "sim_ann_lsh",
-     "dedup_embedding_cosine_bucketed"],
+     "dedup_embedding_cosine_bucketed", "doc_contamination"],
 )
 def test_vectorized_paths_never_row_at_a_time(spark, sf_dir, name):
     """Queries with a deliberate Python stage must use the Arrow-
@@ -222,3 +224,12 @@ def test_new_join_classes_plan_shapes(spark, sf_dir):
     for p in (q13, q15, q16, q21, q22):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "CartesianProduct" not in p
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast: at 100 TB the corpus
+    side is the scan and the eval set is tiny — a shuffle join here
+    would move the whole exploded corpus."""
+    plan = plan_of(spark, sf_dir, "doc_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
