@@ -419,19 +419,28 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across Spark and DuckDB and the LSH query is
     hash-checkable (round-1 used xxhash64 and was rows-only). The per-
     function "permutation" prepends the function index to the hashed
-    string (distinct inputs fully decorrelate the orderings)."""
+    string (distinct inputs fully decorrelate the orderings).
+
+    Shape: explode the shingles and take the 16 per-function minima as
+    ONE hash aggregate — md5 runs in whole-stage codegen (the earlier
+    16× array_min(transform(...)) form paid the interpreted-HOF tax on
+    every array: 6.8 s → 1.3 s at sf0.1), the partial min combines
+    map-side, and the single shuffle carries 16 fixed-width strings per
+    doc."""
     sh = doc_shingles(spark, sf_dir)
-
-    def _minhash(i: int) -> Column:
-        # closure, NOT a default-arg lambda — pyspark would read a 2-arg
-        # lambda as (element, index) and silently drop the seed.
-        def h(s: Column) -> Column:
-            return F.md5(F.concat(F.lit(f"{i}|"), s))
-
-        return F.array_min(F.transform(F.col("shingles"), h))
-
-    sig = F.array(*[_minhash(i) for i in range(MINHASH_K)])
-    return sh.select("doc_id", sig.alias("sig"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return (
+        ex.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias("sig"),
+        )
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,25 +532,53 @@ def _bitstr_expr(var: str, locate_fn: str) -> str:
     return "concat(" + ", ".join(digit_bits(i) for i in range(1, 17)) + ")"
 
 
+def _py_simhash(text: pd.Series) -> pd.Series:
+    """Vectorized SimHash twin of the expression form: md5 digests via
+    hashlib (bit-identical to the engines' md5), bit votes via numpy
+    unpackbits (MSB-first — exactly the hex-digit→4-bit concatenation
+    the oracle builds). Tokenization follows the `_py_shingles` parity
+    chain: lower → strip spaces only → ASCII \\s+ split → first-
+    occurrence distinct."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"\s+", re.ASCII)
+    md5 = hashlib.md5
+    cache: dict[str, bytes] = {}  # token vocab is zipfian: mostly hits
+    out = []
+    for t in text:
+        toks = dict.fromkeys(ws.split(t.lower().strip(" ")))
+        digs = []
+        for tok in toks:
+            d = cache.get(tok)
+            if d is None:
+                d = cache[tok] = md5(tok.encode("utf-8")).digest()[:8]
+            digs.append(d)
+        bits = np.unpackbits(
+            np.frombuffer(b"".join(digs), dtype=np.uint8).reshape(-1, 8), axis=1
+        )
+        votes = (bits.astype(np.int32) * 2 - 1).sum(axis=0)
+        out.append("".join("1" if v > 0 else "0" for v in votes))
+    return pd.Series(out)
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc as a 64-char bit STRING: for each bit
     position, sum ±1 votes over the distinct tokens' md5 bits; sign →
-    bit. Pure projection (array higher-order functions, no shuffle); the
-    string representation is what both engines band and compare."""
+    bit. One Arrow-vectorized pass per doc — the earlier 64-aggregate
+    expression form looked like a single projection but Catalyst's
+    projection collapse re-inlined the md5 bit-string transform into
+    EVERY vote, evaluating ~16 md5 calls × 64 votes per token
+    (measured 255 s at sf0.1 vs ~1 s for this form; the DuckDB oracle
+    keeps the expression form, so signatures stay cross-checked
+    bit-for-bit)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(tokens_col(F.col("text")))
-    with_bits = docs.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") > 0
-    ).withColumn("bitstrs", F.expr(f"transform(toks, t -> {_bitstr_expr('t', 'locate')})"))
-    votes = [
-        F.expr(
-            f"aggregate(bitstrs, 0, (acc, s) -> "
-            f"acc + (CASE WHEN substr(s, {b + 1}, 1) = '1' THEN 1 ELSE -1 END))"
-        )
-        for b in range(SIMHASH_BITS)
-    ]
-    sim = F.concat(*[F.when(v > 0, F.lit("1")).otherwise(F.lit("0")) for v in votes])
-    return with_bits.select("doc_id", sim.alias("simhash"))
+    sim = F.pandas_udf(_py_simhash, "string")
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", sim(F.col("text")).alias("simhash")
+    )
 
 
 HAMMING_MAX = 6
@@ -554,31 +591,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Hamming check ≤ HAMMING_MAX. Oracle-checked (md5-derived bit
     strings match DuckDB exactly)."""
     sigs = simhash_signatures(spark, sf_dir)
+    # Each 16-bit band is parsed ONCE per doc into an int: the band join
+    # keys on the int, and Hamming is 4 × bit_count(xor) in pure integer
+    # codegen. The previous form compared the 64-char strings with a
+    # 64-term substr CASE per PAIR — a stop-band bucket of ~1.6k docs at
+    # sf0.1 makes 2.4M candidate pairs, and that expression measured
+    # 262 s vs ~1 s for the xor form (the DuckDB oracle keeps the
+    # per-character sum, so values stay cross-checked).
+    wcols = [
+        F.conv(F.substring("simhash", b * _BAND_LEN + 1, _BAND_LEN), 2, 10)
+        .cast("long")
+        .alias(f"w{b}")
+        for b in range(SIMHASH_BANDS)
+    ]
+    with_ints = sigs.select("doc_id", *wcols)
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.substring(F.col("simhash"), b * _BAND_LEN + 1, _BAND_LEN).alias("bh"),
-            )
+            F.struct(F.lit(b).alias("band"), F.col(f"w{b}").alias("bh"))
             for b in range(SIMHASH_BANDS)
         ]
     )
-    buckets = sigs.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
-        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    w_names = [f"w{b}" for b in range(SIMHASH_BANDS)]
+    buckets = with_ints.select(
+        "doc_id", *w_names, F.explode(bands).alias("b")
+    ).select(
+        "doc_id", *w_names,
+        F.col("b.band").alias("band"), F.col("b.bh").alias("bh"),
     )
     a, b = buckets.alias("a"), buckets.alias("b")
-    # Hamming distance between the 64-char bit strings: explicit 64-term
-    # integer sum (NOT a sum() aggregate) so the column stays INTEGER in
-    # DuckDB too (sum() would widen to HUGEINT → float64 in the driver).
-    ham = F.expr(
-        "("
-        + " + ".join(
-            f"(CASE WHEN substr(a.simhash, {i}, 1) <> substr(b.simhash, {i}, 1) "
-            f"THEN 1 ELSE 0 END)"
-            for i in range(1, SIMHASH_BITS + 1)
-        )
-        + ")"
-    )
+    # explicit 4-term integer sum (NOT a sum() aggregate) so the column
+    # stays INTEGER in DuckDB too (sum() would widen to HUGEINT →
+    # float64 in the driver hash).
+    ham = sum(
+        F.bit_count(F.col(f"a.{w}").bitwiseXOR(F.col(f"b.{w}")))
+        for w in w_names
+    ).cast("int")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))

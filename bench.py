@@ -40,10 +40,15 @@ HEADLINE = [
     # capped variant is the scale default (stop-shingle cap bounds the
     # worst-case bucket); exact jaccard stays as the correctness anchor
     "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_cosine_bucketed",
     "sim_topk_cosine",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "doc_token_stats",
+    "doc_contamination",
+    "doc_repetition",
     "asof_last_purchase",
     "range_join_price_bands",
     "events_rollup",
