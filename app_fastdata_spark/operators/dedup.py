@@ -343,6 +343,23 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     labels = edges.select("u").distinct().withColumn("component", F.col("u"))
+
+    def pointer_jump(lab: DataFrame) -> DataFrame:
+        # A label is itself a node id, so look up ITS label and take the
+        # smaller — halves each node's distance to the root. The looked-up
+        # label is always in the same component (invariant: label(u) is a
+        # node reachable from u), so jumping any number of times is safe.
+        jump = lab.select(
+            F.col("u").alias("component"), F.col("component").alias("jumped")
+        )
+        return lab.join(jump, "component", "left").select(
+            "u",
+            F.least("component", F.coalesce("jumped", "component")).alias(
+                "component"
+            ),
+        )
+
+    prev_digest: int | None = None
     for it in range(MAX_CC_ITERS):
         prop = edges.join(
             labels.withColumnRenamed("u", "v"), "v"
@@ -352,31 +369,34 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .groupBy("u")
             .agg(F.min("component").alias("component"))
         )
-        # pointer jump: a label is itself a node id, so look up ITS label
-        # and take the smaller — halves each node's distance to the root.
-        jump = stepped.select(
-            F.col("u").alias("component"), F.col("component").alias("jumped")
-        )
-        new_labels = (
-            stepped.join(jump, "component", "left")
-            .select(
-                "u",
-                F.least(
-                    "component", F.coalesce("jumped", "component")
-                ).alias("component"),
+        # two jumps per round: distance to root shrinks ~4x per iteration
+        # for chain-shaped components, and each extra jump is one cheap
+        # join vs a whole extra round's fixed job overhead.
+        new_labels = pointer_jump(pointer_jump(stepped)).localCheckpoint()
+        # Convergence fast-path: labels only ever decrease, so the label
+        # multiset is unchanged iff its order-insensitive digest is. Equal
+        # digests are CONFIRMED with an exact join before stopping, so a
+        # 64-bit collision can only cost one wasted check, never a wrong
+        # early stop. This replaces a per-iteration join+count job with a
+        # single agg over the just-checkpointed rows.
+        digest = new_labels.agg(
+            # decimal sum: ANSI mode forbids long overflow, and decimal(38)
+            # holds any realistic row count × 2^64 exactly
+            F.sum(F.xxhash64("u", "component").cast("decimal(38,0)")).alias("d")
+        ).first()[0]
+        if digest == prev_digest:
+            changed = (
+                new_labels.withColumnRenamed("component", "new")
+                .join(labels, "u")
+                .filter(F.col("new") != F.col("component"))
+                .count()
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.withColumnRenamed("component", "new")
-            .join(labels, "u")
-            .filter(F.col("new") != F.col("component"))
-            .count()
-        )
+            if changed == 0:
+                labels = new_labels
+                CC_STATS["iters"] = it + 1
+                break
+        prev_digest = digest
         labels = new_labels
-        if changed == 0:
-            CC_STATS["iters"] = it + 1
-            break
     else:
         # silent partial convergence would split components downstream
         raise RuntimeError(
