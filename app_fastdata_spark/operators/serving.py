@@ -50,18 +50,25 @@ _SQL_RECENCY = (
 def events_in_window(
     spark: SparkSession, sf_dir: str, as_of: str = AS_OF, window: int = WINDOW_SECONDS
 ) -> DataFrame:
-    """Events scan pre-pruned to the recency window via the RAW ts_ns long
-    column — a plain comparison the parquet reader can use for row-group
-    pruning (the µs-converted ts can't push down; see tables.load_table).
-    Equivalent to the post-agg second_ts filter because AS_OF is
-    second-aligned: date_trunc(s, ts) >= cutoff ⟺ ts >= cutoff."""
+    """Events scan pre-pruned to the recency window with the cutoff
+    applied to BOTH ts forms: the raw column differs by testdata layout
+    (tables.load_table — TimestampType ts under the µs layout, long
+    ts_ns under the ns layout), and a predicate only reaches the parquet
+    reader on the raw column, so expressing the same second-aligned
+    cutoff both ways guarantees row-group pruning either way; the
+    redundant twin folds into the same codegen filter. Equivalent to the
+    post-agg second_ts filter because AS_OF is second-aligned:
+    date_trunc(s, ts) >= cutoff ⟺ ts >= cutoff."""
     from datetime import datetime, timezone
 
     from ..tables import load_table
 
     dt = datetime.strptime(as_of, "%Y-%m-%d %H:%M:%S").replace(tzinfo=timezone.utc)
-    cutoff_ns = (int(dt.timestamp()) - window) * 1_000_000_000
-    return load_table(spark, sf_dir, "events").filter(F.col("ts_ns") >= cutoff_ns)
+    cutoff_s = int(dt.timestamp()) - window
+    return load_table(spark, sf_dir, "events").filter(
+        (F.col("ts_ns") >= cutoff_s * 1_000_000_000)
+        & (F.col("ts") >= F.timestamp_seconds(F.lit(cutoff_s)))
+    )
 
 
 # GetTopUsers (GetTopUsers.java:25-38): recency filter over events_by_second,

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..operators.enrich import with_cluster
 from ..params import SESSION_GAP_SECONDS
-from ..tables import SCHEMAS
+from ..tables import SCHEMAS, convert_raw_events, events_ts_unit
 
 RETENTION = "180 seconds"  # run.sh:146 historyseconds (demo config)
 
@@ -53,7 +53,7 @@ def events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return convert_raw_events(raw, events_ts_unit(f"{sf_dir}/events.parquet"))
 
 
 def rate_events_stream(spark: SparkSession, rows_per_second: int = 20000) -> DataFrame:

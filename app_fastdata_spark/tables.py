@@ -8,8 +8,10 @@ src→user_id, dest→event_type, ts→ts, size→value.
 
 from __future__ import annotations
 
+import functools
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLE_NAMES = [
@@ -25,23 +27,59 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-# Explicit schemas (mirrors the reference's compiled-DDL catalog discipline,
-# db/ddl.sql:62-73 via run.sh:102-107 — schemas are declared, not inferred).
-SCHEMAS: dict[str, T.StructType] = {
-    # ts is physically TIMESTAMP(NANOS) — no Spark type for that, so it is
-    # read as long (nanosAsLong) and converted to a µs timestamp in
-    # load_table. The testdata carries µs-precision values, so the
-    # ns→µs integer division is lossless.
-    "events": T.StructType(
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
         [
             T.StructField("event_id", T.LongType(), False),
-            T.StructField("ts", T.LongType(), False),
+            T.StructField("ts", ts_type, False),
             T.StructField("user_id", T.LongType(), False),
             T.StructField("event_type", T.StringType(), False),
             T.StructField("value", T.DoubleType(), False),
             T.StructField("props", T.StringType(), True),
         ]
-    ),
+    )
+
+
+# Raw read schema: ts as a plain long. Works for BOTH physical layouts the
+# driver has shipped — TIMESTAMP(NANOS) (read as long ns via the
+# nanosAsLong legacy conf) and TIMESTAMP(MICROS)/int64 (the parquet
+# reader hands back the raw µs int64) — the unit is discovered from the
+# file footer by events_ts_unit, never assumed.
+_EVENTS_RAW = _events_schema(T.LongType())
+_EVENTS_TS = _events_schema(T.TimestampType())
+
+
+@functools.lru_cache(maxsize=None)
+def events_ts_unit(path: str) -> str:
+    """'us' when the events parquet stores ts as a real µs timestamp
+    (driver layout as of round 4), 'ns' for the int64/TIMESTAMP(NANOS)
+    nanosecond layout (rounds 1-3). Footer-only probe (no data read),
+    cached per path."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = str(pq.read_schema(path).field("ts").type)
+    except Exception:
+        return "ns"
+    return "us" if t == "timestamp[us]" else "ns"
+
+
+def convert_raw_events(df: DataFrame, unit: str) -> DataFrame:
+    """Raw long-ts events frame → µs TimestampType ``ts``. Streaming-safe
+    (pure projection; the unit comes from a driver-side footer probe of
+    the source dir's events.parquet)."""
+    if unit == "us":
+        return df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# Explicit schemas (mirrors the reference's compiled-DDL catalog discipline,
+# db/ddl.sql:62-73 via run.sh:102-107 — schemas are declared, not inferred).
+SCHEMAS: dict[str, T.StructType] = {
+    # raw long-ts form for streaming file sources (convert with
+    # convert_raw_events); batch load_table picks the layout-native
+    # schema itself.
+    "events": _EVENTS_RAW,
     "documents": T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -73,20 +111,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # ts_ns (long nanos) is kept next to ts in BOTH layouts so every
+        # consumer sees one schema. Pushdown differs by layout: under µs
+        # the native TimestampType ts is the raw scan column (timestamp
+        # predicates push down; ts_ns is derived), under ns the raw long
+        # IS ts_ns (long predicates push down; ts is derived). Recency
+        # filters apply both forms so one always reaches the scan
+        # (serving.events_in_window).
+        if events_ts_unit(path) == "us":
+            df = spark.read.schema(_EVENTS_TS).parquet(path)
+            return df.withColumn("ts_ns", F.unix_micros("ts") * 1000)
+        df = spark.read.schema(_EVENTS_RAW).parquet(path)
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     if name in SCHEMAS:
-        df = spark.read.schema(SCHEMAS[name]).parquet(path)
-        if name == "events":
-            from pyspark.sql import functions as F
-
-            # Keep the raw nanos value as ts_ns: predicates on the
-            # converted timestamp can't reach the parquet reader (the
-            # ns→µs conversion wraps the column), but a plain long
-            # comparison on ts_ns pushes down to row-group pruning —
-            # recency filters use it (serving.events_in_window).
-            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        return df
+        return spark.read.schema(SCHEMAS[name]).parquet(path)
     return spark.read.parquet(path)
 
 

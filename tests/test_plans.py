@@ -25,12 +25,18 @@ RECENCY_QUERIES = ["top_users", "top_dests", "events_by_cluster_window"]
 
 @pytest.mark.parametrize("name", RECENCY_QUERIES)
 def test_recency_filter_reaches_scan(spark, sf_dir, name):
-    """The P6 recency cutoff must appear as a raw-long ts predicate in the
-    events scan (tables.load_table keeps ts_ns exactly for this)."""
+    """The P6 recency cutoff must reach the events scan as a raw-column
+    predicate — a pushed timestamp filter under the µs testdata layout,
+    or a raw-long ts comparison under the ns layout (events_in_window
+    emits both; only the raw-column one survives to the scan)."""
     plan = plan_of(spark, sf_dir, name)
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "events" in l]
     assert scans, plan
-    assert any(re.search(r"ts#\d+L >= \d{15,}", s) for s in scans), scans
+    assert any(
+        re.search(r"ts#\d+L >= \d{15,}", s)  # ns layout: raw long prune
+        or re.search(r"GreaterThanOrEqual\(ts,", s)  # µs layout: pushed ts
+        for s in scans
+    ), scans
 
 
 @pytest.mark.parametrize(

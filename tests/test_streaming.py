@@ -260,14 +260,19 @@ def test_streaming_dedup_parity(spark, sf_dir, tmp_path):
     event_id survives exactly once, values intact."""
     import shutil
 
-    from app_fastdata_spark.tables import SCHEMAS, load_table
+    from app_fastdata_spark.tables import (
+        SCHEMAS,
+        convert_raw_events,
+        events_ts_unit,
+        load_table,
+    )
 
     src = tmp_path / "dup_src"
     src.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
     raw = spark.readStream.schema(SCHEMAS["events"]).parquet(str(src))
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = convert_raw_events(raw, events_ts_unit(f"{sf_dir}/events.parquet"))
     got = P.run_to_memory(P.dedup_stream(stream), "dedup_parity")
     want = load_table(spark, sf_dir, "events").drop("ts_ns")
     assert got.count() == want.count()
@@ -320,7 +325,12 @@ def test_serving_store_multibatch_upsert(spark, sf_dir, tmp_path):
     count; final store == batch view over all events."""
     from app_fastdata_spark.operators.views import events_by_second
     from app_fastdata_spark.streaming import serving_store as S
-    from app_fastdata_spark.tables import SCHEMAS, load_table
+    from app_fastdata_spark.tables import (
+        SCHEMAS,
+        convert_raw_events,
+        events_ts_unit,
+        load_table,
+    )
 
     import glob as _glob
     import shutil
@@ -335,11 +345,11 @@ def test_serving_store_multibatch_upsert(spark, sf_dir, tmp_path):
         out = tmp_path / f"half_{name}"
         half.coalesce(1).write.parquet(str(out))
         shutil.copy(_glob.glob(f"{out}/part-*.parquet")[0], src / f"{name}.parquet")
-    stream = (
+    stream = convert_raw_events(
         spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", "1")
-        .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .parquet(str(src)),
+        events_ts_unit(f"{sf_dir}/events.parquet"),
     )
     store = str(tmp_path / "store")
     q = S.start_per_second_store(stream, store)
