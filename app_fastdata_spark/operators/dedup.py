@@ -294,7 +294,9 @@ _SQL_COMPONENTS = """
 MAX_CC_ITERS = 50
 
 
-def dedup_components(spark: SparkSession, sf_dir: str, pair_source=None) -> DataFrame:
+def dedup_components(
+    spark: SparkSession, sf_dir: str, pair_source=None, stats_out: dict | None = None
+) -> DataFrame:
     """Group near-duplicate pairs into clusters: connected components by
     iterative min-label propagation (the keep-one-per-cluster stage of a
     dedup pipeline; the "iterative algorithm" operator class).
@@ -313,7 +315,7 @@ def dedup_components(spark: SparkSession, sf_dir: str, pair_source=None) -> Data
     transitive closure over the same pair set."""
     src = pair_source if pair_source is not None else dedup_ngram_jaccard_capped
     pairs = src(spark, sf_dir).select("doc_a", "doc_b")
-    return connected_components(pairs).select(
+    return connected_components(pairs, stats_out=stats_out).select(
         F.col("u").alias("doc_id"), "component"
     ).orderBy("doc_id")
 
@@ -326,16 +328,21 @@ def dedup_components_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Telemetry: iterations-to-converge of the most recent
-# connected_components run (bench records this as `cc_iters` so a
-# pair-source change that alters graph shape is visible across rounds).
+# connected_components run. Process-global and so misattributable when
+# several CC runs interleave — callers that need reliable attribution
+# (bench.py records `cc_iters`) pass their own `stats_out` dict instead.
 CC_STATS: dict[str, int | None] = {"iters": None}
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, stats_out: dict | None = None
+) -> DataFrame:
     """(u, component) for every node in the (doc_a, doc_b) pair set —
     component = min reachable node id. See dedup_components for the
     algorithm; factored out so any pair source (jaccard, minhash,
-    simhash, embedding) can be clustered."""
+    simhash, embedding) can be clustered. Iterations-to-converge is
+    written to `stats_out["iters"]` when a dict is supplied (and to the
+    legacy CC_STATS global either way)."""
     edges = (
         pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
         .toDF("u", "v")
@@ -394,6 +401,8 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             if changed == 0:
                 labels = new_labels
                 CC_STATS["iters"] = it + 1
+                if stats_out is not None:
+                    stats_out["iters"] = it + 1
                 break
         prev_digest = digest
         labels = new_labels

@@ -33,7 +33,11 @@ def write_bucketed(
 
     A managed location left behind by an earlier session (warehouse dir
     outlives the catalog) blocks saveAsTable with
-    LOCATION_ALREADY_EXISTS, so stale state is cleared first.
+    LOCATION_ALREADY_EXISTS, so stale state is cleared first. The rmtree
+    is guarded: the resolved location must live strictly inside the
+    warehouse root. NOT safe under concurrent sessions sharing one
+    warehouse dir (the DROP + rmtree + write sequence races); give each
+    session its own spark.sql.warehouse.dir for parallel runs.
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -42,7 +46,10 @@ def write_bucketed(
         warehouse = warehouse[len("file:"):]
     loc = os.path.join(warehouse, table.lower()) if warehouse else ""
     if loc and os.path.isdir(loc):
-        shutil.rmtree(loc)
+        root = os.path.realpath(warehouse)
+        resolved = os.path.realpath(loc)
+        if resolved.startswith(root + os.sep) and resolved != root:
+            shutil.rmtree(resolved)
     (
         df.write.mode("overwrite")
         .format("parquet")

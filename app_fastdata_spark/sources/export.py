@@ -77,6 +77,7 @@ def harvest(
     process_dir: str,
     out_parquet: str,
     feature_cols: tuple[str, ...] = ("src", "dest", "referral", "agent"),
+    feature_schema: "T.StructType | None" = None,
 ) -> DataFrame:
     """S11 + S6 + P1 + S7: the compute_clusters harvest step.
 
@@ -120,14 +121,20 @@ def harvest(
         # process root recovers the generation column.
         scanned = spark.read.parquet(process_dir)
     else:
-        # empty export: no harvestable files at all. The downstream
-        # training job consumes integer features (harvest.pig:26), so an
-        # empty long-typed frame keeps the handoff total rather than
-        # failing the whole batch loop on a quiet interval.
+        # empty export: no harvestable files at all. The empty frame's
+        # schema must agree with what a non-empty harvest would have
+        # written to the same out_parquet — callers with non-long
+        # features pass feature_schema; the default long-typed frame
+        # matches the reference's integer feature vector (harvest.pig:26)
+        # and keeps the handoff total on a quiet interval.
         from pyspark.sql import types as T
 
         scanned = spark.createDataFrame(
-            [], T.StructType([T.StructField(c, T.LongType(), True) for c in feature_cols])
+            [],
+            feature_schema
+            or T.StructType(
+                [T.StructField(c, T.LongType(), True) for c in feature_cols]
+            ),
         )
     trimmed = scanned.select(*feature_cols)
     trimmed.write.mode("overwrite").parquet(out_parquet)

@@ -85,12 +85,13 @@ def main() -> None:
     # headline total): iterations-to-converge of connected components over
     # the capped pair source at this SF — a pair-source change that alters
     # graph shape shows up here across rounds.
-    from app_fastdata_spark.operators.dedup import CC_STATS
+    from app_fastdata_spark.operators.dedup import dedup_components
 
+    cc_stats: dict = {}
     t0 = time.time()
-    qs["dedup_components"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    dedup_components(spark, sf_dir, stats_out=cc_stats).write.format(
+        "noop"
+    ).mode("overwrite").save()
     cc_wall = round(time.time() - t0, 3)
     print(
         json.dumps(
@@ -100,7 +101,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "cc_iters": CC_STATS["iters"],
+                "cc_iters": cc_stats.get("iters"),
                 "cc_wall_sec": cc_wall,
             }
         )

@@ -486,10 +486,10 @@ def test_components_chain_rides_capped_source(spark, tmp_path):
     clustering chain inherits the stop-shingle skew guarantee: a shingle
     shared by every doc must not blow up the chain, and planted near-dups
     still cluster (and are deduped to one survivor per cluster)."""
-    import time
-
     from app_fastdata_spark.operators.dedup import (
+        STOP_SHINGLE_CAP,
         dedup_components,
+        dedup_ngram_jaccard_capped,
         dedup_survivors,
     )
 
@@ -508,10 +508,19 @@ def test_components_chain_rides_capped_source(spark, tmp_path):
     d = str(tmp_path / "skewdocs_cc")
     df.coalesce(4).write.parquet(f"{d}/documents.parquet")
 
-    t0 = time.time()
+    # Structural skew gate (not wall-clock, which flakes on loaded
+    # hosts): the chain's default pair source must carry the bucket-size
+    # cap in its optimized plan, so the 1210-doc stop-shingle bucket is
+    # dropped before pair emission rather than exploding into ~731k
+    # candidate pairs.
+    plan = (
+        dedup_ngram_jaccard_capped(spark, d)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert f"<= {STOP_SHINGLE_CAP}" in plan, plan
     comp = {r.doc_id: r.component for r in dedup_components(spark, d).collect()}
-    elapsed = time.time() - t0
-    assert elapsed < 90, elapsed
     # each planted pair (i, 10_000+i) is one component rooted at i
     for i in range(10):
         assert comp.get(10_000 + i) == i, (i, comp.get(10_000 + i))
