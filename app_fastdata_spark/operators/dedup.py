@@ -22,6 +22,8 @@ similarity.py, the brute-force pair join here is the correctness anchor.
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -438,28 +440,48 @@ LSH_BANDS = 8
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
 
+# Universal-hash permutation family for minhash: h_i(v) = (a_i·v + b_i)
+# mod P over a 32-bit slice of md5(shingle). Constants are fixed
+# LCG-derived literals (embedded in the oracle SQL too), a_i odd and
+# < 2^30 so a_i·v + b_i < 2^63 — no overflow under ANSI in either
+# engine. P is the smallest prime > 2^32.
+_MH_P = 4294967311
+_MH_A = [1033435937, 98674363, 595572655, 884618995, 837031969,
+         486175035, 415778361, 601994853, 86451827, 754360085,
+         622543339, 873188621, 174242337, 872902855, 43487125,
+         299925091]
+_MH_B = [3541333259, 406676910, 1573172149, 2960869122, 409209227,
+         3989490481, 1875075624, 3889850254, 3932478887, 1719869856,
+         2323690375, 2391938627, 315444561, 2364630542, 897201853,
+         928990626]
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=16 minhash values per doc, computed as a pure projection:
-    minhash_i = array_min(transform(shingles, s → md5(i|s))).
+    """k=16 minhash values per doc: ONE md5 per shingle, sliced to a
+    32-bit integer, then 16 universal-hash permutations
+    h_i(v) = (a_i·v + b_i) mod P as pure codegen arithmetic.
 
-    The hash is md5 — present in BOTH engines — and the min is the
-    LEXICOGRAPHIC min of the fixed-length lowercase-hex digest, which
-    orders identically to the unsigned 128-bit value, so the signature is
-    bit-identical across Spark and DuckDB and the LSH query is
-    hash-checkable (round-1 used xxhash64 and was rows-only). The per-
-    function "permutation" prepends the function index to the hashed
-    string (distinct inputs fully decorrelate the orderings).
+    Cross-engine parity: md5 exists in both engines, Spark's
+    conv(hex,16,10) and DuckDB's ('0x'||hex)::BIGINT parse the same
+    8-hex-char slice to the same value, and the permutation arithmetic
+    is plain 64-bit integer math — signatures are bit-identical, so the
+    LSH query is hash-checkable.
 
-    Shape: explode the shingles and take the 16 per-function minima as
-    ONE hash aggregate — md5 runs in whole-stage codegen (the earlier
-    16× array_min(transform(...)) form paid the interpreted-HOF tax on
-    every array: 6.8 s → 1.3 s at sf0.1), the partial min combines
-    map-side, and the single shuffle carries 16 fixed-width strings per
-    doc."""
+    Shape: explode the shingles, hash each ONCE, and take the 16
+    per-function minima as one hash aggregate. The earlier shape
+    computed 16 independent md5s per shingle (md5(i|s)) — 4.2M digests
+    at sf0.1, ~2.9 s; slicing one digest and permuting arithmetically
+    does 260k digests + cheap long math (~1.2 s). The partial min
+    combines map-side; the single shuffle carries 16 longs per doc."""
     sh = doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    v = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", v.alias("v")
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        F.min((F.lit(_MH_A[i]) * F.col("v") + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(
+            f"h{i}"
+        )
         for i in range(MINHASH_K)
     ]
     return (
@@ -474,9 +496,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: band the signature, hash each band, join on
-    (band_idx, band_hash). Oracle-checked (md5 signatures match DuckDB
+    (band_idx, band_hash). Oracle-checked (signatures match DuckDB
     bit-for-bit); tests additionally assert candidates ⊇ all pairs with
-    Jaccard ≥ 0.5."""
+    Jaccard ≥ 0.5.
+
+    Pair uniqueness comes from FIRST-MATCHING-BAND emission, not a
+    DISTINCT: a joined row only survives if no earlier band also
+    matched (a codegen predicate over the carried signature slices), so
+    each pair is emitted exactly once and the multi-million-row
+    candidate dedup shuffle disappears from the plan. Output order is
+    unspecified (driver compare is order-insensitive)."""
     sigs = minhash_signatures(spark, sf_dir)
     bands = F.array(
         *[
@@ -484,34 +513,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                        "|",
+                        *[
+                            F.col("sig")[b * LSH_ROWS + r].cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
                     )
                 ).alias("bh"),
             )
             for b in range(LSH_BANDS)
         ]
     )
-    buckets = sigs.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    buckets = sigs.select("doc_id", "sig", F.explode(bands).alias("b")).select(
+        "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
+    earlier_band_matched = None
+    for j in range(LSH_BANDS - 1):
+        m = (F.col("a.band") > F.lit(j)) & functools.reduce(
+            lambda x, y: x & y,
+            [
+                F.col("a.sig")[j * LSH_ROWS + r] == F.col("b.sig")[j * LSH_ROWS + r]
+                for r in range(LSH_ROWS)
+            ],
+        )
+        earlier_band_matched = m if earlier_band_matched is None else (
+            earlier_band_matched | m
+        )
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & ~earlier_band_matched)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
 _SQL_MINHASH_SIG = ", ".join(
-    f"list_aggregate(list_transform(shingles, s -> md5('{i}|' || s)), 'min')"
+    "list_aggregate(list_transform(shingles, s -> "
+    f"({_MH_A[i]} * ('0x' || substr(md5(s), 1, 8))::BIGINT + {_MH_B[i]}) "
+    f"% {_MH_P}), 'min')"
     for i in range(MINHASH_K)
 )
 _SQL_BAND_HASH = (
     "md5("
-    + " || '|' || ".join(f"sig[band * {LSH_ROWS} + {r + 1}]" for r in range(LSH_ROWS))
+    + " || '|' || ".join(
+        f"sig[band * {LSH_ROWS} + {r + 1}]::VARCHAR" for r in range(LSH_ROWS)
+    )
     + ")"
 )
 
@@ -618,7 +666,14 @@ _BAND_LEN = SIMHASH_BITS // SIMHASH_BANDS
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 4×16-bit band LSH on the signature, then
     exact Hamming check ≤ HAMMING_MAX. Oracle-checked (md5-derived bit
-    strings match DuckDB exactly)."""
+    strings match DuckDB exactly).
+
+    Like dedup_minhash_lsh, pair uniqueness is FIRST-MATCHING-BAND
+    emission (a codegen predicate over the carried band ints), not a
+    DISTINCT — this corpus keeps ~1.2M of 2.4M band candidates after
+    the Hamming filter (big template clusters), so a distinct would
+    shuffle all of them. Output order is unspecified (driver compare is
+    order-insensitive)."""
     sigs = simhash_signatures(spark, sf_dir)
     # Each 16-bit band is parsed ONCE per doc into an int: the band join
     # keys on the int, and Hamming is 4 × bit_count(xor) in pure integer
@@ -655,18 +710,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col(f"a.{w}").bitwiseXOR(F.col(f"b.{w}")))
         for w in w_names
     ).cast("int")
+    earlier_band_matched = None
+    for j in range(SIMHASH_BANDS - 1):
+        m = (F.col("a.band") > F.lit(j)) & (
+            F.col(f"a.w{j}") == F.col(f"b.w{j}")
+        )
+        earlier_band_matched = m if earlier_band_matched is None else (
+            earlier_band_matched | m
+        )
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & ~earlier_band_matched)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
     )
 
 
