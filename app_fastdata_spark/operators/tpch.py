@@ -729,3 +729,393 @@ register(
     ORDER BY c_mktsegment
     """,
 )(tpch_q22_dormant_customers)
+
+
+# --- Q7: volume shipping between two nations ------------------------------
+# Faithful to TPC-H Q7 (supplier nation ⇄ customer nation trade volume by
+# year); only the nation names and date window are adapted to the driver
+# schema's NATION_* domain and 1995-2001 date range.
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(vol), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+register(
+    "tpch_q7_volume_shipping",
+    sql="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)(tpch_q7_volume_shipping)
+
+
+# --- Q8: national market share --------------------------------------------
+# Faithful to TPC-H Q8: NATION_3's share of AMERICA-customer revenue for
+# PROMO-type parts by order year (conditional-sum / ratio-of-aggregates).
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+register(
+    "tpch_q8_market_share",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)(tpch_q8_market_share)
+
+
+# --- Q9: product-type profit by nation and year ---------------------------
+# ADAPTED from TPC-H Q9: the driver schema has no partsupp, so
+# ps_supplycost is proxied as 60% of p_retailprice — the operator class
+# (5-way join + LIKE part filter + two-key rollup of an arithmetic
+# profit expression) is what's exercised, not the cost model.
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+register(
+    "tpch_q9_product_profit",
+    sql="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)(tpch_q9_product_profit)
+
+
+# --- Q10: returned-item reporting (top 20 customers) ----------------------
+# Faithful to TPC-H Q10: revenue lost to returns per customer over one
+# quarter, top 20 (join + agg + top-k with tiebreak).
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+register(
+    "tpch_q10_returned_items",
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)(tpch_q10_returned_items)
+
+
+# --- Q11: important part concentration ------------------------------------
+# ADAPTED from TPC-H Q11 (no partsupp): a part's "held value" is its
+# sold value (extendedprice x quantity is not available per stock, so
+# sum of extendedprice) through suppliers of one nation; keep parts
+# whose value exceeds a fixed fraction of the nation's total — the
+# scalar-subquery HAVING threshold is the operator under test.
+Q11_FRACTION = 0.002
+
+
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    base = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", "l_extendedprice")
+    )
+    total = base.agg(
+        (F.sum("l_extendedprice") * Q11_FRACTION).alias("threshold")
+    )
+    return (
+        base.groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("value"))
+        .join(F.broadcast(total), F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+register(
+    "tpch_q11_important_parts",
+    sql=f"""
+    WITH base AS (
+      SELECT l_partkey, l_extendedprice
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+    )
+    SELECT l_partkey, round(sum(l_extendedprice), 4) AS value
+    FROM base
+    GROUP BY l_partkey
+    HAVING round(sum(l_extendedprice), 4)
+           > (SELECT sum(l_extendedprice) * {Q11_FRACTION} FROM base)
+    ORDER BY value DESC, l_partkey
+    """,
+)(tpch_q11_important_parts)
+
+
+# --- Q2: cheapest supplier per part ---------------------------------------
+# ADAPTED from TPC-H Q2 (no partsupp): a supplier's "offer price" for a
+# part is its average realized unit price from lineitem; for EUROPE
+# suppliers and a part size/type slice, keep the (part, supplier) rows
+# hitting the per-part minimum — the correlated-min subquery + multi-
+# join + top-k shape of Q2.
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name"
+        )
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_price")
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_price"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+register(
+    "tpch_q2_min_cost_supplier",
+    sql="""
+    WITH offers AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+             round(avg(l_extendedprice / l_quantity), 6) AS unit_price
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size <= 10 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_price
+    FROM offers o
+    WHERE unit_price = (SELECT min(unit_price) FROM offers i
+                        WHERE i.p_partkey = o.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)(tpch_q2_min_cost_supplier)
+
+
+# --- Q20: promotion-part shippers -----------------------------------------
+# ADAPTED from TPC-H Q20 (no partsupp availability to halve): suppliers
+# in one nation who shipped more than Q20_MIN_QTY units of pattern-
+# matched parts in one year — the agg-subquery -> semi-join -> dim-
+# filter chain of Q20.
+Q20_MIN_QTY = 300
+
+
+def tpch_q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%old%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    shippers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .filter(F.col("qty") > Q20_MIN_QTY)
+    )
+    return (
+        supp.join(shippers, "s_suppkey", "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+register(
+    "tpch_q20_promo_shippers",
+    sql=f"""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%old%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING round(sum(l_quantity), 2) > {Q20_MIN_QTY}
+      )
+    ORDER BY s_name
+    """,
+)(tpch_q20_promo_shippers)

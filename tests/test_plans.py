@@ -79,7 +79,13 @@ def test_scan_prunes_columns(spark, sf_dir):
         "tpch_q1_pricing_summary",
         "tpch_q3_top_orders",
         "tpch_q5_region_revenue",
-        "doc_repetition",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_parts",
+        "tpch_q20_promo_shippers",
         "bucketed_colocated_join",
     ],
 )
@@ -97,7 +103,8 @@ def test_hot_path_has_no_python_eval(spark, sf_dir, name):
 @pytest.mark.parametrize(
     "name",
     ["dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "sim_ann_lsh",
-     "dedup_embedding_cosine_bucketed", "doc_contamination"],
+     "dedup_embedding_cosine_bucketed", "doc_contamination",
+     "doc_repetition", "sim_ann_ivf"],
 )
 def test_vectorized_paths_never_row_at_a_time(spark, sf_dir, name):
     """Queries with a deliberate Python stage must use the Arrow-
