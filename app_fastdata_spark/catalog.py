@@ -41,69 +41,71 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # --- changed this round: clustering chain switched to the capped
-    #     pair source; serving top-k got TakeOrderedAndProject ---
-    "dedup_components",
-    "dedup_survivors",
-    "dedup_components_uncapped",  # new registration (never driver-checked)
-    "dedup_survivors_uncapped",  # new registration (never driver-checked)
-    "events_by_cluster_window",
-    # --- shared-helper churn: dedup.py was reorganized for the capped
-    #     default; every query in the file re-verifies ---
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
+    # --- new this round: the TPC-H suite completion (never checked) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q20_promo_shippers",
+    # --- implementation changed this round: new minhash permutation
+    #     family, first-matching-band pair emission, map-only
+    #     repetition, GEMM cell assignment + shared centroid cache ---
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # --- similarity.py centroid derivation changes this round ---
+    "doc_repetition",
+    "sim_ann_ivf",
     "dedup_embedding_cosine_bucketed",
-    "sim_ann_lsh",
-    # --- multimodal decode gains a real-decoder probe this round
-    #     (frame_sample/embed don't touch decode_payload; their r2 rows
-    #     stand, freeing window slots for new registrations) ---
-    "multimodal_decode",
-    "multimodal_resize",
-    # --- new this round ---
-    "bucketed_colocated_join",
     "dedup_embedding_cosine_bucketed_loose",
-    # --- stale: green in round 1 only, unchanged since — re-evidence ---
-    "session_aggregate",
-    "session_counts",
-    "export_by_src",
-    "export_by_src_dest",
-    "top_sources_export",
-    "asof_last_purchase",
-    "range_join_price_bands",
-    "click_purchase_attribution",
-    "doc_pipeline_survivors",
-    "retention_nth_ts",
-    "retention_expired_count",
-    "retention_survivors_by_src",
-    "events_by_src",
-    "events_by_src_dest",
-    "events_sessions",
-    "events_by_second",
-    "dests_by_second",
+    "dedup_components",   # stats_out threading touched the CC loop
+    "dedup_survivors",
+    # --- events load path rewritten for the µs parquet layout
+    #     (tables.load_table): re-evidence the recency/serving chain ---
+    "top_users",
+    "top_dests",
     "top_sources",
     "top_src_dests",
-    "sim_topk_cosine",
-    "dedup_embedding_cosine",
-    "sim_ann_ivf",
-    "events_distinct_users",
-    "events_rollup",
-    "events_pivot_daily",
-    "users_cohort_setops",
-    "doc_length_percentiles",
-    "part_cheapest_by_type",
-    "events_daily_moving_avg",
-    "events_props_k_buckets",
-    # doc_stratified_sample / events_approx_stats are no_oracle-by-design:
-    # a re-run only re-records a rows-only row, worth less than a fresh
-    # oracle-green row for the two new curation ops below.
-    "doc_contamination",
-    "doc_repetition",
-    "doc_token_stats",
-    "doc_quality",
+    "events_by_cluster_window",
+    "events_by_second",
+    "session_starts",
+    "nearest_centroid",
+    "enrich_events",
+    "events_by_cluster",
+    # --- stale: newest green row is round 2 — re-evidence ---
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q4_priority_semijoin",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_lines",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_lone_returner",
+    "tpch_q22_dormant_customers",
+    "tpch_order_priority_counts",
+    "tpch_top_orders_per_customer",
+    "tpch_unsold_parts_anti",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_bpe_tokens",
+    "doc_rolling_hash",
+    "doc_top_terms",
+    "ip_roundtrip",
+    "gen_events",
+    "retention_delete_oldest_to_target",
+    "session_aggregate_stateful",
+    "multimodal_embed",
+    "multimodal_frame_sample",
+    "top_users_salted",
+    # (kmeans_* / doc_stratified_sample / events_approx_stats are
+    # no_oracle-by-design: a re-run only re-records a rows-only row —
+    # their r1/r2 rows plus local determinism tests stand.)
 ]
 
 

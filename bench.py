@@ -28,13 +28,20 @@ HEADLINE = [
     "session_starts",
     "events_by_second",
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_top_orders",
     "tpch_q5_region_revenue",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
     "tpch_top_orders_per_customer",
     "tpch_q4_priority_semijoin",
     "tpch_q13_custdist",
     "tpch_q16_supplier_cnt",
+    "tpch_q20_promo_shippers",
     "tpch_q21_lone_returner",
     "dedup_exact",
     # capped variant is the scale default (stop-shingle cap bounds the
