@@ -11,6 +11,7 @@ def _load_all() -> None:
     # Import for side effects: each module registers its queries.
     from .functions import ip  # noqa: F401
     from .operators import (  # noqa: F401
+        curation,
         dedup,
         enrich,
         export_views,
@@ -41,7 +42,12 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # --- new this round: the TPC-H suite completion (never checked) ---
+    # --- new this round: curation planners + TPC-H completion (never
+    #     checked) ---
+    "doc_train_eval_split",
+    "doc_char_entropy",
+    "doc_seq_packing",
+    "doc_mixture_weights",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",

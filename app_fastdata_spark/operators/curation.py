@@ -1,0 +1,206 @@
+"""Corpus-curation planners over `documents` — the operators that sit
+between a raw scrape and training batches in an LLM data pipeline
+(SURVEY.md §7 beyond-reference; BASELINE.json north star):
+
+* deterministic train/eval split (hash-bucket assignment),
+* character-entropy quality scoring,
+* shard-local sequence packing (context-length planning),
+* language/source mixture re-weighting.
+
+Scale notes: split and entropy are map-only projections (scan-bound at
+100 TB). Packing uses a running sum windowed PER (lang, source) shard —
+the shard-local form real pipelines use (each worker packs its own
+shard), never a single global ordering, so parallelism is the shard
+count, not 1. Mixture weights aggregate to ~|langs|x|sources| rows
+before any window touches them.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# --- deterministic train/eval split ---------------------------------------
+
+SPLIT_TRAIN_PCT = 90  # md5 bucket < 90 → train, else eval
+
+
+def doc_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable hash-bucket split: bucket = 32 bits of md5(doc_id) mod 100.
+    Deterministic across runs/engines (no RNG), uncorrelated with any
+    corpus ordering — the standard way to keep a held-out slice stable
+    as the corpus grows. Pure codegen projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
+register(
+    "doc_train_eval_split",
+    sql=f"""
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                     < {SPLIT_TRAIN_PCT}
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)(doc_train_eval_split)
+
+
+# --- character-entropy quality score --------------------------------------
+
+
+def _py_char_entropy(text: pd.Series) -> pd.Series:
+    """Shannon entropy (bits) of each doc's character distribution —
+    low-entropy docs are repeated-character spam / boilerplate. numpy
+    per batch; DuckDB's entropy() aggregate is the oracle twin (both
+    log2; 6-dp rounding absorbs the ~1e-16 summation-order noise)."""
+    from collections import Counter
+
+    import numpy as np
+
+    out = []
+    for t in text:
+        cnt = np.fromiter(Counter(t).values(), dtype=np.float64)
+        p = cnt / cnt.sum()
+        out.append(round(float(-(p * np.log2(p)).sum()), 6))
+    return pd.Series(out)
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    ent = F.pandas_udf(_py_char_entropy, "double")
+    return docs.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        ent(F.col("text")).alias("char_entropy"),
+    )
+
+
+register(
+    "doc_char_entropy",
+    sql="""
+    SELECT doc_id, any_value(n_chars) AS n_chars,
+           round(entropy(c), 6) AS char_entropy
+    FROM (SELECT doc_id, length(text) AS n_chars,
+                 unnest(string_split(text, '')) AS c
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+    GROUP BY doc_id
+    """,
+)(doc_char_entropy)
+
+
+# --- shard-local sequence packing -----------------------------------------
+
+SEQ_LEN = 512  # tokens per packed training sequence
+
+
+def doc_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc a packed-sequence id within its (lang, source)
+    shard: seq_id = floor(start_offset / SEQ_LEN) where start_offset is
+    the running token count of preceding docs (doc_id order). This is
+    the planning half of context-length packing; shard-local windows
+    keep it parallel at corpus scale (real pipelines pack per input
+    shard — a global ordering would serialize the whole corpus through
+    one partition)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    base = docs.select("doc_id", "lang", "source", n_tokens.alias("n_tokens"))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id", "lang", "source", "n_tokens",
+        F.floor(start / SEQ_LEN).alias("seq_id"),
+    )
+
+
+register(
+    "doc_seq_packing",
+    sql=f"""
+    SELECT doc_id, lang, source, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, source
+                                           ORDER BY doc_id)
+                       - n_tokens) / {SEQ_LEN}) AS BIGINT) AS seq_id
+    FROM (SELECT doc_id, lang, source,
+                 len(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS n_tokens
+          FROM documents WHERE text IS NOT NULL)
+    """,
+)(doc_seq_packing)
+
+
+# --- language/source mixture re-weighting ---------------------------------
+
+LANG_TARGET_FRAC = 0.2  # uniform target over the corpus's 5 languages
+
+
+def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) cell: doc/token counts, the cell's token share
+    of the corpus, and the resampling weight that would rebalance
+    languages to a uniform target mix (weight = target / actual lang
+    share — the "data mixing" knob of corpus assembly). Aggregates
+    first; windows only touch the ~|langs|x|sources| rollup."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    cells = (
+        docs.select("lang", "source", n_tokens.alias("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("cell_tokens"),
+        )
+    )
+    total = Window.partitionBy()
+    per_lang = Window.partitionBy("lang")
+    lang_frac = F.sum("cell_tokens").over(per_lang) / F.sum("cell_tokens").over(
+        total
+    )
+    return cells.select(
+        "lang", "source", "n_docs",
+        F.col("cell_tokens").alias("n_tokens"),
+        F.round(
+            F.col("cell_tokens") / F.sum("cell_tokens").over(total), 6
+        ).alias("token_frac"),
+        F.round(F.lit(LANG_TARGET_FRAC) / lang_frac, 6).alias(
+            "resample_weight"
+        ),
+    )
+
+
+register(
+    "doc_mixture_weights",
+    sql=f"""
+    WITH cells AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+                  AS BIGINT) AS cell_tokens
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, cell_tokens AS n_tokens,
+           round(cell_tokens / sum(cell_tokens) OVER (), 6) AS token_frac,
+           round({LANG_TARGET_FRAC}
+                 / (sum(cell_tokens) OVER (PARTITION BY lang)
+                    / sum(cell_tokens) OVER ()), 6) AS resample_weight
+    FROM cells
+    """,
+)(doc_mixture_weights)

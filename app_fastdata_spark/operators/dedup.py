@@ -83,6 +83,18 @@ def _py_shingles(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) over an arbitrary documents frame — callers
+    that only need a SLICE of the corpus (e.g. contamination's 20
+    benchmark docs) filter BEFORE calling, so the Arrow UDF never runs
+    over rows the query discards (a doc_id filter placed above the UDF
+    does not push through the Python eval node)."""
+    sh = F.pandas_udf(_py_shingles, "array<string>")
+    return docs.select("doc_id", sh(F.col("text")).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-token shingles per doc — vectorized Pandas UDF.
 
@@ -93,11 +105,7 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind of per-row text work that belongs in a vectorized UDF. The JVM
     form stays for plan-gated contexts and as the parity cross-check
     (tests assert both produce identical shingle sets)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = F.pandas_udf(_py_shingles, "array<string>")
-    return docs.select("doc_id", sh(F.col("text")).alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    return shingle_frame(load_table(spark, sf_dir, "documents"))
 
 
 def doc_shingles_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -290,13 +290,18 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     already distinct (array_distinct in the shingler), so count(*) after
     the join IS the distinct shared count.
     """
-    from .dedup import doc_shingles
+    from .dedup import shingle_frame
 
-    sh = doc_shingles(spark, sf_dir)
-    bench = sh.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID).select(
-        F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s")
-    )
-    corp = sh.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID).select(
+    docs = load_table(spark, sf_dir, "documents")
+    # filter each side BEFORE the shingler: one Arrow UDF pass per side
+    # over only its own rows (filtering the shared shingle frame ran the
+    # UDF over the whole corpus twice — 1.7 s → 0.9 s at sf0.1)
+    bench = shingle_frame(
+        docs.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
+    ).select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s"))
+    corp = shingle_frame(
+        docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+    ).select(
         "doc_id", F.size("shingles").alias("n_shingles"),
         F.explode("shingles").alias("s"),
     )

@@ -1,0 +1,90 @@
+"""Property tests for the corpus-curation planners (curation.py) —
+cross-engine value parity is covered by test_oracle_parity; these pin
+the semantic invariants the oracle can't express."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_train_eval_split_stable_and_near_target(spark, sf_dir):
+    """The split is deterministic (same bucket on re-run) and lands
+    within a loose tolerance of the 90/10 target."""
+    from app_fastdata_spark.operators.curation import (
+        SPLIT_TRAIN_PCT,
+        doc_train_eval_split,
+    )
+
+    a = {r.doc_id: (r.bucket, r.split) for r in doc_train_eval_split(spark, sf_dir).collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in doc_train_eval_split(spark, sf_dir).collect()}
+    assert a == b
+    n = len(a)
+    train = sum(1 for _, s in a.values() if s == "train")
+    assert abs(train / n - SPLIT_TRAIN_PCT / 100) < 0.1
+    assert all(
+        (b < SPLIT_TRAIN_PCT) == (s == "train") for b, s in a.values()
+    )
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(alphabet size); uniform-ish text lands high,
+    single-char spam lands at 0."""
+    from app_fastdata_spark.operators.curation import doc_char_entropy
+
+    rows = doc_char_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.char_entropy <= math.log2(max(r.n_chars, 2)) + 1e-9
+    spam = spark.createDataFrame(
+        [(1, "aaaaaaaa", "en", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spam.write.parquet(f"{d}/documents.parquet")
+        got = doc_char_entropy(spark, d).collect()
+        assert got[0].char_entropy == 0.0
+
+
+def test_seq_packing_monotone_and_bounded(spark, sf_dir):
+    """Within each (lang, source) shard: seq_id is non-decreasing in
+    doc_id, starts at 0, and each doc's start offset is inside its
+    sequence's window."""
+    from app_fastdata_spark.operators.curation import SEQ_LEN, doc_seq_packing
+
+    rows = doc_seq_packing(spark, sf_dir).collect()
+    shards = {}
+    for r in rows:
+        shards.setdefault((r.lang, r.source), []).append(r)
+    assert shards
+    for docs in shards.values():
+        docs.sort(key=lambda r: r.doc_id)
+        start = 0
+        prev_seq = 0
+        for r in docs:
+            assert r.seq_id == start // SEQ_LEN
+            assert r.seq_id >= prev_seq
+            prev_seq = r.seq_id
+            start += r.n_tokens
+
+
+def test_mixture_weights_rebalance_to_target(spark, sf_dir):
+    """Applying the weights makes every language's weighted token share
+    equal the uniform target."""
+    from app_fastdata_spark.operators.curation import (
+        LANG_TARGET_FRAC,
+        doc_mixture_weights,
+    )
+
+    df = doc_mixture_weights(spark, sf_dir)
+    total = df.agg(F.sum("n_tokens")).first()[0]
+    weighted = (
+        df.groupBy("lang")
+        .agg(F.sum(F.col("n_tokens") * F.col("resample_weight")).alias("wt"))
+        .collect()
+    )
+    for r in weighted:
+        assert abs(r.wt / total - LANG_TARGET_FRAC) < 1e-3, r
+    fracs = df.agg(F.round(F.sum("token_frac"), 3)).first()[0]
+    assert abs(fracs - 1.0) < 5e-3
