@@ -109,6 +109,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cc_iters": cc_stats.get("iters"),
+                "cc_mode": cc_stats.get("mode"),
+                "cc_edges": cc_stats.get("edges"),
                 "cc_wall_sec": cc_wall,
             }
         )

@@ -285,17 +285,27 @@ def test_approx_stats_error_bounds(spark, sf_dir):
 
 
 def test_connected_components_long_chain(spark):
-    """Pointer jumping converges on a 200-node path graph (diameter 200)
-    well inside MAX_CC_ITERS=50 — pure min-propagation would need 200
-    rounds and raise. Also checks two disjoint components."""
+    """Both execution paths agree on a 200-node path graph (diameter
+    200): the driver union-find (default for small edge sets) and the
+    distributed pointer-jumping loop (forced via local_max_edges=0),
+    which converges well inside MAX_CC_ITERS=50 — pure min-propagation
+    would need 200 rounds and raise. Also checks two disjoint
+    components."""
     from app_fastdata_spark.operators.dedup import connected_components
 
     chain = [(i, i + 1) for i in range(200)]          # component min = 0
     island = [(1000, 1001), (1001, 1002)]             # component min = 1000
     pairs = spark.createDataFrame(chain + island, "doc_a long, doc_b long")
-    got = {r.u: r.component for r in connected_components(pairs).collect()}
-    assert all(got[i] == 0 for i in range(201))
-    assert all(got[i] == 1000 for i in (1000, 1001, 1002))
+    for forced_max in (None, 0):
+        stats: dict = {}
+        kw = {"local_max_edges": forced_max} if forced_max is not None else {}
+        got = {
+            r.u: r.component
+            for r in connected_components(pairs, stats_out=stats, **kw).collect()
+        }
+        assert stats["mode"] == ("distributed" if forced_max == 0 else "local")
+        assert all(got[i] == 0 for i in range(201))
+        assert all(got[i] == 1000 for i in (1000, 1001, 1002))
 
 
 def test_capped_jaccard_is_lower_bound_subset(spark, sf_dir):
