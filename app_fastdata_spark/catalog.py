@@ -46,6 +46,7 @@ DRIVER_PRIORITY: list[str] = [
     #     checked) ---
     "doc_train_eval_split",
     "doc_char_entropy",
+    "doc_lm_score",
     "doc_seq_packing",
     "doc_mixture_weights",
     "tpch_q2_min_cost_supplier",

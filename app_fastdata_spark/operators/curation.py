@@ -204,3 +204,87 @@ register(
     FROM cells
     """,
 )(doc_mixture_weights)
+
+
+# --- bigram-LM cross-entropy quality score --------------------------------
+
+
+def _py_bigram_rows(batches):
+    """mapInPandas: (doc_id, w1, w2) for every bigram OCCURRENCE.
+    Tokenization = the `_py_shingles` parity chain (lower → strip
+    spaces → ASCII \\s+ split)."""
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"\s+", re.ASCII)
+    for pdf in batches:
+        ids, w1s, w2s = [], [], []
+        for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+            toks = ws.split(t.lower().strip(" "))
+            if len(toks) < 2:
+                continue
+            ids.append(np.full(len(toks) - 1, doc_id, dtype=np.int64))
+            w1s.extend(toks[:-1])
+            w2s.extend(toks[1:])
+        if ids:
+            yield pd.DataFrame(
+                {"doc_id": np.concatenate(ids), "w1": w1s, "w2": w2s}
+            )
+
+
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy (bits/bigram) under the corpus's own bigram
+    LM — the classic perplexity-style quality filter (CCNet/Gopher
+    lineage): templated/boilerplate docs score low, line noise scores
+    high. P(w2|w1) = c(w1 w2) / c(w1 ·), both counted over the full
+    corpus, so every doc bigram has nonzero probability (it contributed
+    to the counts) and no smoothing is needed.
+
+    Shape: one Arrow pass emits bigram occurrences; the LM is two hash
+    aggregates over them; scoring re-joins occurrences to the LM on the
+    bigram key (auto-broadcast at small vocab, shuffle join at web-scale
+    vocab — no forced hint) and averages per doc. The occurrence frame
+    is recomputed for the scoring side rather than pinned in executor
+    memory — two map passes beat caching 100 TB of bigrams."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    occ = docs.select("doc_id", "text").mapInPandas(
+        _py_bigram_rows, "doc_id long, w1 string, w2 string"
+    )
+    bi = occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    pre = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = bi.join(pre, "w1")
+    return (
+        occ.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log2(F.col("c1") / F.col("c2"))), 6).alias(
+                "lm_bits"
+            ),
+        )
+    )
+
+
+register(
+    "doc_lm_score",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    occ AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    bi AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY 1, 2),
+    pre AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bi GROUP BY 1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(log2(c1 / c2)), 6) AS lm_bits
+    FROM occ JOIN bi USING (w1, w2) JOIN pre USING (w1)
+    GROUP BY doc_id
+    """,
+)(doc_lm_score)

@@ -88,3 +88,24 @@ def test_mixture_weights_rebalance_to_target(spark, sf_dir):
         assert abs(r.wt / total - LANG_TARGET_FRAC) < 1e-3, r
     fracs = df.agg(F.round(F.sum("token_frac"), 3)).first()[0]
     assert abs(fracs - 1.0) < 5e-3
+
+
+def test_lm_score_flags_repeated_text_as_predictable(spark, sf_dir, tmp_path):
+    """A doc that is one phrase repeated scores near 0 bits (every
+    bigram deterministic given the corpus LM built from it); the normal
+    corpus averages well above 0."""
+    from app_fastdata_spark.operators.curation import doc_lm_score
+
+    rows = doc_lm_score(spark, sf_dir).collect()
+    assert rows and all(r.lm_bits >= 0 for r in rows)
+    corpus_avg = sum(r.lm_bits for r in rows) / len(rows)
+    assert corpus_avg > 0.5
+    spam = spark.createDataFrame(
+        [(1, "ab cd " * 50, "en", "s", 300), (2, "ab cd ef gh", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    spam.write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r.lm_bits for r in doc_lm_score(spark, str(tmp_path)).collect()}
+    # doc 1's bigrams are almost all ('ab','cd')/('cd','ab') — highly
+    # predictable under the joint LM; doc 2 shares only 'ab cd'
+    assert got[1] < got[2]
