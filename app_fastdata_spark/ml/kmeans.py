@@ -63,3 +63,97 @@ def kmeans_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Rows-only: iterative ML, not SQL-expressible in the oracle.
 register("kmeans_centers")(kmeans_centers)
+
+
+# --- one oracle-checkable Lloyd iteration over embeddings -----------------
+# The full k-means loop is rows-only by necessity (iterative), but ONE
+# Lloyd step — assign every vector to its nearest seed centroid, then
+# recompute centroids as per-cluster means — is plain relational algebra,
+# so the ML loop's inner step gets the same value-hash evidence as every
+# other operator. Seeds are the K smallest vec_ids (deterministic, no
+# RNG); distances fold left-to-right in double (the similarity.dot parity
+# idiom) and assignment ranks round to 6 dp with cluster-id tiebreak.
+
+STEP_K = 8
+
+
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, pos, centroid, n_members): the updated centroid
+    component at each dimension after one Lloyd assignment against the
+    vec_id<K seed set. N·K interpreted distance folds are fine at
+    dim-table scale; the 100 TB form swaps the fold for the broadcast
+    GEMM used by similarity._top_cells_udf (same semantics)."""
+    from pyspark.sql import Column
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < STEP_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
+    )
+
+    def sqdist(a: Column, b: Column) -> Column:
+        diff2 = F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, t: acc + t)
+
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cluster_id",
+        F.round(sqdist(F.col("embedding"), F.col("cvec")), 6).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cluster_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "embedding")
+    )
+    return (
+        assigned.select(
+            "cluster_id", F.posexplode("embedding").alias("pos", "component")
+        )
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.round(F.avg(F.col("component").cast("double")), 6).alias(
+                "centroid"
+            ),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    from ..operators.similarity import DIM
+
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, DIM + 1)
+    )
+
+
+register(
+    "kmeans_lloyd_step",
+    sql=f"""
+    WITH cent AS (
+      SELECT vec_id AS cluster_id, embedding AS cvec FROM embeddings
+      WHERE vec_id < {STEP_K}
+    ),
+    assigned AS (
+      SELECT vec_id, cluster_id, embedding FROM (
+        SELECT e.vec_id, c.cluster_id, e.embedding,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({{sqdist}}, 6), c.cluster_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+    SELECT cluster_id, i - 1 AS pos,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+           count(*) AS n_members
+    FROM assigned, unnest(range(1, len(embedding) + 1)) AS u(i)
+    GROUP BY cluster_id, i - 1
+    """.replace("{sqdist}", _sql_sqdist("e.embedding", "c.cvec")),
+)(kmeans_lloyd_step)
