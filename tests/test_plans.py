@@ -246,3 +246,29 @@ def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "doc_contamination")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round4_tpch_push_filters_and_broadcast_dims(spark, sf_dir):
+    """The round-4 TPC-H additions keep the two core scale rules: (a)
+    dim-side filters reach the parquet scan as PushedFilters (p_type,
+    p_name LIKE, r_name, date windows), (b) dims broadcast and the
+    lineitem fact is never a broadcast build side."""
+    cases = {
+        # query -> a predicate fragment that must appear in PushedFilters
+        "tpch_q8_market_share": "EqualTo(p_type,PROMO)",
+        "tpch_q9_product_profit": "StringContains(p_name,red)",
+        "tpch_q2_min_cost_supplier": "EqualTo(p_type,LARGE)",
+        "tpch_q20_promo_shippers": "StringContains(p_name,old)",
+        "tpch_q10_returned_items": "EqualTo(l_returnflag,R)",
+        "tpch_q7_volume_shipping": "GreaterThanOrEqual(l_shipdate,",
+        "tpch_q11_important_parts": "EqualTo(n_name,NATION_5)",
+    }
+    for name, fragment in cases.items():
+        plan = plan_of(spark, sf_dir, name)
+        assert fragment in plan, (name, fragment, plan)
+        assert "BroadcastHashJoin" in plan, name
+        for m in re.finditer(
+            r"BroadcastExchange[\s\S]{0,600}?FileScan parquet \[([^\]]*)\]", plan
+        ):
+            first = m.group(1).split(",")[0]
+            assert not first.startswith("l_orderkey"), (name, m.group(1))
