@@ -61,8 +61,10 @@ register(
 _STOPWORDS = ["the", "a", "and", "of", "to"]
 
 
-def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """The quality projection over an arbitrary documents frame — pure
+    column expressions, so it runs unchanged over a batch scan or a
+    structured stream (streaming.pipeline.quality_gate_stream)."""
     toks = _tokens(F.lower(F.col("text")))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
     return docs.select(
@@ -77,6 +79,10 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.3)
         ).alias("passes_quality"),
     )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_frame(load_table(spark, sf_dir, "documents"))
 
 
 _STOP_SQL = "['the', 'a', 'and', 'of', 'to']"

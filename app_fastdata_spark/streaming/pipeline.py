@@ -263,3 +263,20 @@ def full_ingest_stream(spark: SparkSession, events: DataFrame) -> DataFrame:
         )
         .transform(with_cluster)
     )
+
+
+def documents_stream(spark, src_dir: str) -> DataFrame:
+    """File-source stream of documents parquet drops (the continuous
+    corpus-ingest shape: each arriving file is a scrape shard)."""
+    return spark.readStream.schema(SCHEMAS["documents"]).parquet(src_dir)
+
+
+def quality_gate_stream(docs: DataFrame) -> DataFrame:
+    """Streaming curation gate: the batch doc_quality projection applied
+    to a document stream, keeping only passing docs — the continuous twin
+    of the corpus-cleaning front of a training pipeline. Stateless (pure
+    projection + filter), so no watermark or state store is involved and
+    throughput is scan-bound at any scale."""
+    from ..operators.textops import quality_frame
+
+    return quality_frame(docs).filter(F.col("passes_quality"))

@@ -393,3 +393,21 @@ def test_serving_store_compaction(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(store).drop("day").collect())
     )
     assert before_rows == after_rows
+
+
+def test_quality_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming curation gate equals the batch doc_quality filter —
+    same rows, same metric values (stateless projection parity)."""
+    import shutil
+
+    from app_fastdata_spark.operators.textops import doc_quality
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "a.parquet")
+    stream = P.quality_gate_stream(P.documents_stream(spark, str(src)))
+    got = P.run_to_memory(stream, "quality_gate")
+    want = doc_quality(spark, sf_dir).filter(F.col("passes_quality"))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and g
