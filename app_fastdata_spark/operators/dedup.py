@@ -707,6 +707,16 @@ def _py_simhash(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def simhash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) over an arbitrary documents frame — pure
+    projection, so it serves batch scans and structured streams alike
+    (streaming.pipeline.near_dup_gate_stream)."""
+    sim = F.pandas_udf(_py_simhash, "string")
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", sim(F.col("text")).alias("simhash")
+    )
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc as a 64-char bit STRING: for each bit
     position, sum ±1 votes over the distinct tokens' md5 bits; sign →
@@ -717,16 +727,25 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 255 s at sf0.1 vs ~1 s for this form; the DuckDB oracle
     keeps the expression form, so signatures stay cross-checked
     bit-for-bit)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sim = F.pandas_udf(_py_simhash, "string")
-    return docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", sim(F.col("text")).alias("simhash")
-    )
+    return simhash_frame(load_table(spark, sf_dir, "documents"))
 
 
 HAMMING_MAX = 6
 SIMHASH_BANDS = 4
 _BAND_LEN = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def simhash_band_ints(sigs: DataFrame) -> DataFrame:
+    """(doc_id, w0..w3): each 16-bit signature band parsed ONCE into an
+    int — band-LSH joins key on the int and Hamming distance is
+    4 × bit_count(xor) in pure integer codegen."""
+    wcols = [
+        F.conv(F.substring("simhash", b * _BAND_LEN + 1, _BAND_LEN), 2, 10)
+        .cast("long")
+        .alias(f"w{b}")
+        for b in range(SIMHASH_BANDS)
+    ]
+    return sigs.select("doc_id", *wcols)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,21 +759,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Hamming filter (big template clusters), so a distinct would
     shuffle all of them. Output order is unspecified (driver compare is
     order-insensitive)."""
-    sigs = simhash_signatures(spark, sf_dir)
-    # Each 16-bit band is parsed ONCE per doc into an int: the band join
-    # keys on the int, and Hamming is 4 × bit_count(xor) in pure integer
-    # codegen. The previous form compared the 64-char strings with a
-    # 64-term substr CASE per PAIR — a stop-band bucket of ~1.6k docs at
-    # sf0.1 makes 2.4M candidate pairs, and that expression measured
-    # 262 s vs ~1 s for the xor form (the DuckDB oracle keeps the
-    # per-character sum, so values stay cross-checked).
-    wcols = [
-        F.conv(F.substring("simhash", b * _BAND_LEN + 1, _BAND_LEN), 2, 10)
-        .cast("long")
-        .alias(f"w{b}")
-        for b in range(SIMHASH_BANDS)
-    ]
-    with_ints = sigs.select("doc_id", *wcols)
+    # Band-int form (simhash_band_ints): the previous shape compared the
+    # 64-char strings with a 64-term substr CASE per PAIR — a stop-band
+    # bucket of ~1.6k docs at sf0.1 makes 2.4M candidate pairs, and that
+    # expression measured 262 s vs ~1 s for the xor form (the DuckDB
+    # oracle keeps the per-character sum, so values stay cross-checked).
+    with_ints = simhash_band_ints(simhash_signatures(spark, sf_dir))
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), F.col(f"w{b}").alias("bh"))

@@ -280,3 +280,75 @@ def quality_gate_stream(docs: DataFrame) -> DataFrame:
     from ..operators.textops import quality_frame
 
     return quality_frame(docs).filter(F.col("passes_quality"))
+
+
+def corpus_simhash_index(spark, sf_dir: str) -> DataFrame:
+    """Static side of the incremental near-dup gate: the existing
+    corpus's SimHash band ints. At scale this is precomputed once and
+    stored (parquet/bucketed on the band values); here it is derived
+    on demand from the documents table."""
+    from ..operators.dedup import simhash_band_ints, simhash_signatures
+
+    return simhash_band_ints(simhash_signatures(spark, sf_dir))
+
+
+def near_dup_gate_stream(new_docs: DataFrame, corpus_index: DataFrame) -> DataFrame:
+    """Incremental near-dedup: each arriving document is checked against
+    the EXISTING corpus via SimHash band LSH + exact Hamming refine —
+    the shape a continuous ingest pipeline uses (new shards must not
+    re-add near-copies of what the corpus already holds).
+
+    Stream-static inner join: the stream side computes signatures
+    statelessly; the static index explodes to (band, value) rows once
+    per micro-batch and Spark broadcasts or shuffles it by size. Emits
+    (doc_id, corpus_doc_id, hamming) for every stream doc within
+    HAMMING_MAX of a corpus doc; uniqueness per pair comes from the
+    same first-matching-band predicate as the batch operator (no
+    aggregation state on the stream)."""
+    from ..operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BANDS,
+        simhash_band_ints,
+        simhash_frame,
+    )
+
+    def banded(with_ints: DataFrame) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), F.col(f"w{b}").alias("bh"))
+                for b in range(SIMHASH_BANDS)
+            ]
+        )
+        w_names = [f"w{b}" for b in range(SIMHASH_BANDS)]
+        return with_ints.select(
+            "doc_id", *w_names, F.explode(bands).alias("b")
+        ).select(
+            "doc_id", *w_names,
+            F.col("b.band").alias("band"), F.col("b.bh").alias("bh"),
+        )
+
+    a = banded(simhash_band_ints(simhash_frame(new_docs))).alias("a")
+    b = banded(corpus_index).alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.w{i}").bitwiseXOR(F.col(f"b.w{i}")))
+        for i in range(SIMHASH_BANDS)
+    ).cast("int")
+    earlier = None
+    for j in range(SIMHASH_BANDS - 1):
+        m = (F.col("a.band") > F.lit(j)) & (F.col(f"a.w{j}") == F.col(f"b.w{j}"))
+        earlier = m if earlier is None else (earlier | m)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & ~earlier,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("corpus_doc_id"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )

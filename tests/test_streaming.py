@@ -411,3 +411,29 @@ def test_quality_gate_stream_matches_batch(spark, sf_dir, tmp_path):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and g
+
+
+def test_near_dup_gate_stream_matches_batch_simhash(spark, sf_dir, tmp_path):
+    """Streaming the corpus against its own static SimHash index yields
+    exactly the batch dedup_simhash pair set (both orientations of each
+    unordered pair, self-matches excluded)."""
+    import shutil
+
+    from app_fastdata_spark.operators.dedup import dedup_simhash
+    from app_fastdata_spark.tables import SCHEMAS
+
+    src = tmp_path / "newdocs"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "a.parquet")
+    stream = spark.readStream.schema(SCHEMAS["documents"]).parquet(str(src))
+    idx = P.corpus_simhash_index(spark, sf_dir)
+    got = P.run_to_memory(P.near_dup_gate_stream(stream, idx), "near_dup_gate")
+    g = {
+        (min(r.doc_id, r.corpus_doc_id), max(r.doc_id, r.corpus_doc_id), r.hamming)
+        for r in got.collect()
+    }
+    w = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup_simhash(spark, sf_dir).collect()
+    }
+    assert g == w and g
