@@ -48,6 +48,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_char_entropy",
     "doc_lm_score",
     "kmeans_lloyd_step",
+    "doc_stratified_sample_hash",
     "doc_seq_packing",
     "doc_mixture_weights",
     "tpch_q2_min_cost_supplier",

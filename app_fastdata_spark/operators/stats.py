@@ -254,6 +254,46 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("doc_stratified_sample")(doc_stratified_sample)
 
 
+# Deterministic twin: hash-bucket stratified sampling. Spark's sampleBy
+# is RNG-seeded (engine-specific draw order -> rows-only above), but the
+# md5-bucket form is pure arithmetic on the row key, so the SAME sample
+# falls out of any engine — and it is stable under corpus growth (a
+# doc's in/out decision never changes as neighbors arrive), which is
+# what production pipelines actually want from a stratified sample.
+def doc_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    rate = None
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        cond = F.when(F.col("lang") == lang, F.lit(int(frac * 10000)))
+        rate = cond if rate is None else rate.when(
+            F.col("lang") == lang, F.lit(int(frac * 10000))
+        )
+    rate = rate.otherwise(F.lit(0))
+    return docs.filter(bucket < rate).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_SAMPLE_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {int(frac * 10000)}"
+    for lang, frac in SAMPLE_FRACTIONS.items()
+) + " ELSE 0 END"
+
+register(
+    "doc_stratified_sample_hash",
+    sql=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+          < {_SAMPLE_RATE_SQL}
+    """,
+)(doc_stratified_sample_hash)
+
+
 # Frame-spec window: 7-calendar-day trailing moving average over the
 # daily revenue series. The reference has no frame windows (SURVEY.md
 # §2.5); this adds the sliding-frame class with an exact oracle. The
