@@ -1,0 +1,132 @@
+"""Scale-growth smoke: time the dedup/similarity headliners at 1x, 2x,
+4x the base corpus and report per-query growth exponents (log-log slope
+of wall time vs corpus size).
+
+The scaled corpora keep the ORIGINAL's near-dup structure without
+creating cross-replica duplicates:
+* documents: every token gets a per-replica suffix (w -> w_rK), so
+  replicas share zero shingles with each other — clusters, bucket
+  sizes, and true-pair counts all grow linearly with the factor;
+* embeddings: components flip sign on a per-replica parity pattern, so
+  cross-replica cosines collapse toward 0 while within-replica geometry
+  is exactly preserved.
+
+A healthy engine shows exponents near 1 (linear in corpus size) for
+every capped/bucketed operator; an exponent near 2 is the quadratic
+failure mode the skew caps exist to prevent.
+
+Usage: python tools/scale_smoke.py [base_sf_dir] [factors, default 1,2,4]
+Writes scratch corpora under .scale_smoke_tmp/ (removed afterwards) and
+prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from app_fastdata_spark.session import get_spark
+from app_fastdata_spark.tables import load_table
+
+QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine_bucketed",
+    "sim_ann_lsh",
+    "doc_lm_score",
+]
+
+
+def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
+    docs = load_table(spark, base_dir, "documents")
+    n_docs = docs.count()
+    reps = []
+    for k in range(factor):
+        rep = docs.select(
+            (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
+            # suffix every token with _rK: replicas share no shingles
+            F.regexp_replace("text", r"(\S+)", f"$1_r{k}").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        reps.append(rep)
+    out = reps[0]
+    for rep in reps[1:]:
+        out = out.unionByName(rep)
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = load_table(spark, base_dir, "embeddings")
+    n_vec = emb.count()
+    vreps = []
+    for k in range(factor):
+        # flip sign of odd-indexed components on odd replicas: preserves
+        # within-replica geometry, decorrelates across replicas
+        sign = 1.0 if k % 2 == 0 else -1.0
+        flipped = F.transform(
+            "embedding",
+            lambda x, i: F.when((i % 2 == 1) & (F.lit(sign) < 0), -x).otherwise(
+                x
+            ),
+        )
+        vreps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * n_vec)).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+        )
+    vout = vreps[0]
+    for rep in vreps[1:]:
+        vout = vout.unionByName(rep)
+    vout.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = (
+        [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [1, 2, 4]
+    )
+    spark = get_spark("scale_smoke")
+    from app_fastdata_spark.catalog import queries
+
+    qs = queries()
+    scratch = os.path.abspath(".scale_smoke_tmp")
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    try:
+        for f in factors:
+            d = f"{scratch}/x{f}"
+            build_scaled(spark, base, f, d)
+            for q in QUERIES:
+                qs[q](spark, d).write.format("noop").mode("overwrite").save()  # warm
+                t0 = time.time()
+                qs[q](spark, d).write.format("noop").mode("overwrite").save()
+                results[q][f] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    slopes = {}
+    for q, times in results.items():
+        fs = sorted(times)
+        if len(fs) >= 2 and times[fs[0]] > 0:
+            slopes[q] = round(
+                math.log(times[fs[-1]] / times[fs[0]]) / math.log(fs[-1] / fs[0]), 2
+            )
+    print(
+        json.dumps(
+            {"base": base, "factors": factors, "warm_sec": results, "exponent": slopes}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
