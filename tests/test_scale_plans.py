@@ -92,3 +92,20 @@ def test_bucketed_join_query_matches_unbucketed(spark, sf_dir):
         .collect()
     ]
     assert got == want
+
+
+def test_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """The runtime Bloom filter must reach the probe (lineitem) side of
+    the shuffle join, and pruning must not change the result."""
+    from app_fastdata_spark.plans.runtime_filters import bloom_pruned_join
+    from app_fastdata_spark.tables import load_table
+
+    joined = bloom_pruned_join(spark, sf_dir)
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan, plan
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert joined.count() == want
