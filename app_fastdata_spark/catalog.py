@@ -49,6 +49,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_lm_score",
     "kmeans_lloyd_step",
     "doc_stratified_sample_hash",
+    "events_funnel",
     "doc_seq_packing",
     "doc_mixture_weights",
     "tpch_q2_min_cost_supplier",

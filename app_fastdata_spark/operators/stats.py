@@ -391,3 +391,80 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )(events_props_k_buckets)
+
+
+# Ordered-sequence funnel: view -> click -> purchase conversion, the
+# product-analytics class absent from both the reference and the earlier
+# rounds. Uses the simplified first-touch funnel (a user converts a step
+# if their FIRST event of that type occurs after their first event of
+# the previous step): one hash aggregate per user (min ts per type via
+# conditional min - no joins, no explode), then a conditional rollup.
+# Scale: two-tier agg on user_id then a 1-row reduce; scan-bound.
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = (
+        s2
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_click"))
+    )
+    counts = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(s1.cast("long")).alias("viewed"),
+        F.sum(s2.cast("long")).alias("clicked_after_view"),
+        F.sum(s3.cast("long")).alias("purchased_after_click"),
+    )
+    return counts.select(
+        "n_users", "viewed", "clicked_after_view", "purchased_after_click",
+        F.round(F.col("clicked_after_view") / F.col("viewed"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(
+            F.col("purchased_after_click") / F.col("clicked_after_view"), 6
+        ).alias("click_to_purchase"),
+    )
+
+
+register(
+    "events_funnel",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT t_view IS NOT NULL AS s1,
+             t_view IS NOT NULL AND t_click IS NOT NULL
+               AND t_click > t_view AS s2,
+             t_view IS NOT NULL AND t_click IS NOT NULL
+               AND t_click > t_view AND t_purchase IS NOT NULL
+               AND t_purchase > t_click AS s3
+      FROM per_user
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS clicked_after_view,
+           CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS purchased_after_click,
+           round(sum(CASE WHEN s2 THEN 1 ELSE 0 END) * 1.0
+                 / sum(CASE WHEN s1 THEN 1 ELSE 0 END), 6) AS view_to_click,
+           round(sum(CASE WHEN s3 THEN 1 ELSE 0 END) * 1.0
+                 / sum(CASE WHEN s2 THEN 1 ELSE 0 END), 6)
+             AS click_to_purchase
+    FROM flags
+    """,
+)(events_funnel)
