@@ -50,6 +50,7 @@ DRIVER_PRIORITY: list[str] = [
     "kmeans_lloyd_step",
     "doc_stratified_sample_hash",
     "events_funnel",
+    "dedup_components_embedding",
     "doc_seq_packing",
     "doc_mixture_weights",
     "tpch_q2_min_cost_supplier",

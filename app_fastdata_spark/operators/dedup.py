@@ -286,8 +286,12 @@ CAPPED_JACCARD_SQL = f"""
 
 # The recursive-CTE transitive closure the components/survivors oracles
 # share, parameterized by the pair-producing SQL.
+# `pairs AS MATERIALIZED`: inside WITH RECURSIVE DuckDB may re-evaluate
+# a non-materialized CTE per closure iteration — for an expensive pair
+# source (the bucketed embedding SQL) that intermittently OOMs the
+# oracle. Materializing pins one evaluation; semantics unchanged.
 _SQL_COMPONENTS = """
-    WITH RECURSIVE pairs AS ({pairs_sql}),
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
     ed AS (SELECT doc_a AS u, doc_b AS v FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs),
     nodes AS (SELECT DISTINCT u FROM ed),
@@ -967,3 +971,46 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("dedup_ngram_jaccard_capped", sql=CAPPED_JACCARD_SQL)(
     dedup_ngram_jaccard_capped
 )
+
+
+# --- cross-family composition: clusters over EMBEDDING near-dup pairs -----
+# The pair-source parameterization exists exactly for this: the same
+# clustering (and the same adaptive local/distributed execution) runs
+# over the IVF-bucketed embedding cosine pairs instead of text shingles.
+# Uses the loose-threshold twin so the testdata has real pairs to
+# cluster; the oracle nests the bucketed SQL inside the recursive-CTE
+# closure.
+
+
+def _embedding_pair_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import dedup_embedding_cosine_bucketed_loose
+
+    return dedup_embedding_cosine_bucketed_loose(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+
+
+def dedup_components_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, component) clusters of near-duplicate embeddings."""
+    return dedup_components(
+        spark, sf_dir, pair_source=_embedding_pair_source
+    ).select(F.col("doc_id").alias("vec_id"), "component")
+
+
+def _register_components_embedding() -> None:
+    from .similarity import SIMILAR_PAIR_COSINE, _bucketed_neardup_sql
+
+    pairs_sql = (
+        "SELECT vec_a AS doc_a, vec_b AS doc_b FROM ("
+        + _bucketed_neardup_sql(SIMILAR_PAIR_COSINE)
+        + ")"
+    )
+    register(
+        "dedup_components_embedding",
+        sql=_SQL_COMPONENTS.format(pairs_sql=pairs_sql)
+        + "    SELECT u AS vec_id, min(v) AS component FROM reach"
+        "    GROUP BY u ORDER BY u",
+    )(dedup_components_embedding)
+
+
+_register_components_embedding()
