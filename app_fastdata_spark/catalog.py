@@ -51,6 +51,9 @@ DRIVER_PRIORITY: list[str] = [
     "doc_stratified_sample_hash",
     "events_funnel",
     "dedup_components_embedding",
+    "doc_budget_sample",
+    "doc_length_histogram",
+    "doc_quality_adaptive",
     "doc_seq_packing",
     "doc_mixture_weights",
     "tpch_q2_min_cost_supplier",

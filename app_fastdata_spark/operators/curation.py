@@ -288,3 +288,108 @@ register(
     GROUP BY doc_id
     """,
 )(doc_lm_score)
+
+
+# --- per-group budget capping ---------------------------------------------
+
+GROUP_BUDGET = 3  # max docs each (lang, source) cell may contribute
+
+
+def doc_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each (lang, source) cell's contribution at GROUP_BUDGET docs,
+    chosen by md5-hash order (deterministic, uncorrelated with doc_id
+    order, stable across engines) — the "no single source dominates the
+    mix" guard of corpus assembly. One window per cell over a hash sort;
+    at scale the rank is per-shard parallel like doc_seq_packing."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_BUDGET)
+        .select("doc_id", "lang", "source")
+    )
+
+
+register(
+    "doc_budget_sample",
+    sql=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {GROUP_BUDGET}
+    """,
+)(doc_budget_sample)
+
+
+# --- corpus length histogram ----------------------------------------------
+
+HIST_BIN = 100  # chars per bin
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length distribution: fixed-width bins over n_chars with count
+    and total chars per bin — the distribution diagnostic behind length
+    cutoffs. Pure two-column hash agg; scan-bound at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    bin_lo = (F.floor(F.col("n_chars") / HIST_BIN) * HIST_BIN).cast("long")
+    return (
+        docs.groupBy(bin_lo.alias("bin_lo"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("bin_lo")
+    )
+
+
+register(
+    "doc_length_histogram",
+    sql=f"""
+    SELECT CAST(floor(n_chars / {HIST_BIN}) * {HIST_BIN} AS BIGINT) AS bin_lo,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)(doc_length_histogram)
+
+
+# --- adaptive quality thresholds ------------------------------------------
+
+QUALITY_DROP_PCT = 0.1  # drop the shortest decile
+
+
+def doc_quality_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate with corpus-derived thresholds instead of fixed
+    constants: keep docs whose length clears their LANGUAGE's 10th
+    percentile (per-language because languages have different length
+    distributions — a fixed global cutoff over-filters terse languages).
+    Two-phase: a tiny per-language percentile aggregate broadcasts back
+    onto the scan; the fact side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = docs.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, {QUALITY_DROP_PCT})").alias("min_chars")
+    )
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .filter(F.col("n_chars") > F.col("min_chars"))
+        .select("doc_id", "lang", "n_chars", F.round("min_chars", 4).alias("lang_cutoff"))
+    )
+
+
+register(
+    "doc_quality_adaptive",
+    sql=f"""
+    WITH cuts AS (
+      SELECT lang, quantile_cont(n_chars, {QUALITY_DROP_PCT}) AS min_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT doc_id, d.lang, n_chars, round(min_chars, 4) AS lang_cutoff
+    FROM documents d JOIN cuts USING (lang)
+    WHERE n_chars > min_chars
+    """,
+)(doc_quality_adaptive)
