@@ -42,20 +42,25 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # --- new this round: curation planners + TPC-H completion (never
-    #     checked) ---
+    # Window math (50 driver slots, 109 queries): never-checked entries
+    # and this round's implementation changes must be inside; then the
+    # queries whose newest green row is TWO rounds old (round 2) —
+    # they age worst; the events serving chain's round-3 rows are only
+    # one round old, so all but the two most plan-sensitive recency
+    # queries stand on those.
+    # --- new this round (never driver-checked) ---
     "doc_train_eval_split",
     "doc_char_entropy",
     "doc_lm_score",
+    "doc_seq_packing",
+    "doc_mixture_weights",
+    "doc_budget_sample",
+    "doc_length_histogram",
+    "doc_quality_adaptive",
     "kmeans_lloyd_step",
     "doc_stratified_sample_hash",
     "events_funnel",
     "dedup_components_embedding",
-    "doc_budget_sample",
-    "doc_length_histogram",
-    "doc_quality_adaptive",
-    "doc_seq_packing",
-    "doc_mixture_weights",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -63,48 +68,21 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
     "tpch_q20_promo_shippers",
-    # --- implementation changed this round: new minhash permutation
-    #     family, first-matching-band pair emission, map-only
-    #     repetition, GEMM cell assignment + shared centroid cache ---
+    # --- implementation changed this round ---
     "dedup_minhash_lsh",
     "dedup_simhash",
     "doc_repetition",
     "sim_ann_ivf",
     "dedup_embedding_cosine_bucketed",
     "dedup_embedding_cosine_bucketed_loose",
-    "dedup_components",   # stats_out threading touched the CC loop
+    "dedup_components",
     "dedup_survivors",
-    # --- events load path rewritten for the µs parquet layout
-    #     (tables.load_table): re-evidence the recency/serving chain ---
+    # --- events load path rewritten for the new parquet layout: the two
+    #     most plan-sensitive recency consumers re-evidence; the rest of
+    #     the chain stands on round-3 rows (1 round old) ---
     "top_users",
-    "top_dests",
-    "top_sources",
-    "top_src_dests",
     "events_by_cluster_window",
-    "events_by_second",
-    "session_starts",
-    "nearest_centroid",
-    "enrich_events",
-    "events_by_cluster",
-    # --- stale: newest green row is round 2 — re-evidence ---
-    "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders",
-    "tpch_q4_priority_semijoin",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_priority_lines",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q18_big_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_lone_returner",
-    "tpch_q22_dormant_customers",
-    "tpch_order_priority_counts",
-    "tpch_top_orders_per_customer",
-    "tpch_unsold_parts_anti",
+    # --- newest green row is round 2 (2 rounds old) — re-evidence ---
     "doc_lang_id",
     "doc_fingerprint",
     "doc_bpe_tokens",
@@ -117,9 +95,19 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_embed",
     "multimodal_frame_sample",
     "top_users_salted",
-    # (kmeans_* / doc_stratified_sample / events_approx_stats are
-    # no_oracle-by-design: a re-run only re-records a rows-only row —
-    # their r1/r2 rows plus local determinism tests stand.)
+    "tpch_q21_lone_returner",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q12_priority_lines",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q13_custdist",
+    "tpch_q22_dormant_customers",
+    "tpch_top_orders_per_customer",
+    # (cut for space, standing on r2 rows + plan gates + local tests:
+    # tpch q1/q3/q4/q5/q6/q14/q18, order_priority_counts,
+    # unsold_parts_anti; kmeans_*/doc_stratified_sample/
+    # events_approx_stats are no_oracle-by-design.)
 ]
 
 
