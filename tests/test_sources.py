@@ -344,3 +344,31 @@ def test_avro_malformed_container_rejected(tmp_path):
     open(bad_codec, "wb").write(raw.replace(b"null", b"zstd", 1))
     with pytest.raises(ValueError, match="unsupported avro codec"):
         read_container(bad_codec)
+
+
+def test_load_table_handles_both_ts_layouts(spark, sf_dir, tmp_path):
+    """The events load path must produce identical frames over BOTH
+    physical layouts the driver has shipped: native timestamp[us]
+    (current testdata) and int64 TIMESTAMP(NANOS) (rounds 1-3). The ns
+    branch is dormant while the testdata is µs — this canary keeps it
+    honest by rewriting the same rows in the ns layout and comparing
+    full load_table output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from app_fastdata_spark.tables import events_ts_unit, load_table
+
+    cur = load_table(spark, sf_dir, "events")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    i = tbl.schema.get_field_index("ts")
+    ns_col = tbl.column("ts").cast(pa.timestamp("ns"))
+    ns_tbl = tbl.set_column(i, pa.field("ts", pa.timestamp("ns")), ns_col)
+    d = tmp_path / "ns_layout"
+    d.mkdir()
+    pq.write_table(ns_tbl, str(d / "events.parquet"), store_schema=False)
+    assert events_ts_unit(str(d / "events.parquet")) == "ns"
+    ns = load_table(spark, str(d), "events")
+    assert ns.schema == cur.schema
+    a = sorted(cur.collect(), key=lambda r: r.event_id)
+    b = sorted(ns.collect(), key=lambda r: r.event_id)
+    assert a == b
