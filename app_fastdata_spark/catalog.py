@@ -57,6 +57,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_budget_sample",
     "doc_length_histogram",
     "doc_quality_adaptive",
+    "sim_ann_recall",
     "kmeans_lloyd_step",
     "doc_stratified_sample_hash",
     "events_funnel",

@@ -98,9 +98,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "sim_topk_cosine",
-    sql=f"""
+_TOPK_SQL = f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
       WHERE vec_id < {N_QUERIES}
@@ -116,8 +114,9 @@ register(
            neighbor_id, round(cos, 9) AS cos
     FROM scored
     QUALIFY rank <= {TOP_K}
-    """,
-)(sim_topk_cosine)
+    """
+
+register("sim_topk_cosine", sql=_TOPK_SQL)(sim_topk_cosine)
 
 
 # --- embedding cosine near-dup (dedup family, oracle-checked) -------------
@@ -558,9 +557,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "sim_ann_ivf",
-    sql=f"""
+_IVF_SQL = f"""
     WITH stride AS (
       SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s
       FROM embeddings
@@ -607,5 +604,43 @@ register(
            neighbor_id, round(cos, 9) AS cos
     FROM scored
     QUALIFY rank <= {TOP_K}
+    """
+
+register("sim_ann_ivf", sql=_IVF_SQL)(sim_ann_ivf)
+
+
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@K of the IVF probe search against the exact
+    brute-force top-k — the quality telemetry every ANN deployment
+    needs next to its latency numbers. Both sides are oracle-checked
+    queries; the recall is a semi-match count over their K-row results,
+    so the measurement itself carries a full oracle too."""
+    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(TOP_K), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+register(
+    "sim_ann_recall",
+    sql=f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_TOPK_SQL})),
+         approx AS (SELECT query_id, neighbor_id FROM ({_IVF_SQL}))
+    SELECT e.query_id,
+           count(a.neighbor_id) AS n_hits,
+           round(count(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
     """,
-)(sim_ann_ivf)
+)(sim_ann_recall)
