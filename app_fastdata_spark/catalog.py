@@ -58,6 +58,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_length_histogram",
     "doc_quality_adaptive",
     "sim_ann_recall",
+    "dedup_pagerank",
     "kmeans_lloyd_step",
     "doc_stratified_sample_hash",
     "events_funnel",

@@ -1014,3 +1014,80 @@ def _register_components_embedding() -> None:
 
 
 _register_components_embedding()
+
+
+# --- fixed-iteration PageRank over the near-dup graph ---------------------
+# A second iterative-algorithm operator with FULL oracle evidence: with
+# the iteration count fixed (3) the recurrence is plain relational
+# algebra, so both engines can run it unrolled. Ranks are rounded to
+# 6 dp after every iteration — both engines quantize identical states,
+# so cross-partition summation-order noise (~1e-16) can never
+# accumulate into the value hash. Damping 0.85, uniform init over the
+# pair graph's nodes; the symmetric pair graph has no dangling nodes.
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pagerank) over the capped-Jaccard near-dup graph —
+    centrality inside duplicate clusters (the canonical-representative
+    picker: highest-rank doc is the cluster's best-connected copy).
+    Executes as 3 unrolled join+agg rounds over a cached edge list."""
+    pairs = dedup_ngram_jaccard_capped(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()
+    base = F.lit(round((1 - PR_DAMPING) / n_nodes, 9))
+    pr = deg.select("src", F.round(F.lit(1.0 / n_nodes), 6).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, "src")
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("src"),
+                F.round(base + PR_DAMPING * F.col("s"), 6).alias("pr"),
+            )
+        )
+    return pr.select(F.col("src").alias("doc_id"), F.col("pr").alias("pagerank"))
+
+
+def _pagerank_sql() -> str:
+    n = "(SELECT count(*) FROM deg)"
+    base = f"round((1 - {PR_DAMPING}) / {n}, 9)"
+    sql = f"""
+    WITH pairs AS MATERIALIZED ({CAPPED_JACCARD_SQL}),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT src, round(1.0 / {n}, 6) AS pr FROM deg)
+    """
+    prev = "pr0"
+    for it in range(1, PR_ITERS + 1):
+        sql += f""",
+    pr{it} AS (
+      SELECT e.dst AS src,
+             round({base} + {PR_DAMPING} * sum(p.pr / d.deg), 6) AS pr
+      FROM edges e JOIN {prev} p ON e.src = p.src
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )"""
+        prev = f"pr{it}"
+    sql += f"""
+    SELECT src AS doc_id, pr AS pagerank FROM {prev}
+    """
+    return sql
+
+
+register("dedup_pagerank", sql=_pagerank_sql())(dedup_pagerank)
