@@ -104,9 +104,8 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
     "tpch_q13_custdist",
-    "tpch_q22_dormant_customers",
-    "tpch_top_orders_per_customer",
-    # (cut for space, standing on r2 rows + plan gates + local tests:
+    # (cut for space: tpch_q22_dormant_customers,
+    # tpch_top_orders_per_customer, and, standing on r2 rows + plan gates + local tests:
     # tpch q1/q3/q4/q5/q6/q14/q18, order_priority_counts,
     # unsold_parts_anti; kmeans_*/doc_stratified_sample/
     # events_approx_stats are no_oracle-by-design.)
