@@ -18,6 +18,12 @@ from tools.check_oracle import normalize
 @pytest.fixture(scope="module")
 def ddb(sf_dir):
     con = duckdb.connect()
+    # Pin DuckDB's budget: its default limit derives from SYSTEM memory,
+    # which the long-lived Spark JVM is also claiming during a full-suite
+    # run — under pressure that intermittently OOM'd a batch of parity
+    # tests. 8 GB is ~20x what the heaviest oracle needs at sf0.001.
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET threads=8")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con

@@ -86,6 +86,9 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # fixed budget: DuckDB's system-derived default races the Spark JVM
+    # for the same memory (see tests/test_oracle_parity.py)
+    con.execute("SET memory_limit='8GB'")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
