@@ -79,6 +79,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_embedding_cosine_bucketed_loose",
     "dedup_components",
     "dedup_survivors",
+    "doc_pipeline_survivors",  # switched to the capped pair source
     # --- events load path rewritten for the new parquet layout: the two
     #     most plan-sensitive recency consumers re-evidence; the rest of
     #     the chain stands on round-3 rows (1 round old) ---
@@ -103,8 +104,7 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q12_priority_lines",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
-    "tpch_q13_custdist",
-    # (cut for space: tpch_q22_dormant_customers,
+    # (cut for space: tpch_q13_custdist, tpch_q22_dormant_customers,
     # tpch_top_orders_per_customer, and, standing on r2 rows + plan gates + local tests:
     # tpch q1/q3/q4/q5/q6/q14/q18, order_priority_counts,
     # unsold_parts_anti; kmeans_*/doc_stratified_sample/

@@ -4,9 +4,13 @@ The realistic LLM-corpus pass over `documents`, as ONE declarative plan:
 
   1. quality gate      — length/token/type-token thresholds (doc_quality)
   2. exact dedup       — keep the min doc_id per normalized fingerprint
-  3. near-dup removal  — 3-gram Jaccard >= 0.5 pairs; greedy keep-lowest
-                         (every doc_b of a pair is dropped — deterministic,
-                         anti-join, no iterative connected components)
+  3. near-dup removal  — SKEW-CAPPED 3-gram Jaccard >= 0.5 pairs; greedy
+                         keep-lowest (every doc_b of a pair is dropped —
+                         deterministic anti-join, no iterative components).
+                         The capped source bounds stop-shingle buckets, so
+                         the composition inherits the 100 TB skew guarantee
+                         (the uncapped index was the one quadratic chain
+                         still reachable from this query)
   4. survivor stats    — the curated corpus with its token counts
 
 Fully oracle-checked: each stage reuses the SQL fragments of its
@@ -14,7 +18,8 @@ standalone operator, so the composition is verified end-to-end, not just
 stage-by-stage.
 
 Scale: stages 1-2 are a scan + one hash-agg; stage 3 reuses the
-bucket-HOF inverted index (one shuffle on shingle hash, one on pairs);
+capped bucket pair generator (one shuffle on shingle hash, one on
+pairs, bucket size bounded);
 stage 4 is a broadcast-able anti-join (pair set ≪ corpus). Nothing
 collects to the driver.
 """
@@ -26,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .dedup import _SQL_SHINGLES, dedup_ngram_jaccard
+from .dedup import CAPPED_JACCARD_SQL, dedup_ngram_jaccard_capped
 
 PIPE_JACCARD = 0.5
 
@@ -46,8 +51,8 @@ def doc_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    near_pairs = dedup_ngram_jaccard(spark, sf_dir).filter(
-        F.col("jaccard") >= PIPE_JACCARD
+    near_pairs = dedup_ngram_jaccard_capped(spark, sf_dir).filter(
+        F.col("jaccard_lb") >= PIPE_JACCARD
     )
     dropped = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = exact_kept.join(dropped, "doc_id", "left_anti")
@@ -82,21 +87,10 @@ register(
             FROM quality)
       GROUP BY fp
     ),
-    sh AS ({_SQL_SHINGLES}),
-    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-    sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    capped AS MATERIALIZED ({CAPPED_JACCARD_SQL}),
     dropped AS (
-      SELECT DISTINCT doc_b AS doc_id
-      FROM pairs
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6)
-            >= {PIPE_JACCARD}
+      SELECT DISTINCT doc_b AS doc_id FROM capped
+      WHERE jaccard_lb >= {PIPE_JACCARD}
     )
     SELECT d.doc_id, length(d.text) AS len_chars,
            len(string_split_regex(trim(lower(d.text)), '\\s+')) AS n_tokens
