@@ -44,6 +44,8 @@ QUERIES = [
     "dedup_embedding_cosine_bucketed",
     "sim_ann_lsh",
     "doc_lm_score",
+    "doc_pipeline_survivors",
+    "dedup_pagerank",
 ]
 
 
