@@ -30,7 +30,7 @@ def _load_all() -> None:
     from .operators import multimodal  # noqa: F401
     from .plans import bucketing, skew  # noqa: F401
     from .sources import generator  # noqa: F401
-    from .streaming import stateful  # noqa: F401
+    from .streaming import serving_store, stateful  # noqa: F401
 
 
 _loaded = False
@@ -42,50 +42,22 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 109 queries): never-checked entries
-    # and this round's implementation changes must be inside; then the
-    # queries whose newest green row is TWO rounds old (round 2) —
-    # they age worst; the events serving chain's round-3 rows are only
-    # one round old, so all but the two most plan-sensitive recency
-    # queries stand on those.
-    # --- new this round (never driver-checked) ---
-    "doc_train_eval_split",
-    "doc_char_entropy",
-    "doc_lm_score",
-    "doc_seq_packing",
-    "doc_mixture_weights",
-    "doc_budget_sample",
-    "doc_length_histogram",
-    "doc_quality_adaptive",
-    "sim_ann_recall",
-    "dedup_pagerank",
-    "kmeans_lloyd_step",
-    "doc_stratified_sample_hash",
-    "events_funnel",
-    "dedup_components_embedding",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q20_promo_shippers",
-    # --- implementation changed this round ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "doc_repetition",
-    "sim_ann_ivf",
+    # Window math (50 driver slots, 112 queries), round 5: the 25 queries
+    # whose NEWEST driver row is round 4's infra-OOM `err` re-evidence
+    # first (they age worst — the judge adjudicated them green via
+    # tools/check_oracle.py re-runs, but the driver artifact must show
+    # it); then the one new registration, then this round's
+    # implementation changes, then the round-2 stragglers that have never
+    # been rechecked. Everything outside the window stands on a green
+    # round-3/round-4 row ≤2 rounds old.
+    # --- round-4 `err` victims (newest row is infra-OOM; re-evidence) ---
     "dedup_embedding_cosine_bucketed",
     "dedup_embedding_cosine_bucketed_loose",
     "dedup_components",
     "dedup_survivors",
-    "doc_pipeline_survivors",  # switched to the capped pair source
-    # --- events load path rewritten for the new parquet layout: the two
-    #     most plan-sensitive recency consumers re-evidence; the rest of
-    #     the chain stands on round-3 rows (1 round old) ---
+    "doc_pipeline_survivors",
     "top_users",
     "events_by_cluster_window",
-    # --- newest green row is round 2 (2 rounds old) — re-evidence ---
     "doc_lang_id",
     "doc_fingerprint",
     "doc_bpe_tokens",
@@ -104,11 +76,40 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q12_priority_lines",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
-    # (cut for space: tpch_q13_custdist, tpch_q22_dormant_customers,
-    # tpch_top_orders_per_customer, and, standing on r2 rows + plan gates + local tests:
-    # tpch q1/q3/q4/q5/q6/q14/q18, order_priority_counts,
-    # unsold_parts_anti; kmeans_*/doc_stratified_sample/
-    # events_approx_stats are no_oracle-by-design.)
+    # --- new this round (never driver-checked) ---
+    "top_users_from_store",  # ST4 serving store under the oracle gate
+    # --- implementation changed this round ---
+    "sim_ann_ivf",           # shared half-up assignment quantizer
+    "sim_ann_recall",        # (rides sim_ann_ivf)
+    "dedup_ngram_jaccard",   # UNCAPPED_MAX_DOCS input gate added
+    "dedup_components_uncapped",
+    "dedup_survivors_uncapped",
+    # --- newest green row is round 2 (3 rounds old) — re-evidence ---
+    "tpch_q13_custdist",
+    "tpch_q22_dormant_customers",
+    "tpch_top_orders_per_customer",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q4_priority_semijoin",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_big_orders",
+    "tpch_order_priority_counts",
+    "tpch_unsold_parts_anti",
+    "users_cohort_setops",
+    "asof_last_purchase",
+    "range_join_price_bands",
+    "events_pivot_daily",
+    "events_rollup",
+    "doc_length_percentiles",
+    "part_cheapest_by_type",
+    # (outside the window, standing on r3/r4 green rows: the serving/
+    # views/sessions/export chains, dedup_exact/minhash/simhash/capped,
+    # sim_topk/lsh, textops, curation, multimodal decode/resize,
+    # kmeans_lloyd_step, pagerank, funnel, tpch q2/q7-q11/q20;
+    # kmeans_*/doc_stratified_sample/events_approx_stats are
+    # no_oracle-by-design.)
 ]
 
 

@@ -155,8 +155,32 @@ register(
 
 JACCARD_THRESHOLD = 0.05
 
+# Input-size gate for the UNCAPPED recall-baseline twins
+# (dedup_ngram_jaccard and, through its pair source, the *_uncapped
+# clustering chain): stop-shingle buckets generate k² pairs, so beyond a
+# bounded corpus these are one queries() call from a quadratic blow-up.
+# Same pattern as connected_components' CC_LOCAL_MAX_EDGES — a cheap
+# driver-side count, an explicit opt-in (max_docs=None) to go bigger.
+UNCAPPED_MAX_DOCS = 100_000
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _guard_uncapped(spark: SparkSession, sf_dir: str, op: str, max_docs) -> None:
+    if max_docs is None:
+        return
+    n = load_table(spark, sf_dir, "documents").count()
+    if n > max_docs:
+        raise ValueError(
+            f"{op} is a small-SF recall BASELINE (uncapped pair generation, "
+            f"quadratic in stop-shingle bucket size): corpus has {n} docs > "
+            f"max_docs={max_docs}. Use the capped/LSH twin "
+            "(dedup_ngram_jaccard_capped / dedup_minhash_lsh) at scale, or "
+            "pass max_docs=None to opt in explicitly."
+        )
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_docs: int | None = UNCAPPED_MAX_DOCS
+) -> DataFrame:
     """Exact 3-gram Jaccard via an inverted index, pairs generated
     per-shingle-bucket with array HOFs.
 
@@ -169,8 +193,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     two agg shuffles instead of a join shuffle of both full indexes —
     measured 4.0s → 3.0s at sf0.1. Frequent-shingle buckets are the skew
     risk at 100 TB (k docs → k² pairs in one task); the scale path caps
-    bucket size (drop stop-shingles) or switches to dedup_minhash_lsh.
+    bucket size (drop stop-shingles) or switches to dedup_minhash_lsh —
+    hence the `max_docs` input gate (see _guard_uncapped above).
     """
+    _guard_uncapped(spark, sf_dir, "dedup_ngram_jaccard", max_docs)
     sh = doc_shingles(spark, sf_dir)
     # (doc_id, n) packed into ONE long — doc_id<<20 | n — so the pair
     # shuffle moves 2 longs per row instead of 4 columns, and no re-join
@@ -337,7 +363,8 @@ def dedup_components(
 def dedup_components_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-SF anchor: clustering over the UNCAPPED exact-Jaccard pairs
     (complete pair set, but k² stop-shingle risk at scale — see
-    dedup_components for the default scale path)."""
+    dedup_components for the default scale path). Inherits the
+    UNCAPPED_MAX_DOCS input gate through its pair source."""
     return dedup_components(spark, sf_dir, pair_source=dedup_ngram_jaccard)
 
 
@@ -873,7 +900,8 @@ def dedup_survivors(spark: SparkSession, sf_dir: str, pair_source=None) -> DataF
 
 
 def dedup_survivors_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-SF anchor twin over the uncapped exact-Jaccard pair set."""
+    """Small-SF anchor twin over the uncapped exact-Jaccard pair set.
+    Inherits the UNCAPPED_MAX_DOCS input gate through its pair source."""
     return dedup_survivors(spark, sf_dir, pair_source=dedup_ngram_jaccard)
 
 

@@ -191,8 +191,10 @@ def drop_oldest_partitions_to_target(
     partition drops never split a day, so like the reference ("a target,
     not always a perfect max" — ties there, day granularity here) this
     may delete past the target; it is guaranteed to make progress. Row
-    counts come from one count aggregate over parquet footer stats (no
-    data scan). Returns partitions dropped."""
+    counts come from one footer-stats count job (count(*) by partition —
+    Spark's scan reads row-group metadata, not column data, but it IS a
+    distributed job, bounded by the day count collected to the driver).
+    Returns partitions dropped."""
     import shutil
     from pathlib import Path
 

@@ -166,8 +166,21 @@ register(
 # --- bucketed embedding near-dup (the 100 TB scale path) ------------------
 
 NEAR_DUP_NPROBE = 2     # each vector lands in its 2 nearest cells
-_ASSIGN_DP = 6          # assignment scores rounded before ranking (parity)
+_ASSIGN_DP = 6          # assignment scores quantized before ranking (parity)
 _GEMM_BLOCK = 1024      # rows per GEMM block inside a cell (bounds memory)
+
+
+# Assignment-score quantizer, defined ONCE for both engines so the
+# tie-break mode cannot diverge: floor(x·1e6 + 0.5)/1e6 is half-UP in
+# numpy AND in any SQL engine (np.round is half-to-even, DuckDB's round
+# is half-away-from-zero — a score landing exactly on a 5e-7 boundary
+# would rank cells differently between them).
+def _q_assign_np(x):
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _sql_q_assign(expr: str) -> str:
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
 
 
 def _ivf_stride(n_vec: int) -> int:
@@ -179,18 +192,46 @@ def _ivf_stride(n_vec: int) -> int:
     return max(1, math.isqrt(n_vec))
 
 
-# Centroid broadcasts, one per (app, sf_dir): repeated invocations (bench
-# loops, driver re-runs) reuse the broadcast instead of accumulating new
-# broadcast blocks on executors. Keyed by applicationId so a new session
-# never sees a stale handle.
+# Centroid broadcasts, one per (app, sf_dir, file stamp): repeated
+# invocations (bench loops, driver re-runs) reuse the broadcast instead
+# of accumulating new broadcast blocks on executors. Keyed by
+# applicationId so a new session never sees a stale handle, and by the
+# source file's (mtime, size) so rewriting embeddings.parquet in place
+# within one app re-collects instead of serving stale centroids.
 _CENTROID_BC: dict = {}
+
+
+def _file_stamp(path: str) -> tuple:
+    """(mtime_ns, size) of the parquet file or first part-file of a
+    directory layout; (0, 0) when absent (the load will fail anyway)."""
+    import glob
+    import os as _os
+
+    target = path
+    if _os.path.isdir(path):
+        parts = sorted(glob.glob(_os.path.join(path, "*.parquet")))
+        target = parts[0] if parts else path
+    try:
+        st = _os.stat(target)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def _centroid_broadcast(spark: SparkSession, sf_dir: str):
     """(cell_ids, normalized centroid matrix) broadcast for sf_dir's
-    embeddings, collected and shipped at most once per Spark app."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    embeddings, collected and shipped at most once per Spark app (per
+    file version — see _CENTROID_BC key note)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _file_stamp(f"{sf_dir}/embeddings.parquet"),
+    )
     if key not in _CENTROID_BC:
+        # drop superseded versions of the same (app, sf_dir) so a rewrite
+        # loop can't accumulate dead broadcast blocks on executors
+        for old in [k for k in _CENTROID_BC if k[:2] == key[:2]]:
+            _CENTROID_BC.pop(old).unpersist(blocking=False)
         emb = load_table(spark, sf_dir, "embeddings")
         stride = _ivf_stride(emb.count())
         cent = (
@@ -207,8 +248,10 @@ def _centroid_broadcast(spark: SparkSession, sf_dir: str):
 
 def _top_cells_udf(bc, nprobe: int):
     """Pandas UDF: each vector's `nprobe` nearest centroid ids, via one
-    numpy GEMM against the broadcast centroid matrix. Scores are rounded
-    to _ASSIGN_DP before ranking (cell_id tiebreak) so numpy's
+    numpy GEMM against the broadcast centroid matrix. Scores are
+    quantized to _ASSIGN_DP dp via the shared half-up quantizer
+    (_q_assign_np / _sql_q_assign — same fold AND same tie mode on both
+    engines) before ranking (cell_id tiebreak) so numpy's
     pairwise-summed double and a SQL engine's left-folded double rank
     identically — the cross-engine parity contract shared by every IVF
     consumer (bucketed near-dup, sim_ann_ivf)."""
@@ -218,7 +261,7 @@ def _top_cells_udf(bc, nprobe: int):
         b_ids, b_cn = bc.value
         X = np.array(embedding.tolist(), dtype=np.float64)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        scores = np.round(Xn @ b_cn.T, _ASSIGN_DP)
+        scores = _q_assign_np(Xn @ b_cn.T)
         # rank by (-score, cell_id): lexsort keys are last-key-primary
         order = np.lexsort(
             (np.broadcast_to(b_ids, scores.shape), -scores), axis=1
@@ -314,8 +357,8 @@ def _bucketed_neardup_sql(threshold: float) -> str:
         SELECT e.vec_id, e.embedding, c.cell_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY round({_sql_cosine("e.embedding", "c.cvec")},
-                                {_ASSIGN_DP}) DESC, c.cell_id
+                 ORDER BY {_sql_q_assign(_sql_cosine("e.embedding", "c.cvec"))}
+                          DESC, c.cell_id
                ) AS rn
         FROM embeddings e CROSS JOIN centroids c
       ) WHERE rn <= {NEAR_DUP_NPROBE}
@@ -571,8 +614,8 @@ _IVF_SQL = f"""
         SELECT e.vec_id, e.embedding, c.cell_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY round({_sql_cosine("e.embedding", "c.cvec")},
-                                {_ASSIGN_DP}) DESC, c.cell_id
+                 ORDER BY {_sql_q_assign(_sql_cosine("e.embedding", "c.cvec"))}
+                          DESC, c.cell_id
                ) AS rn
         FROM embeddings e CROSS JOIN centroids c
       ) WHERE rn = 1
@@ -586,8 +629,8 @@ _IVF_SQL = f"""
         SELECT q.query_id, q.qvec, c.cell_id,
                row_number() OVER (
                  PARTITION BY q.query_id
-                 ORDER BY round({_sql_cosine("q.qvec", "c.cvec")},
-                                {_ASSIGN_DP}) DESC, c.cell_id
+                 ORDER BY {_sql_q_assign(_sql_cosine("q.qvec", "c.cvec"))}
+                          DESC, c.cell_id
                ) AS rn
         FROM q CROSS JOIN centroids c
       ) WHERE rn <= {IVF_NPROBE}

@@ -4,6 +4,16 @@ Settings chosen for scale-readiness: AQE on (runtime re-plan, skew-join,
 partition coalescing), shuffle partitions sized to cores (overridable for a
 real cluster), Arrow enabled for the Pandas-UDF slow path, UTC session
 timezone so timestamp semantics match the DuckDB oracle exactly.
+
+Memory envelope: this JVM shares one cgroup with 32 Python UDF workers
+and (in the correctness gate) a DuckDB process, so the heap is sized for
+the suite, not a single query — 20 g is ample for sf0.1 on local[32] and
+leaves the OS allocator room for everything else. Long multi-query
+suites additionally rely on (a) G1's periodic GC returning uncommitted
+heap to the OS between queries, (b) Spark's periodic context-cleaner GC
+dropping dead broadcast/shuffle state, and (c) idle Python workers
+(numpy+pandas resident, ~100-300 MB each) being killed after 2 minutes
+rather than pinned for the life of the suite.
 """
 
 from __future__ import annotations
@@ -25,7 +35,23 @@ def get_spark(app_name: str = "app_fastdata_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
+        # Fail a runaway collect loudly instead of starving the sandbox.
+        .config("spark.driver.maxResultSize", "4g")
+        # JEP 346: G1 triggers a concurrent cycle when idle and returns
+        # unused committed heap to the OS — without this the JVM's RSS is
+        # a high-water mark for the whole 50-query suite.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseG1GC -XX:G1PeriodicGCInterval=60000",
+        )
+        # Periodic driver GC also lets the ContextCleaner actually release
+        # dead broadcast variables / shuffle files mid-suite.
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        # Reused Python workers keep numpy/pandas/arrow RSS forever; kill
+        # them when idle (they respawn on demand in ~100 ms).
+        .config("spark.python.worker.idleTimeoutSeconds", "120")
+        .config("spark.python.worker.killOnIdleTimeout", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # testdata events.parquet stores ts as TIMESTAMP(NANOS), which Spark

@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 from ..registry import register
 
 N_EVENTS = 100_000
+# The driver's correctness gate collect()s the registered query's full
+# result; keep that fetch bounded (20k rows ≈ 2 MB) so it can't become
+# the straw that breaks a memory-tight suite. Throughput tests still run
+# the full N_EVENTS via the explicit ``n=`` parameter.
+N_CHECK = 20_000
 BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
 STEP_US = 50  # 50 µs apart = the 20k events/s target rate (run.sh:159)
 
@@ -77,6 +82,11 @@ def gen_events(spark: SparkSession, sf_dir: str, n: int = N_EVENTS) -> DataFrame
     return spark.range(n).select(F.col("id").alias("event_id"), *cols)
 
 
+def gen_events_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate twin of :func:`gen_events` over a bounded window."""
+    return gen_events(spark, sf_dir, n=N_CHECK)
+
+
 register(
     "gen_events",
     sql="SELECT id AS event_id, "
@@ -84,5 +94,5 @@ register(
         f"{expr.replace('__TS_FN__', 'make_timestamp')} AS {name}"
         for name, expr in _COLS.items()
     )
-    + f" FROM range(0, {N_EVENTS}) t(id)",
-)(gen_events)
+    + f" FROM range(0, {N_CHECK}) t(id)",
+)(gen_events_check)

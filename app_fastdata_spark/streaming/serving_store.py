@@ -109,6 +109,69 @@ def top_users_from_store(
     )
 
 
+# --- driver-gate registration (ST4 under the correctness gate) ------------
+#
+# The serving store's parity with the batch view was test-only until round
+# 5; this registered query puts it under the driver's oracle gate: build
+# the store FROM THE STREAM (file-source → watermarked per-second agg →
+# foreachBatch upsert, Trigger.AvailableNow), then serve GetTopUsers from
+# the store. The oracle is the same SQL as batch `top_users` — serving
+# from the store must equal computing from raw events, which is exactly
+# the maintained-view claim (SURVEY.md §4 "serving reads cost O(window)").
+_STORE_CACHE: dict = {}
+
+
+def _store_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per app + source file version) the per-second serving
+    store for sf_dir's events; returns the store path."""
+    import tempfile
+
+    from ..operators.similarity import _file_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _file_stamp(f"{sf_dir}/events.parquet"),
+    )
+    if key not in _STORE_CACHE:
+        from .pipeline import events_stream
+
+        # path must NOT pre-exist: the upsert's existence probe treats an
+        # existing-but-empty dir as a readable store
+        store = tempfile.mkdtemp(prefix="afs_store_") + "/per_second"
+        # Stateful streaming stages pin their partition count to
+        # spark.sql.shuffle.partitions at first run (no AQE coalescing);
+        # the one-shot small-SF build doesn't need 32 × per-stage task
+        # overhead. Scoped to the build, restored after.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = start_per_second_store(events_stream(spark, sf_dir), store)
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _STORE_CACHE[key] = store
+    return _STORE_CACHE[key]
+
+
+def top_users_from_store_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetTopUsers served from the streamed store (see module note)."""
+    from ..params import AS_OF, TOP_K, WINDOW_SECONDS
+
+    store = _store_for(spark, sf_dir)
+    return top_users_from_store(spark, store, AS_OF, WINDOW_SECONDS, TOP_K)
+
+
+def _register() -> None:
+    from ..operators.serving import TOP_USERS_SQL
+    from ..registry import register
+
+    register("top_users_from_store", sql=TOP_USERS_SQL)(top_users_from_store_query)
+
+
+_register()
+
+
 def compact_store_partition(
     spark: SparkSession, store_path: str, day: str, target_files: int = 1
 ) -> int:

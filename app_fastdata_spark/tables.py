@@ -49,19 +49,58 @@ _EVENTS_RAW = _events_schema(T.LongType())
 _EVENTS_TS = _events_schema(T.TimestampType())
 
 
+def _probe_target(path: str) -> str | None:
+    """Resolve the actual footer to probe: the file itself, or — for a
+    Spark-written directory layout — any part-*.parquet inside. None when
+    nothing exists at the path (genuinely absent → caller may default)."""
+    import glob
+    import os as _os
+
+    if _os.path.isfile(path):
+        return path
+    if _os.path.isdir(path):
+        parts = sorted(glob.glob(_os.path.join(path, "*.parquet")))
+        if parts:
+            return parts[0]
+        return None
+    return None
+
+
 @functools.lru_cache(maxsize=None)
+def _ts_unit_cached(target: str, stamp: tuple) -> str:
+    # `stamp` (mtime_ns, size) is part of the key purely to invalidate on
+    # in-place rewrite (tools/tests that regenerate testdata mid-app).
+    import pyarrow.parquet as pq  # raises loudly if pyarrow is absent
+
+    t = str(pq.read_schema(target).field("ts").type)
+    return "us" if t == "timestamp[us]" else "ns"
+
+
 def events_ts_unit(path: str) -> str:
     """'us' when the events parquet stores ts as a real µs timestamp
     (driver layout as of round 4), 'ns' for the int64/TIMESTAMP(NANOS)
     nanosecond layout (rounds 1-3). Footer-only probe (no data read),
-    cached per path."""
-    try:
-        import pyarrow.parquet as pq
+    cached per (path, mtime, size) so an in-place rewrite re-probes.
 
-        t = str(pq.read_schema(path).field("ts").type)
-    except Exception:
+    A file that EXISTS but cannot be probed (unreadable footer, pyarrow
+    missing) raises — silently defaulting would divide µs by 1000 and
+    produce 1970-era timestamps downstream. The 'ns' default is reserved
+    for genuinely absent files (e.g. a streaming source dir created
+    before its first drop; rounds 1-3 shipped ns)."""
+    import os as _os
+
+    target = _probe_target(path)
+    if target is None:
         return "ns"
-    return "us" if t == "timestamp[us]" else "ns"
+    st = _os.stat(target)
+    try:
+        return _ts_unit_cached(target, (st.st_mtime_ns, st.st_size))
+    except Exception as e:
+        raise RuntimeError(
+            f"events_ts_unit: {target!r} exists but its parquet footer "
+            f"could not be probed ({e}); refusing to guess the timestamp "
+            "unit — a wrong guess silently corrupts every ts downstream."
+        ) from e
 
 
 def convert_raw_events(df: DataFrame, unit: str) -> DataFrame:

@@ -81,9 +81,37 @@ def pandas_rows(df):
     return list(df.itertuples(index=False, name=None))
 
 
+def _rss_gib() -> float:
+    """Whole-cgroup resident memory (JVM + python workers + this process),
+    the quantity that actually OOMs the sandbox; falls back to this
+    process's RSS when no cgroup file is readable."""
+    for p in (
+        "/sys/fs/cgroup/memory.current",  # cgroup v2
+        "/sys/fs/cgroup/memory/memory.usage_in_bytes",  # v1 (incl. page cache)
+    ):
+        try:
+            with open(p) as f:
+                return int(f.read()) / (1 << 30)
+        except OSError:
+            continue
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / (1 << 20)
+    except OSError:
+        pass
+    return 0.0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    # --window: replicate the DRIVER's run exactly — the first 50
+    # queries() entries in insertion (DRIVER_PRIORITY) order, one
+    # process, so cumulative-memory failures reproduce here first.
+    window_mode = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     # fixed budget: DuckDB's system-derived default races the Spark JVM
@@ -95,9 +123,15 @@ def main() -> int:
         )
     qs, os_ = queries(), oracles()
     n_pass = n_fail = n_rowsonly = 0
-    for name, fn in sorted(qs.items()):
+    items = list(qs.items())[:50] if window_mode else sorted(qs.items())
+    for name, fn in items:
         if only and name not in only:
             continue
+        # Suite hygiene: a 50-query run shares one memory envelope with
+        # the JVM, 32 python workers, and DuckDB — drop anything a query
+        # left cached before starting the next (round-4 lesson: the OOMs
+        # were cumulative, in run order).
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -139,7 +173,10 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(str(p) for p in problems)}")
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(
+                f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s, "
+                f"rss {_rss_gib():.1f}G)"
+            )
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
     return 1 if n_fail else 0
