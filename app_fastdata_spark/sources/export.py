@@ -141,13 +141,37 @@ def harvest(
     return spark.read.parquet(out_parquet)
 
 
+_JDBC_OK: bool | None = None
+
+
+def jdbc_available(spark: SparkSession, probe_url: str = "jdbc:derby:memory:probe") -> bool:
+    """Probe once whether a JDBC driver accepting `probe_url` is on the
+    classpath. Spark ships embedded Derby (for the Hive metastore), so
+    the default probe asks DriverManager for a Derby-URL handler —
+    getDriver registers ServiceLoader drivers and matches without
+    opening a connection."""
+    global _JDBC_OK
+    if _JDBC_OK is None:
+        try:
+            spark._jvm.java.sql.DriverManager.getDriver(probe_url)
+            _JDBC_OK = True
+        except Exception:  # noqa: BLE001
+            _JDBC_OK = False
+    return _JDBC_OK
+
+
 def jdbc_export_writer(
     url: str, table: str, properties: dict[str, str] | None = None
 ) -> Callable[[DataFrame, int], None]:
-    """S5: the JDBC export target (deployment-demo.xml.template:5-11) as a
-    foreachBatch sink — each micro-batch appends transactionally via the
-    JVM JDBC writer. No driver jars ship in this container, so this is
-    exercised by tests only through its plan construction."""
+    """S5/U7: the JDBC export target (deployment-demo.xml.template:5-11;
+    vertica/RFunctions.sql:5-6,16) as a foreachBatch sink — each
+    micro-batch appends transactionally via the JVM JDBC writer.
+
+    Exercised end-to-end against Spark's embedded Derby when its driver
+    is present (tests/test_sources.py::test_jdbc_export_end_to_end);
+    `jdbc_available` gates environments without any JDBC driver. A real
+    deployment swaps `url` for the warehouse target (Vertica/Postgres)
+    and adds its driver jar — the writer shape is identical."""
 
     def write_batch(batch: DataFrame, _epoch: int) -> None:
         batch.write.jdbc(url, table, mode="append", properties=properties or {})

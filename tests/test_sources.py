@@ -372,3 +372,121 @@ def test_load_table_handles_both_ts_layouts(spark, sf_dir, tmp_path):
     a = sorted(cur.collect(), key=lambda r: r.event_id)
     b = sorted(ns.collect(), key=lambda r: r.event_id)
     assert a == b
+
+
+def test_events_ts_unit_probe_contract(spark, sf_dir, tmp_path):
+    """The ts-unit probe must (a) default 'ns' ONLY for genuinely absent
+    paths, (b) raise loudly for a file that exists but has an unreadable
+    footer (a silent 'ns' guess divides µs by 1000 downstream → 1970-era
+    timestamps), and (c) probe part-files inside a directory layout."""
+    import pytest as _pytest
+
+    from app_fastdata_spark.tables import events_ts_unit
+
+    # (a) absent → default
+    assert events_ts_unit(str(tmp_path / "nope" / "events.parquet")) == "ns"
+    # (b) present-but-garbage → raise
+    bad = tmp_path / "events.parquet"
+    bad.write_bytes(b"this is not parquet")
+    with _pytest.raises(RuntimeError, match="could not be probed"):
+        events_ts_unit(str(bad))
+    # (c) directory layout: probe the part file inside (a µs part-file,
+    # as a Spark writer configured with outputTimestampType=TIMESTAMP_MICROS
+    # would produce; note Spark's INT96 default reads back as ns)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "dirlayout" / "evdir"
+    d.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"ts": pa.array([0], type=pa.timestamp("us"))}),
+        str(d / "part-00000.parquet"),
+    )
+    assert events_ts_unit(str(d)) == "us"
+
+
+def test_uncapped_jaccard_input_gate(spark, sf_dir):
+    """The uncapped recall-baseline twins must refuse oversized corpora
+    unless explicitly opted in (quadratic stop-shingle pair risk)."""
+    import pytest as _pytest
+
+    from app_fastdata_spark.operators.dedup import dedup_ngram_jaccard
+
+    with _pytest.raises(ValueError, match="BASELINE"):
+        dedup_ngram_jaccard(spark, sf_dir, max_docs=1)
+    # explicit opt-in still runs
+    assert dedup_ngram_jaccard(spark, sf_dir, max_docs=None).count() >= 0
+
+
+def test_jdbc_export_end_to_end(spark, sf_dir, tmp_path):
+    """S5/U7 executed, not just plan-constructed: stream events through
+    the foreachBatch JDBC writer into embedded Derby (ships inside
+    Spark), read the table back over JDBC, and check content parity
+    with the batch load. Gated on driver availability."""
+    import pytest as _pytest
+
+    from app_fastdata_spark.sources.export import jdbc_available, jdbc_export_writer
+    from app_fastdata_spark.streaming.pipeline import events_stream
+    from app_fastdata_spark.tables import load_table
+
+    if not jdbc_available(spark):
+        _pytest.skip("no JDBC driver on the classpath")
+    url = f"jdbc:derby:memory:exp_{os.getpid()};create=true"
+    writer = jdbc_export_writer(url, "events_export")
+    stream = events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(writer)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.jdbc(url, "events_export")
+    batch = load_table(spark, sf_dir, "events")
+    got = back.agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("s")
+    ).first()
+    want = batch.agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("s")
+    ).first()
+    assert (got.n, got.s) == (want.n, want.s)
+    # append semantics: a second batch write doubles the rows
+    writer(stream.sparkSession.read.jdbc(url, "events_export").limit(0), 1)
+    assert spark.read.jdbc(url, "events_export").count() == want.n
+
+
+def test_serving_store_query_matches_batch(spark, sf_dir):
+    """ST4 under local test: GetTopUsers served from the streamed
+    per-second store must equal the batch top_users over raw events —
+    the maintained-view parity claim, end to end."""
+    from app_fastdata_spark.operators.serving import top_users
+    from app_fastdata_spark.streaming.serving_store import top_users_from_store_query
+
+    got = top_users_from_store_query(spark, sf_dir).collect()
+    want = top_users(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_schema_evolution_old_queries_still_run(spark, sf_dir, tmp_path):
+    """Live schema update (the reference's `voltadmin update` flow,
+    run.sh:131-134): after a table gains a column, previously-written
+    queries must run unchanged. Declared schemas make this hold by
+    construction — load_table selects the declared columns, so extra
+    file columns are pruned, and queries never see them."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from app_fastdata_spark.operators.textops import doc_lang_id
+    from app_fastdata_spark.tables import load_table
+
+    newdir = tmp_path / "evolved"
+    newdir.mkdir()
+    for t in ("documents",):
+        tbl = pq.read_table(f"{sf_dir}/{t}.parquet")
+        tbl = tbl.append_column("added_col", pc.multiply(tbl["doc_id"], 2))
+        pq.write_table(tbl, str(newdir / f"{t}.parquet"))
+    evolved = load_table(spark, str(newdir), "documents")
+    assert "added_col" not in evolved.columns  # declared schema prunes
+    got = doc_lang_id(spark, str(newdir)).collect()
+    want = doc_lang_id(spark, sf_dir).collect()
+    assert got == want

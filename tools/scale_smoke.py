@@ -7,15 +7,19 @@ creating cross-replica duplicates:
 * documents: every token gets a per-replica suffix (w -> w_rK), so
   replicas share zero shingles with each other — clusters, bucket
   sizes, and true-pair counts all grow linearly with the factor;
-* embeddings: components flip sign on a per-replica parity pattern, so
-  cross-replica cosines collapse toward 0 while within-replica geometry
-  is exactly preserved.
+* embeddings: component i of replica k flips sign by the Walsh pattern
+  (-1)^popcount(i & k). Any two replicas j≠k then differ by the Walsh
+  function of m = j XOR k — a sign-balanced pattern — so cross-replica
+  cosines collapse toward 0 for EVERY replica pair (a plain odd/even
+  parity flip made replica 0 ≡ 2 and 1 ≡ 3 exact duplicates at factor
+  ≥ 3), while within-replica geometry is exactly preserved (elementwise
+  sign flips cancel in every within-replica dot product).
 
 A healthy engine shows exponents near 1 (linear in corpus size) for
 every capped/bucketed operator; an exponent near 2 is the quadratic
 failure mode the skew caps exist to prevent.
 
-Usage: python tools/scale_smoke.py [base_sf_dir] [factors, default 1,2,4]
+Usage: python tools/scale_smoke.py [base_sf_dir] [factors, default 1,2,4,8]
 Writes scratch corpora under .scale_smoke_tmp/ (removed afterwards) and
 prints one JSON line.
 """
@@ -43,6 +47,8 @@ QUERIES = [
     "dedup_simhash",
     "dedup_embedding_cosine_bucketed",
     "sim_ann_lsh",
+    "sim_ann_ivf",      # √N-centroid collect/broadcast growth, measured
+    "sim_ann_recall",   # exact + IVF side-by-side (the recall telemetry)
     "doc_lm_score",
     "doc_pipeline_survivors",
     "dedup_pagerank",
@@ -72,15 +78,16 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
     n_vec = emb.count()
     vreps = []
     for k in range(factor):
-        # flip sign of odd-indexed components on odd replicas: preserves
-        # within-replica geometry, decorrelates across replicas
-        sign = 1.0 if k % 2 == 0 else -1.0
-        flipped = F.transform(
-            "embedding",
-            lambda x, i: F.when((i % 2 == 1) & (F.lit(sign) < 0), -x).otherwise(
-                x
-            ),
-        )
+        # Walsh sign pattern: component i flips iff popcount(i & k) is
+        # odd — k-distinct geometry for every replica (see module note).
+        # Closure factory pins k (a plain `lambda x, i: ... k ...` in the
+        # loop would capture the final k).
+        def _flip(kk):
+            return lambda x, i: F.when(
+                F.bit_count(i.cast("long").bitwiseAND(F.lit(kk))) % 2 == 1, -x
+            ).otherwise(x)
+
+        flipped = F.transform("embedding", _flip(k))
         vreps.append(
             emb.select(
                 (F.col("vec_id") + F.lit(k * n_vec)).alias("vec_id"),
@@ -97,7 +104,7 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factors = (
-        [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [1, 2, 4]
+        [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [1, 2, 4, 8]
     )
     spark = get_spark("scale_smoke")
     from app_fastdata_spark.catalog import queries
