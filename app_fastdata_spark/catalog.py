@@ -78,6 +78,7 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q17_small_quantity",
     # --- new this round (never driver-checked) ---
     "top_users_from_store",  # ST4 serving store under the oracle gate
+    "doc_global_shuffle",    # deterministic training-shard assignment
     # --- implementation changed this round ---
     "sim_ann_ivf",           # shared half-up assignment quantizer
     "sim_ann_recall",        # (rides sim_ann_ivf)
@@ -103,7 +104,6 @@ DRIVER_PRIORITY: list[str] = [
     "events_pivot_daily",
     "events_rollup",
     "doc_length_percentiles",
-    "part_cheapest_by_type",
     # (outside the window, standing on r3/r4 green rows: the serving/
     # views/sessions/export chains, dedup_exact/minhash/simhash/capped,
     # sim_topk/lsh, textops, curation, multimodal decode/resize,

@@ -393,3 +393,49 @@ register(
     WHERE n_chars > min_chars
     """,
 )(doc_quality_adaptive)
+
+
+# --- deterministic global shuffle (training-shard assignment) --------------
+
+N_SHUFFLE_SHARDS = 16
+
+
+def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training: every doc gets a
+    (shard, pos) — shard by md5 bucket, position by md5 order within the
+    shard — so a trainer streams shard files in pos order and sees a
+    reproducible pseudo-random permutation of the corpus, with no RNG
+    state to coordinate across workers.
+
+    Scale shape: this is how a 100 TB corpus is actually shuffled — a
+    GLOBAL row_number() would funnel everything through one task, while
+    hash-sharding + per-shard ordering is one exchange on shard and a
+    per-partition sort (each shard ~N/n_shards docs; shard count scales
+    with the corpus). Same md5 arithmetic as the split/sample planners,
+    shared textually with the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", (h32 % N_SHUFFLE_SHARDS).alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+register(
+    "doc_global_shuffle",
+    sql=f"""
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+             % {N_SHUFFLE_SHARDS} AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                               % {N_SHUFFLE_SHARDS}
+                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS INTEGER) AS pos
+    FROM documents
+    """,
+)(doc_global_shuffle)

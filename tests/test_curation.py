@@ -109,3 +109,33 @@ def test_lm_score_flags_repeated_text_as_predictable(spark, sf_dir, tmp_path):
     # doc 1's bigrams are almost all ('ab','cd')/('cd','ab') — highly
     # predictable under the joint LM; doc 2 shares only 'ab cd'
     assert got[1] < got[2]
+
+
+def test_global_shuffle_is_a_permutation(spark, sf_dir):
+    """(shard, pos) is a true reproducible shuffle: every doc appears
+    exactly once, each shard's positions are dense 1..len(shard),
+    identical on re-run, and the shard→doc assignment is not corpus-order
+    (adjacent doc_ids land in different shards)."""
+    from app_fastdata_spark.operators.curation import (
+        N_SHUFFLE_SHARDS,
+        doc_global_shuffle,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    rows = doc_global_shuffle(spark, sf_dir).collect()
+    again = doc_global_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r.shard < N_SHUFFLE_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # decorrelated from corpus order: consecutive doc_ids mostly change shard
+    shard_of = {r.doc_id: r.shard for r in rows}
+    ids = sorted(shard_of)
+    same = sum(shard_of[a] == shard_of[b] for a, b in zip(ids, ids[1:]))
+    assert same / (len(ids) - 1) < 0.5
