@@ -272,3 +272,28 @@ def test_round4_tpch_push_filters_and_broadcast_dims(spark, sf_dir):
         ):
             first = m.group(1).split(",")[0]
             assert not first.startswith("l_orderkey"), (name, m.group(1))
+
+
+def test_global_shuffle_is_one_exchange_no_global_sort(spark, sf_dir):
+    """doc_global_shuffle's permutation must come from hash-sharding +
+    per-partition sort: exactly one hash Exchange on shard and NO
+    single-partition global sort/window (a global row_number would
+    funnel 100 TB through one task)."""
+    plan = plan_of(spark, sf_dir, "doc_global_shuffle")
+    assert len(re.findall(r"Exchange hashpartitioning\(shard", plan)) == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_store_serving_read_prunes_partitions(spark, sf_dir):
+    """The ST4 store-backed GetTopUsers must carry its recency cutoff as
+    a PARTITION filter on the day-partitioned store (a serving read
+    scans O(window) partitions, never the store's history)."""
+    from app_fastdata_spark.streaming.serving_store import (
+        top_users_from_store_query,
+    )
+
+    df = top_users_from_store_query(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
