@@ -575,3 +575,27 @@ def test_decode_payload_real_image_via_pil():
     payload = buf.getvalue()
     byte_len, width, height, fmt = decode_payload(payload)
     assert (byte_len, width, height, fmt) == (len(payload), 37, 21, "png")
+
+
+def test_session_memory_envelope_configs(spark):
+    """Round-4 regression guard: the suite shares one cgroup with 32
+    Python workers and DuckDB, so the session must keep the heap
+    bounded (<=24g default) and the hygiene configs that return memory
+    mid-suite (periodic GC, idle-worker kill). A config drift here
+    re-opens the cumulative-OOM failure mode."""
+    import os
+    import re
+
+    import pytest as _pytest
+
+    from app_fastdata_spark.session import get_spark
+
+    if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        _pytest.skip("explicit driver-mem override in env")
+    s = get_spark("envelope-check")
+    mem = s.conf.get("spark.driver.memory")
+    num = int(re.match(r"(\d+)g", mem).group(1))
+    assert num <= 24, mem
+    assert s.conf.get("spark.cleaner.periodicGC.interval") == "2min"
+    assert s.conf.get("spark.python.worker.killOnIdleTimeout") == "true"
+    assert "G1PeriodicGCInterval" in s.conf.get("spark.driver.extraJavaOptions")
