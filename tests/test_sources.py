@@ -450,9 +450,9 @@ def test_jdbc_export_end_to_end(spark, sf_dir, tmp_path):
         F.count("*").alias("n"), F.sum("event_id").alias("s")
     ).first()
     assert (got.n, got.s) == (want.n, want.s)
-    # append semantics: a second batch write doubles the rows
-    writer(stream.sparkSession.read.jdbc(url, "events_export").limit(0), 1)
-    assert spark.read.jdbc(url, "events_export").count() == want.n
+    # append semantics: a second micro-batch adds rows, never truncates
+    writer(batch.select("event_id", "user_id", "value").limit(5), 1)
+    assert spark.read.jdbc(url, "events_export").count() == want.n + 5
 
 
 def test_serving_store_query_matches_batch(spark, sf_dir):
