@@ -448,3 +448,146 @@ register(
     FROM cnt GROUP BY doc_id, n_tokens, n_distinct
     """,
 )(doc_repetition)
+
+
+# --- exact duplicated-span detection (substring dedup) ---------------------
+#
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+# 2022) removes EXACT repeated token spans across the corpus, not just
+# whole-document near-dups. The specialized tool is a suffix array; the
+# Spark-native form is windowed span hashing: explode every W-token
+# window, hash it, and keep windows whose hash occurs more than once.
+# Output is the actionable span list — (doc_id, pos, span_id, total
+# occurrences) — i.e. exactly the spans a scrubber would cut.
+#
+# Scale shape: the exploded index is W x corpus tokens (bounded blowup,
+# streamable), ONE exchange on span hash, and the occurrence count comes
+# from a count(*) OVER (PARTITION BY hash) window on that same exchange —
+# no self-join, no second pass over the text. Spans are identified by
+# md5 (128-bit; collisions negligible and would only merge two span
+# groups, never drop one).
+
+SPAN_W = 8  # tokens per window — Lee et al. use 50 BPE tokens at web scale
+
+
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    t = docs.select("doc_id", toks.alias("t"))
+    # positions are 1-based; guard short docs (sequence(1,0) would count
+    # DOWN in Spark, not produce an empty array)
+    span_structs = F.expr(
+        f"""
+        CASE WHEN size(t) >= {SPAN_W} THEN
+          transform(sequence(1, size(t) - {SPAN_W} + 1),
+                    i -> struct(i AS pos,
+                                array_join(slice(t, i, {SPAN_W}), ' ') AS span))
+        ELSE array() END
+        """
+    )
+    spans = t.select(
+        "doc_id", F.explode(span_structs).alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.md5("s.span").alias("span_id"))
+    w = Window.partitionBy("span_id")
+    return spans.withColumn("n_occurrences", F.count("*").over(w)).filter(
+        F.col("n_occurrences") > 1
+    )
+
+
+register(
+    "doc_dup_spans",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             md5(array_to_string(list_slice(t, i, i + {SPAN_W} - 1), ' ')) AS span_id
+      FROM toks, unnest(range(1, len(t) - {SPAN_W} + 2)) AS u(i)
+      WHERE len(t) >= {SPAN_W}
+    )
+    SELECT doc_id, pos, span_id,
+           count(*) OVER (PARTITION BY span_id) AS n_occurrences
+    FROM spans
+    QUALIFY n_occurrences > 1
+    """,
+)(doc_dup_spans)
+
+
+# --- per-document TF-IDF keywords ------------------------------------------
+
+TFIDF_K = 3  # keywords kept per document
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the classic
+    keyword extraction step of a curation/indexing pipeline.
+
+    Scale shape: term frequencies are one exchange on (doc_id, term);
+    document frequencies re-aggregate the SAME frame on term (no second
+    text scan); the corpus size N is a 1-row broadcast cross join (a
+    literal collected on the driver would hard-code the corpus into the
+    plan); ranking is a per-doc window. idf = ln((N+1)/(df+1)) (smoothed),
+    scores rounded to 6 dp on both engines (single multiply of two
+    singly-derived doubles — no summation-order divergence)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    terms = docs.select(
+        "doc_id", F.explode(toks).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "rank", "term", "tf", "tfidf")
+    )
+
+
+register(
+    "doc_tfidf_top_terms",
+    sql=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms
+      WHERE length(term) >= 3 GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term) AS INTEGER) AS rank,
+           term, tf, tfidf
+    FROM scored
+    QUALIFY rank <= {TFIDF_K}
+    """,
+)(doc_tfidf_top_terms)
