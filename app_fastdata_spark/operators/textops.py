@@ -591,3 +591,83 @@ register(
     QUALIFY rank <= {TFIDF_K}
     """,
 )(doc_tfidf_top_terms)
+
+
+# --- span scrubber (applies the doc_dup_spans cut list) --------------------
+
+
+def doc_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrubber stage of substring dedup: remove every token covered
+    by a cross-corpus duplicated W-token span (doc_dup_spans' cut list)
+    and reassemble the cleaned text — corpus out, not just telemetry.
+
+    Scale shape: the cut list is grouped per doc (poses arrays are small
+    — only duplicated windows survive) and joined back on doc_id (one
+    shuffle; Spark broadcasts it when small). Token filtering is an
+    index-aware array HOF — per-token cost O(|doc cut list|), no
+    explode of the corpus tokens a second time."""
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = (
+        doc_dup_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("poses"))
+    )
+    toks = _tokens(F.lower(F.col("text")))
+    joined = docs.select("doc_id", toks.alias("t")).join(
+        cuts, "doc_id", "left"
+    ).select("doc_id", "t", F.coalesce("poses", F.array()).alias("poses"))
+    # F.filter's 2-arg lambda index is 0-based; span positions are 1-based
+    kept = F.filter(
+        "t",
+        lambda x, i: F.size(
+            F.filter(
+                F.col("poses"),
+                lambda p: ((i + 1) >= p) & ((i + 1) < p + F.lit(SPAN_W)),
+            )
+        )
+        == 0,
+    )
+    return joined.select(
+        "doc_id",
+        (F.size("t") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
+register(
+    "doc_scrub_spans",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             md5(array_to_string(list_slice(t, i, i + {SPAN_W} - 1), ' ')) AS span_id
+      FROM toks, unnest(range(1, len(t) - {SPAN_W} + 2)) AS u(i)
+      WHERE len(t) >= {SPAN_W}
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY span_id) AS n
+        FROM spans
+      ) WHERE n > 1
+    ),
+    cuts AS (SELECT doc_id, list(pos) AS poses FROM dup GROUP BY doc_id),
+    kept AS (
+      SELECT toks.doc_id, t, COALESCE(cuts.poses, []) AS poses,
+             list_filter(range(1, len(t) + 1),
+                         i -> len(list_filter(COALESCE(cuts.poses, []),
+                                              p -> i >= p AND i < p + {SPAN_W})) = 0
+                        ) AS ki
+      FROM toks LEFT JOIN cuts ON toks.doc_id = cuts.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(t) - len(ki) AS INTEGER) AS n_removed,
+           -- DuckDB's array_to_string([]) is NULL; Spark's array_join([])
+           -- is '' — a fully-scrubbed doc is empty text, not NULL
+           COALESCE(array_to_string(list_transform(ki, i -> t[i]), ' '), '')
+             AS text_clean
+    FROM kept
+    """,
+)(doc_scrub_spans)

@@ -599,3 +599,35 @@ def test_session_memory_envelope_configs(spark):
     assert s.conf.get("spark.cleaner.periodicGC.interval") == "2min"
     assert s.conf.get("spark.python.worker.killOnIdleTimeout") == "true"
     assert "G1PeriodicGCInterval" in s.conf.get("spark.driver.extraJavaOptions")
+
+
+def test_scrub_spans_removes_exactly_the_cut_list(spark, sf_dir):
+    """Scrubber invariants: n_removed equals the token-count delta; docs
+    with no duplicated span come back verbatim (modulo the lower/
+    whitespace normalization the span index itself uses); docs WITH cuts
+    lose at least one token per flagged position."""
+    from app_fastdata_spark.operators.textops import (
+        doc_dup_spans,
+        doc_scrub_spans,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    import re as _re
+
+    docs = {
+        r.doc_id: _re.split(r"\s+", r.text.strip().lower())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    flagged = {}
+    for r in doc_dup_spans(spark, sf_dir).collect():
+        flagged.setdefault(r.doc_id, set()).add(r.pos)
+    out = {r.doc_id: r for r in doc_scrub_spans(spark, sf_dir).collect()}
+    assert set(out) == set(docs)
+    for doc_id, toks in docs.items():
+        r = out[doc_id]
+        clean = r.text_clean.split(" ") if r.text_clean else []
+        assert len(toks) - len(clean) == r.n_removed
+        if doc_id not in flagged:
+            assert r.n_removed == 0 and clean == toks
+        else:
+            assert r.n_removed >= len(flagged[doc_id])
