@@ -56,6 +56,9 @@ HEADLINE = [
     "doc_token_stats",
     "doc_contamination",
     "doc_repetition",
+    "doc_dup_spans",
+    "doc_tfidf_top_terms",
+    "doc_global_shuffle",
     "asof_last_purchase",
     "range_join_price_bands",
     "events_rollup",

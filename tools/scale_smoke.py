@@ -52,6 +52,10 @@ QUERIES = [
     "doc_lm_score",
     "doc_pipeline_survivors",
     "dedup_pagerank",
+    # span index is W x corpus tokens (replica vocabularies are disjoint,
+    # so duplicated spans replicate per replica — linear by construction;
+    # the sweep verifies the implementation matches)
+    "doc_dup_spans",
 ]
 
 
