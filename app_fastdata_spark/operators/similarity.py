@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import file_stamp, load_table
 
 DIM = 64
 N_QUERIES = 20          # vec_id < 20 are the query set
@@ -201,23 +201,6 @@ def _ivf_stride(n_vec: int) -> int:
 _CENTROID_BC: dict = {}
 
 
-def _file_stamp(path: str) -> tuple:
-    """(mtime_ns, size) of the parquet file or first part-file of a
-    directory layout; (0, 0) when absent (the load will fail anyway)."""
-    import glob
-    import os as _os
-
-    target = path
-    if _os.path.isdir(path):
-        parts = sorted(glob.glob(_os.path.join(path, "*.parquet")))
-        target = parts[0] if parts else path
-    try:
-        st = _os.stat(target)
-        return (st.st_mtime_ns, st.st_size)
-    except OSError:
-        return (0, 0)
-
-
 def _centroid_broadcast(spark: SparkSession, sf_dir: str):
     """(cell_ids, normalized centroid matrix) broadcast for sf_dir's
     embeddings, collected and shipped at most once per Spark app (per
@@ -225,7 +208,7 @@ def _centroid_broadcast(spark: SparkSession, sf_dir: str):
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
-        _file_stamp(f"{sf_dir}/embeddings.parquet"),
+        file_stamp(f"{sf_dir}/embeddings.parquet"),
     )
     if key not in _CENTROID_BC:
         # drop superseded versions of the same (app, sf_dir) so a rewrite

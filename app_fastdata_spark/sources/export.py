@@ -141,23 +141,22 @@ def harvest(
     return spark.read.parquet(out_parquet)
 
 
-_JDBC_OK: bool | None = None
+_JDBC_OK: dict[str, bool] = {}
 
 
 def jdbc_available(spark: SparkSession, probe_url: str = "jdbc:derby:memory:probe") -> bool:
-    """Probe once whether a JDBC driver accepting `probe_url` is on the
-    classpath. Spark ships embedded Derby (for the Hive metastore), so
-    the default probe asks DriverManager for a Derby-URL handler —
-    getDriver registers ServiceLoader drivers and matches without
-    opening a connection."""
-    global _JDBC_OK
-    if _JDBC_OK is None:
+    """Probe once PER URL whether a JDBC driver accepting `probe_url` is
+    on the classpath. Spark ships embedded Derby (for the Hive
+    metastore), so the default probe asks DriverManager for a Derby-URL
+    handler — getDriver registers ServiceLoader drivers and matches
+    without opening a connection."""
+    if probe_url not in _JDBC_OK:
         try:
             spark._jvm.java.sql.DriverManager.getDriver(probe_url)
-            _JDBC_OK = True
+            _JDBC_OK[probe_url] = True
         except Exception:  # noqa: BLE001
-            _JDBC_OK = False
-    return _JDBC_OK
+            _JDBC_OK[probe_url] = False
+    return _JDBC_OK[probe_url]
 
 
 def jdbc_export_writer(

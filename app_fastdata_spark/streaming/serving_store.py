@@ -124,18 +124,28 @@ _STORE_CACHE: dict = {}
 def _store_for(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per app + source file version) the per-second serving
     store for sf_dir's events; returns the store path."""
+    import os
     import tempfile
 
-    from ..operators.similarity import _file_stamp
+    from ..tables import file_stamp
 
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
-        _file_stamp(f"{sf_dir}/events.parquet"),
+        file_stamp(f"{sf_dir}/events.parquet"),
     )
     if key not in _STORE_CACHE:
+        import shutil
+
         from .pipeline import events_stream
 
+        # drop superseded store builds for the same (app, sf_dir) — a
+        # rewrite loop would otherwise leave one full store copy in /tmp
+        # per source-file version (mirrors _CENTROID_BC's eviction)
+        for old in [k for k in _STORE_CACHE if k[:2] == key[:2]]:
+            shutil.rmtree(
+                os.path.dirname(_STORE_CACHE.pop(old)), ignore_errors=True
+            )
         # path must NOT pre-exist: the upsert's existence probe treats an
         # existing-but-empty dir as a readable store
         store = tempfile.mkdtemp(prefix="afs_store_") + "/per_second"

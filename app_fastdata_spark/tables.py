@@ -51,19 +51,40 @@ _EVENTS_TS = _events_schema(T.TimestampType())
 
 def _probe_target(path: str) -> str | None:
     """Resolve the actual footer to probe: the file itself, or — for a
-    Spark-written directory layout — any part-*.parquet inside. None when
-    nothing exists at the path (genuinely absent → caller may default)."""
+    Spark-written directory layout, including partitioned day=... trees —
+    any *.parquet underneath (recursive). None when nothing exists at the
+    path OR the directory holds no parquet yet (a streaming source dir
+    before its first drop — the genuinely-absent case callers may
+    default on)."""
     import glob
     import os as _os
 
     if _os.path.isfile(path):
         return path
     if _os.path.isdir(path):
-        parts = sorted(glob.glob(_os.path.join(path, "*.parquet")))
+        parts = sorted(
+            glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
         if parts:
             return parts[0]
         return None
     return None
+
+
+def file_stamp(path: str) -> tuple:
+    """(mtime_ns, size) of the parquet file / first part-file at `path` —
+    the cache-invalidation key shared by every per-path cache (ts-unit
+    probe, centroid broadcasts, serving stores): an in-place rewrite
+    changes the stamp, so caches re-derive instead of serving stale
+    state. (0, 0) when nothing exists (the subsequent load fails anyway)."""
+    import os as _os
+
+    target = _probe_target(path) or path
+    try:
+        st = _os.stat(target)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -92,8 +113,8 @@ def events_ts_unit(path: str) -> str:
     target = _probe_target(path)
     if target is None:
         return "ns"
-    st = _os.stat(target)
     try:
+        st = _os.stat(target)
         return _ts_unit_cached(target, (st.st_mtime_ns, st.st_size))
     except Exception as e:
         raise RuntimeError(

@@ -403,6 +403,19 @@ def test_events_ts_unit_probe_contract(spark, sf_dir, tmp_path):
         str(d / "part-00000.parquet"),
     )
     assert events_ts_unit(str(d)) == "us"
+    # nested (partitioned) layout: day=.../part-*.parquet found recursively
+    nested = tmp_path / "dirlayout" / "partitioned" / "day=2024-01-01"
+    nested.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"ts": pa.array([0], type=pa.timestamp("us"))}),
+        str(nested / "part-00000.parquet"),
+    )
+    assert events_ts_unit(str(tmp_path / "dirlayout" / "partitioned")) == "us"
+    # a dir that exists but holds no parquet yet (streaming source before
+    # its first drop) is the genuinely-absent default case
+    empty = tmp_path / "dirlayout" / "empty"
+    empty.mkdir()
+    assert events_ts_unit(str(empty)) == "ns"
 
 
 def test_uncapped_jaccard_input_gate(spark, sf_dir):

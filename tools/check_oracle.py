@@ -124,6 +124,14 @@ def main() -> int:
     qs, os_ = queries(), oracles()
     n_pass = n_fail = n_rowsonly = 0
     items = list(qs.items())[:50] if window_mode else sorted(qs.items())
+    if only:
+        missing = only - {n for n, _ in items}
+        if missing:
+            # a requested name that won't run must not exit green —
+            # "--window <name-outside-window>" would otherwise check
+            # zero queries and report success
+            print(f"FAIL  requested queries not in the run set: {sorted(missing)}")
+            return 1
     for name, fn in items:
         if only and name not in only:
             continue
