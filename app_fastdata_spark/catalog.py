@@ -109,10 +109,10 @@ DRIVER_PRIORITY: list[str] = [
     # sim_topk/lsh, textops, curation, multimodal decode/resize,
     # kmeans_lloyd_step, pagerank, funnel, tpch q2/q7-q11/q20;
     # kmeans_*/doc_stratified_sample/events_approx_stats are
-    # no_oracle-by-design. doc_dup_spans, doc_scrub_spans, and
-    # doc_tfidf_top_terms are new this round with the window already
+    # no_oracle-by-design. doc_dup_spans, doc_scrub_spans, doc_batch_padding,
+    # and doc_tfidf_top_terms are new this round with the window already
     # full — they stand on the pytest oracle-parity gate
-    # (test_oracle_parity runs every oracle at sf0.001; all three also
+    # (test_oracle_parity runs every oracle at sf0.001; all four also
     # hand-verified vs DuckDB at sf0.01, dup/tfidf at sf0.1 too) and
     # MUST rotate into the driver window next round.)
 ]

@@ -439,3 +439,57 @@ register(
     FROM documents
     """,
 )(doc_global_shuffle)
+
+
+# --- length-bucketed inference batching ------------------------------------
+
+PAD_BUCKET = 32  # lengths padded up to the next multiple of this
+
+
+def doc_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference-batching planner: bucket documents by padded token
+    length (next multiple of PAD_BUCKET) and report, per bucket, the
+    batch size, padded length, real token total, and the padding waste
+    a naive single-bucket batcher would pay. This is the standard
+    length-bucketing step before batched model inference — the waste
+    column IS the telemetry that justifies it.
+
+    One exchange on the bucket key; everything else is a projection.
+    token counts are whitespace tokens (shared with doc_token_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    b = (F.ceil(n_tok / PAD_BUCKET) * PAD_BUCKET).cast("long")
+    return (
+        docs.select(n_tok.alias("n_tokens"), b.alias("padded_len"))
+        .groupBy("padded_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("real_tokens"),
+            (F.count("*") * F.first("padded_len") - F.sum("n_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+        .select("padded_len", "n_docs", "real_tokens", "padding_waste")
+    )
+
+
+register(
+    "doc_batch_padding",
+    sql=f"""
+    WITH t AS (
+      SELECT len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT n_tokens,
+             CAST(ceil(n_tokens * 1.0 / {PAD_BUCKET}) * {PAD_BUCKET} AS BIGINT)
+               AS padded_len
+      FROM t
+    )
+    SELECT padded_len, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(count(*) * padded_len - sum(n_tokens) AS BIGINT)
+             AS padding_waste
+    FROM b GROUP BY padded_len
+    """,
+)(doc_batch_padding)
