@@ -42,7 +42,7 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 117 queries), round 5: the 25 queries
+    # Window math (50 driver slots, 119 queries), round 5: the 25 queries
     # whose NEWEST driver row is round 4's infra-OOM `err` re-evidence
     # first (they age worst — the judge adjudicated them green via
     # tools/check_oracle.py re-runs, but the driver artifact must show
@@ -110,9 +110,10 @@ DRIVER_PRIORITY: list[str] = [
     # kmeans_lloyd_step, pagerank, funnel, tpch q2/q7-q11/q20;
     # kmeans_*/doc_stratified_sample/events_approx_stats are
     # no_oracle-by-design. doc_dup_spans, doc_scrub_spans, doc_batch_padding,
-    # and doc_tfidf_top_terms are new this round with the window already
+    # doc_tfidf_top_terms, dedup_minhash_estimate_error, and
+    # events_rate_anomaly are new this round with the window already
     # full — they stand on the pytest oracle-parity gate
-    # (test_oracle_parity runs every oracle at sf0.001; all four also
+    # (test_oracle_parity runs every oracle at sf0.001; all six also
     # hand-verified vs DuckDB at sf0.01, dup/tfidf at sf0.1 too) and
     # MUST rotate into the driver window next round.)
 ]

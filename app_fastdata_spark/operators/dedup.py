@@ -1119,3 +1119,79 @@ def _pagerank_sql() -> str:
 
 
 register("dedup_pagerank", sql=_pagerank_sql())(dedup_pagerank)
+
+
+# --- MinHash estimator-quality telemetry -----------------------------------
+#
+# The LSH threshold math (the (1/b)^(1/r) S-curve in the band constants
+# above) is only as good as the MinHash Jaccard ESTIMATE — this query
+# measures it: for every LSH candidate pair that the exact inverted-index
+# Jaccard also scored, compare matches/k against the true value. The
+# telemetry a pipeline needs before trusting LSH at a new threshold, in
+# the same spirit as sim_ann_recall for ANN. Composes three
+# oracle-checked components (signatures, candidates, exact scores), so
+# the measurement itself carries a full oracle.
+
+
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(spark, sf_dir)
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    true_j = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(MINHASH_K)
+    )
+    return (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .join(true_j, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            "jaccard",
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
+register(
+    "dedup_minhash_estimate_error",
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sig AS (SELECT doc_id, [{_SQL_MINHASH_SIG}] AS sig FROM sh),
+    buckets AS (
+      SELECT doc_id, band, {_SQL_BAND_HASH} AS bh
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {LSH_BANDS})) AS band) bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    true_j AS ({JACCARD_SQL})
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_filter(range(1, {MINHASH_K} + 1),
+                                 i -> sa.sig[i] = sb.sig[i]))
+                 / {MINHASH_K}.0, 6) AS est_jaccard,
+           t.jaccard,
+           round(abs(len(list_filter(range(1, {MINHASH_K} + 1),
+                                     i -> sa.sig[i] = sb.sig[i]))
+                     / {MINHASH_K}.0 - t.jaccard), 6) AS abs_err
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    JOIN true_j t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    """,
+)(dedup_minhash_estimate_error)

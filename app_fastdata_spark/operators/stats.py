@@ -468,3 +468,76 @@ register(
     FROM flags
     """,
 )(events_funnel)
+
+
+# --- streaming-rate anomaly telemetry --------------------------------------
+
+ANOMALY_BASELINE_BUCKETS = 24  # trailing baseline buckets (excl. current)
+ANOMALY_MIN_FRAME = 10         # need this many baseline buckets to score
+ANOMALY_Z = 3.0
+
+
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomalies: z-score of each hour's event count
+    against the trailing 24-hour baseline (mean/stddev), flagged at
+    |z| >= 3 — the ops-telemetry query a streaming ingest dashboard runs
+    (traffic spikes, dead sources). Bucket granularity is hourly because
+    the testdata's events are sparse (~1/second with multi-minute gaps);
+    the same shape applies per second on a dense stream.
+
+    Scale note: the window is GLOBAL over time, but it runs on the
+    already-aggregated per-hour series (O(buckets), not O(events)) —
+    the same reduced-series shape as events_daily_moving_avg.
+    z is computed from 6-dp-rounded mean/sd on both engines so the flag
+    boundary cannot straddle a cross-engine rounding difference."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    per_h = (
+        events.withColumn("hour_ts", F.date_trunc("hour", "ts"))
+        .groupBy("hour_ts")
+        .agg(F.count("*").alias("c"))
+        .withColumn("s", F.unix_timestamp("hour_ts"))
+    )
+    w = Window.orderBy("s").rowsBetween(-ANOMALY_BASELINE_BUCKETS, -1)
+    mean = F.round(F.avg("c").over(w), 6)
+    sd = F.round(F.stddev_samp("c").over(w), 6)
+    n = F.count("*").over(w)
+    z = F.when(
+        (n >= ANOMALY_MIN_FRAME) & (sd > 0), F.round((F.col("c") - mean) / sd, 6)
+    )
+    return per_h.select(
+        "hour_ts",
+        "c",
+        n.alias("n_frame"),
+        z.alias("z"),
+        (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
+    )
+
+
+register(
+    "events_rate_anomaly",
+    sql=f"""
+    WITH per_h AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+             count(*) AS c, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS s
+      FROM events GROUP BY 1, 3
+    ),
+    scored AS (
+      SELECT hour_ts, c,
+             count(*) OVER w AS n_frame,
+             round(avg(c) OVER w, 6) AS mean,
+             round(stddev_samp(c) OVER w, 6) AS sd
+      FROM per_h
+      WINDOW w AS (ORDER BY s ROWS BETWEEN {ANOMALY_BASELINE_BUCKETS} PRECEDING
+                   AND 1 PRECEDING)
+    )
+    SELECT hour_ts, c, n_frame,
+           CASE WHEN n_frame >= {ANOMALY_MIN_FRAME} AND sd > 0
+                THEN round((c - mean) / sd, 6) END AS z,
+           abs(CASE WHEN n_frame >= {ANOMALY_MIN_FRAME} AND sd > 0
+                    THEN round((c - mean) / sd, 6) END) >= {ANOMALY_Z}
+             AS is_anomaly
+    FROM scored
+    """,
+)(events_rate_anomaly)
