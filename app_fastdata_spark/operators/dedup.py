@@ -925,6 +925,78 @@ register(
 )(dedup_survivors_uncapped)
 
 
+# Quality-aware survivor selection: production dedup pipelines keep the
+# BEST member of each duplicate family, not the lowest-id one (the
+# canonical is the copy you train on). Representative = argmax over
+# (ttr DESC, doc_id ASC) within each component — ttr is the 6-dp-rounded
+# type-token ratio already oracled by doc_quality, so the ranking key is
+# bit-identical across engines.
+def dedup_survivors_best_quality(
+    spark: SparkSession, sf_dir: str, pair_source=None
+) -> DataFrame:
+    """Keep the highest-quality doc per near-dup component.
+
+    Scale shape: component membership is |near-dup docs| ≪ |corpus|, so
+    the quality scoring runs only on members (broadcast semi-join prunes
+    the corpus scan), the per-component argmax windows over that small
+    frame, and the loser set broadcasts into a corpus anti-join — the
+    corpus side never shuffles, same as dedup_survivors."""
+    from pyspark.sql import Window
+
+    from .textops import quality_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_components(spark, sf_dir, pair_source=pair_source)
+    members = docs.join(F.broadcast(comp.select("doc_id")), "doc_id").select(
+        "doc_id", "text"
+    )
+    scored = quality_frame(members).select("doc_id", "ttr").join(
+        F.broadcast(comp), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("ttr"), F.asc("doc_id")
+    )
+    losers = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_SURVIVORS_BEST_TAIL = """
+    , comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+    q AS (
+      SELECT c.doc_id, c.component,
+             round(len(list_distinct(string_split_regex(trim(lower(d.text)), '\\s+')))
+                   * 1.0
+                   / len(string_split_regex(trim(lower(d.text)), '\\s+')), 6) AS ttr
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY ttr DESC, doc_id) AS rn
+      FROM q
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM ranked r
+                      WHERE r.doc_id = d.doc_id AND r.rn > 1)
+    ORDER BY d.doc_id
+    """
+
+register(
+    "dedup_survivors_best_quality",
+    sql=_SQL_COMPONENTS.format(pairs_sql=CAPPED_JACCARD_SQL)
+    + _SQL_SURVIVORS_BEST_TAIL,
+)(dedup_survivors_best_quality)
+
+
 # Skew-capped Jaccard: identical pipeline, but shingle buckets larger than
 # STOP_SHINGLE_CAP (defined above, with CAPPED_JACCARD_SQL) are dropped
 # BEFORE pair generation — the documented mitigation for the k² pair

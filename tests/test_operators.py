@@ -631,3 +631,38 @@ def test_scrub_spans_removes_exactly_the_cut_list(spark, sf_dir):
             assert r.n_removed == 0 and clean == toks
         else:
             assert r.n_removed >= len(flagged[doc_id])
+
+
+def test_best_quality_survivor_keeps_argmax_ttr(spark, tmp_path):
+    """dedup_survivors_best_quality keeps the highest-ttr member of each
+    near-dup family even when it has the HIGHER doc_id (where min-id
+    selection would drop it); singletons always survive."""
+    from app_fastdata_spark.operators.dedup import (
+        dedup_survivors,
+        dedup_survivors_best_quality,
+    )
+
+    rows = []
+    for i in range(5):
+        base = " ".join(f"f{i}w{j}" for j in range(8))
+        # low-quality twin: repeated tokens depress ttr; id is SMALLER
+        rows.append((i, f"{base} f{i}w0 f{i}w1", "en", "s", 60))
+        # high-quality twin: same shingles plus a distinct tail token
+        rows.append((1000 + i, f"{base} f{i}w0 f{i}w1 zz{i}", "en", "s", 64))
+    # singletons, unrelated text
+    for i in range(3):
+        rows.append((2000 + i, " ".join(f"s{i}q{j}" for j in range(10)), "en", "s", 40))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "bq_docs")
+    df.coalesce(2).write.parquet(f"{d}/documents.parquet")
+
+    best = {r.doc_id for r in dedup_survivors_best_quality(spark, d).collect()}
+    minid = {r.doc_id for r in dedup_survivors(spark, d).collect()}
+    for i in range(5):
+        assert 1000 + i in best and i not in best, (i, best)
+        assert i in minid and 1000 + i not in minid, (i, minid)
+    for i in range(3):
+        assert 2000 + i in best and 2000 + i in minid
+    assert len(best) == len(minid) == 8
