@@ -77,15 +77,16 @@ register("kmeans_centers")(kmeans_centers)
 STEP_K = 8
 
 
-def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cluster_id, pos, centroid, n_members): the updated centroid
-    component at each dimension after one Lloyd assignment against the
-    vec_id<K seed set. N·K interpreted distance folds are fine at
-    dim-table scale; the 100 TB form swaps the fold for the broadcast
-    GEMM used by similarity._top_cells_udf (same semantics)."""
+def assign_to_seed_centroids(emb: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id, embedding): nearest of the vec_id<STEP_K seed
+    centroids per vector — the Lloyd assignment shared by the oracled
+    Lloyd step and the cluster-balanced sampler. Distances quantize to
+    6 dp with a cluster-id tiebreak so engine rank order cannot diverge.
+    N·K interpreted distance folds are fine at dim-table scale; the
+    100 TB form swaps the fold for the broadcast GEMM used by
+    similarity._top_cells_udf (same semantics)."""
     from pyspark.sql import Column
 
-    emb = load_table(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < STEP_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
     )
@@ -104,11 +105,19 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sqdist(F.col("embedding"), F.col("cvec")), 6).alias("d"),
     )
     w = Window.partitionBy("vec_id").orderBy("d", "cluster_id")
-    assigned = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster_id", "embedding")
     )
+
+
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, pos, centroid, n_members): the updated centroid
+    component at each dimension after one Lloyd assignment against the
+    vec_id<K seed set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = assign_to_seed_centroids(emb)
     return (
         assigned.select(
             "cluster_id", F.posexplode("embedding").alias("pos", "component")
@@ -133,10 +142,11 @@ def _sql_sqdist(a: str, b: str) -> str:
     )
 
 
-register(
-    "kmeans_lloyd_step",
-    sql=f"""
-    WITH cent AS (
+# The seed-assignment CTE pair shared by the Lloyd-step oracle and the
+# cluster-balanced sampler's oracle (curation.py). Use as
+# "WITH " + seed_assign_sql() + <query over `assigned`>.
+def seed_assign_sql() -> str:
+    return f"""cent AS (
       SELECT vec_id AS cluster_id, embedding AS cvec FROM embeddings
       WHERE vec_id < {STEP_K}
     ),
@@ -145,15 +155,23 @@ register(
         SELECT e.vec_id, c.cluster_id, e.embedding,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY round({{sqdist}}, 6), c.cluster_id
+                 ORDER BY round({_sql_sqdist("e.embedding", "c.cvec")}, 6),
+                          c.cluster_id
                ) AS rn
         FROM embeddings e CROSS JOIN cent c
       ) WHERE rn = 1
-    )
+    )"""
+
+
+register(
+    "kmeans_lloyd_step",
+    sql="WITH "
+    + seed_assign_sql()
+    + """
     SELECT cluster_id, i - 1 AS pos,
            round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
            count(*) AS n_members
     FROM assigned, unnest(range(1, len(embedding) + 1)) AS u(i)
     GROUP BY cluster_id, i - 1
-    """.replace("{sqdist}", _sql_sqdist("e.embedding", "c.cvec")),
+    """,
 )(kmeans_lloyd_step)

@@ -493,3 +493,61 @@ register(
     FROM b GROUP BY padded_len
     """,
 )(doc_batch_padding)
+
+
+# --- cluster-balanced diversity sampling (D4-style) ------------------------
+
+# Cap each embedding cluster's contribution to the training mix. Semantic
+# clustering + per-cluster budget is the diversity-sampling step of
+# SemDeDup/D4-style curation: over-represented regions of embedding space
+# get truncated instead of dominating the mix. Assignment reuses the
+# oracled Lloyd seed-centroid math (ml/kmeans.py); the per-cluster pick
+# is md5-hash order — deterministic, uncorrelated with vec_id order, and
+# identical across engines (same idiom as doc_budget_sample).
+CLUSTER_SAMPLE_CAP = 40
+
+
+def doc_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id): up to CLUSTER_SAMPLE_CAP vectors per seed
+    cluster. Scale shape: the K-way assignment is a broadcast of K
+    centroids over the scan (no shuffle), and the per-cluster window
+    shuffles on cluster_id — K partitions of capped rank work; at real
+    scale the rank runs per-shard like doc_seq_packing (each shard caps
+    at CAP/shards) so no single reducer sees a whole cluster."""
+    from ..ml.kmeans import assign_to_seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = assign_to_seed_centroids(emb).select("vec_id", "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CLUSTER_SAMPLE_CAP)
+        .select("vec_id", "cluster_id")
+        .orderBy("cluster_id", "vec_id")
+    )
+
+
+def _register_cluster_balanced_sample() -> None:
+    from ..ml.kmeans import seed_assign_sql
+
+    register(
+        "doc_cluster_balanced_sample",
+        sql="WITH "
+        + seed_assign_sql()
+        + f"""
+    SELECT vec_id, cluster_id FROM (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY md5(vec_id::VARCHAR), vec_id
+             ) AS rk
+      FROM assigned
+    ) WHERE rk <= {CLUSTER_SAMPLE_CAP}
+    ORDER BY cluster_id, vec_id
+    """,
+    )(doc_cluster_balanced_sample)
+
+
+_register_cluster_balanced_sample()

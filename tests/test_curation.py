@@ -139,3 +139,32 @@ def test_global_shuffle_is_a_permutation(spark, sf_dir):
     ids = sorted(shard_of)
     same = sum(shard_of[a] == shard_of[b] for a, b in zip(ids, ids[1:]))
     assert same / (len(ids) - 1) < 0.5
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark, sf_dir):
+    """Per-cluster contribution is capped; undersubscribed clusters keep
+    every member; the sample is a subset of the full assignment."""
+    from app_fastdata_spark.ml.kmeans import assign_to_seed_centroids
+    from app_fastdata_spark.operators.curation import (
+        CLUSTER_SAMPLE_CAP,
+        doc_cluster_balanced_sample,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    full = {
+        (r.vec_id, r.cluster_id)
+        for r in assign_to_seed_centroids(
+            load_table(spark, sf_dir, "embeddings")
+        ).select("vec_id", "cluster_id").collect()
+    }
+    sizes: dict[int, int] = {}
+    for _, c in full:
+        sizes[c] = sizes.get(c, 0) + 1
+    sampled = doc_cluster_balanced_sample(spark, sf_dir).collect()
+    assert {(r.vec_id, r.cluster_id) for r in sampled} <= full
+    per = {}
+    for r in sampled:
+        per[r.cluster_id] = per.get(r.cluster_id, 0) + 1
+    for c, n in per.items():
+        assert n == min(CLUSTER_SAMPLE_CAP, sizes[c]), (c, n, sizes[c])
+    assert set(per) == set(sizes)
