@@ -551,3 +551,66 @@ def _register_cluster_balanced_sample() -> None:
 
 
 _register_cluster_balanced_sample()
+
+
+# --- corpus health snapshot ------------------------------------------------
+
+
+def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dashboard: sizes, mix breadth, token volume, the
+    quality-gate pass rate, and the exact-duplicate overhang — the first
+    query a curation team runs against a new crawl. One scan, one
+    all-map-side partial aggregate into a single-row reduce (the two
+    COUNT DISTINCTs expand to a partial-distinct Expand, still one
+    exchange); scan-bound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    ntok = F.size(toks)
+    passes = (
+        (F.length("text") >= 100)
+        & (ntok >= 20)
+        & ((F.size(F.array_distinct(toks)) / ntok) >= 0.3)
+    )
+    proj = docs.select(
+        "lang",
+        "source",
+        F.length("text").alias("chars"),
+        ntok.alias("ntok"),
+        F.md5(norm).alias("fp"),
+        passes.cast("double").alias("q"),
+    )
+    return proj.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("ntok").alias("total_tokens"),
+        F.round(F.avg("chars"), 6).alias("avg_doc_chars"),
+        F.round(F.avg("q"), 6).alias("quality_pass_rate"),
+        (F.count("*") - F.countDistinct("fp")).alias("exact_dup_docs"),
+    )
+
+
+register(
+    "corpus_health",
+    sql="""
+    WITH t AS (
+      SELECT lang, source, length(text) AS chars,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS ntok,
+             len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+               AS ndistinct,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           round(avg(chars), 6) AS avg_doc_chars,
+           round(avg(CASE WHEN chars >= 100 AND ntok >= 20
+                           AND ndistinct * 1.0 / ntok >= 0.3
+                     THEN 1.0 ELSE 0.0 END), 6) AS quality_pass_rate,
+           count(*) - count(DISTINCT fp) AS exact_dup_docs
+    FROM t
+    """,
+)(corpus_health)
