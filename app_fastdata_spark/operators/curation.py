@@ -614,3 +614,110 @@ register(
     FROM t
     """,
 )(corpus_health)
+
+
+# --- DSIR-style importance weights -----------------------------------------
+
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# fit two bag-of-hashed-ngrams unigram models — one on the TARGET slice
+# (here: docs passing the quality gate, standing in for "looks like the
+# domain you want"), one on the RAW pool — and weight each raw doc by its
+# log-likelihood ratio. High-weight docs look like the target; sampling
+# proportional to the weight tilts the mix toward it.
+DSIR_BUCKETS = 256  # hashed-feature space (md5(token) mod B)
+
+
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, log_importance): per-doc log2 likelihood ratio
+    between the target and raw hashed-unigram models, Laplace-smoothed.
+
+    Shape: one token pass tags each occurrence with its md5-hash feature
+    bucket; the two models are ONE B-row hash aggregate over that pass
+    (target counts as a conditional sum); the scorer re-joins the B-row
+    ratio table (broadcast — it is tiny by construction) onto a second
+    token pass and sums per doc. Two map passes + one B-row aggregate +
+    one per-doc exchange — linear at 100 TB, like doc_lm_score."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    is_target = (
+        (F.length("text") >= 100)
+        & (F.size(toks) >= 20)
+        & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.3)
+    )
+    feat = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    occ = docs.select(
+        "doc_id",
+        is_target.alias("is_target"),
+        F.explode(toks).alias("tok"),
+    ).select("doc_id", "is_target", feat.alias("f"))
+    fc = occ.groupBy("f").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.col("is_target").cast("long")).alias("tc"),
+    )
+    tot = fc.agg(
+        F.sum("rc").alias("rtot"), F.sum("tc").alias("ttot")
+    )
+    lm = fc.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.log2(
+            ((F.col("tc") + 1) * (F.col("rtot") + DSIR_BUCKETS))
+            / ((F.col("rc") + 1) * (F.col("ttot") + DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    return (
+        occ.join(F.broadcast(lm), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_importance"),
+        )
+    )
+
+
+register(
+    "doc_dsir_weights",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks,
+             length(text) AS chars
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tagged AS (
+      SELECT doc_id, toks,
+             (chars >= 100 AND len(toks) >= 20
+              AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3)
+               AS is_target
+      FROM t
+    ),
+    occ AS (
+      SELECT doc_id, is_target,
+             ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % {DSIR_BUCKETS} AS f
+      FROM tagged, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    fc AS (
+      SELECT f, count(*) AS rc,
+             CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tc
+      FROM occ GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(rc) AS BIGINT) AS rtot, CAST(sum(tc) AS BIGINT) AS ttot
+      FROM fc
+    ),
+    lm AS (
+      SELECT f,
+             log2(((tc + 1) * (rtot + {DSIR_BUCKETS}) * 1.0)
+                  / ((rc + 1) * (ttot + {DSIR_BUCKETS}))) AS lr
+      FROM fc, tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(lr), 6) AS log_importance
+    FROM occ JOIN lm USING (f)
+    GROUP BY doc_id
+    """,
+)(doc_dsir_weights)

@@ -168,3 +168,21 @@ def test_cluster_balanced_sample_caps_every_cluster(spark, sf_dir):
     for c, n in per.items():
         assert n == min(CLUSTER_SAMPLE_CAP, sizes[c]), (c, n, sizes[c])
     assert set(per) == set(sizes)
+
+
+def test_dsir_weights_tilt_toward_target(spark, sf_dir):
+    """The importance weight must separate the slices it was fit on:
+    mean log-likelihood ratio of target (quality-passing) docs exceeds
+    the mean over non-target docs, and every weight is finite."""
+    import math
+
+    from app_fastdata_spark.operators.curation import doc_dsir_weights
+    from app_fastdata_spark.operators.textops import doc_quality
+
+    w = {r.doc_id: r.log_importance for r in doc_dsir_weights(spark, sf_dir).collect()}
+    assert all(math.isfinite(v) for v in w.values())
+    passes = {r.doc_id: r.passes_quality for r in doc_quality(spark, sf_dir).collect()}
+    tgt = [w[d] for d in w if passes[d]]
+    raw = [w[d] for d in w if not passes[d]]
+    assert tgt and raw
+    assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
