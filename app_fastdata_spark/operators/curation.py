@@ -659,10 +659,17 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("rc"),
         F.sum(F.col("is_target").cast("long")).alias("tc"),
     )
-    tot = fc.agg(
-        F.sum("rc").alias("rtot"), F.sum("tc").alias("ttot")
-    )
-    lm = fc.crossJoin(F.broadcast(tot)).select(
+    # Totals come from a window over the B-row fc frame itself (single
+    # partition of 256 rows) — NOT a second aggregate, which would
+    # re-run the whole token-count pass and re-scan the corpus.
+    wall = Window.partitionBy(F.lit(1))
+    lm = fc.select(
+        "f",
+        "rc",
+        "tc",
+        F.sum("rc").over(wall).alias("rtot"),
+        F.sum("tc").over(wall).alias("ttot"),
+    ).select(
         "f",
         F.log2(
             ((F.col("tc") + 1) * (F.col("rtot") + DSIR_BUCKETS))

@@ -297,3 +297,37 @@ def test_store_serving_read_prunes_partitions(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "day" in m.group(1), plan
+
+
+def test_dsir_feature_table_broadcasts(spark, sf_dir):
+    """doc_dsir_weights' B-row ratio table must broadcast into the
+    scoring join (it is tiny by construction); the only doc-keyed
+    exchange is the final per-doc aggregate. A plan that shuffles token
+    occurrences against a 256-row table is wrong at any scale."""
+    plan = plan_of(spark, sf_dir, "doc_dsir_weights")
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly ONE feature-count aggregate: totals derive from a window
+    # over the B-row fc frame, never a second token pass
+    assert len(re.findall(r"Exchange hashpartitioning\(f#", plan)) == 1, plan
+    # two deliberate corpus passes (count pass + scoring pass), not three
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2, plan
+
+
+def test_best_quality_survivors_corpus_never_shuffles(spark, sf_dir):
+    """The corpus side of dedup_survivors_best_quality must reach its
+    anti-join via broadcast (losers are |near-dup docs| << |corpus|) —
+    no hash exchange keyed on the corpus doc_id feeding the anti-join."""
+    plan = plan_of(spark, sf_dir, "dedup_survivors_best_quality")
+    assert re.search(r"BroadcastHashJoin \[doc_id[^\]]*\], \[doc_id[^\]]*\], LeftAnti", plan), plan
+
+
+def test_corpus_health_single_row_aggregate(spark, sf_dir):
+    """corpus_health is one scan into a single-row reduce: exactly one
+    documents FileScan, and the final aggregate exchanges to a single
+    partition only AFTER partial aggregation (map-side partials carry
+    the count/sum/distinct work)."""
+    plan = plan_of(spark, sf_dir, "corpus_health")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, plan
+    assert "partial" in plan.lower(), plan
