@@ -17,6 +17,8 @@ before any window touches them.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -627,18 +629,35 @@ register(
 DSIR_BUCKETS = 256  # hashed-feature space (md5(token) mod B)
 
 
+def _dsir_feat(col):
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
 def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, log_importance): per-doc log2 likelihood ratio
     between the target and raw hashed-unigram models, Laplace-smoothed.
 
     Shape: one token pass tags each occurrence with its md5-hash feature
-    bucket; the two models are ONE B-row hash aggregate over that pass
-    (target counts as a conditional sum); the scorer re-joins the B-row
-    ratio table (broadcast — it is tiny by construction) onto a second
-    token pass and sums per doc. Two map passes + one B-row aggregate +
-    one per-doc exchange — linear at 100 TB, like doc_lm_score."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+    bucket and reduces to ONE B-row aggregate (target counts as a
+    conditional sum); that 256-entry ratio table is collected and
+    inlined as an array LITERAL, so the scoring pass is a pure codegen
+    projection — per doc, fold the token array through element_at on the
+    literal — with NO join, NO explode, and NO doc-keyed exchange (the
+    with_cluster J4 idiom applied to model stats). Every token's bucket
+    occurred in the fit pass over the same corpus, so the literal covers
+    every probe. Two map passes + one B-row aggregate — linear at
+    100 TB, and the scoring stage is scan-bound. widen_small_scan
+    re-splits the tiny-testdata single-partition scan for map
+    parallelism (pass-through at real scale)."""
+    from ..tables import widen_small_scan
+
+    docs = widen_small_scan(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
     )
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     is_target = (
@@ -646,43 +665,38 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size(toks) >= 20)
         & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.3)
     )
-    feat = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-        % DSIR_BUCKETS
-    )
-    occ = docs.select(
-        "doc_id",
-        is_target.alias("is_target"),
-        F.explode(toks).alias("tok"),
-    ).select("doc_id", "is_target", feat.alias("f"))
-    fc = occ.groupBy("f").agg(
-        F.count("*").alias("rc"),
-        F.sum(F.col("is_target").cast("long")).alias("tc"),
-    )
-    # Totals come from a window over the B-row fc frame itself (single
-    # partition of 256 rows) — NOT a second aggregate, which would
-    # re-run the whole token-count pass and re-scan the corpus.
-    wall = Window.partitionBy(F.lit(1))
-    lm = fc.select(
-        "f",
-        "rc",
-        "tc",
-        F.sum("rc").over(wall).alias("rtot"),
-        F.sum("tc").over(wall).alias("ttot"),
-    ).select(
-        "f",
-        F.log2(
-            ((F.col("tc") + 1) * (F.col("rtot") + DSIR_BUCKETS))
-            / ((F.col("rc") + 1) * (F.col("ttot") + DSIR_BUCKETS))
-        ).alias("lr"),
-    )
-    return (
-        occ.join(F.broadcast(lm), "f")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.sum("lr"), 6).alias("log_importance"),
+    fc = (
+        docs.select(
+            is_target.alias("is_target"), F.explode(toks).alias("tok")
         )
+        .select("is_target", _dsir_feat(F.col("tok")).alias("f"))
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("rc"),
+            F.sum(F.col("is_target").cast("long")).alias("tc"),
+        )
+        .collect()
+    )
+    rtot = sum(r.rc for r in fc)
+    ttot = sum(r.tc for r in fc)
+    lrs = [
+        math.log2((1 * (rtot + DSIR_BUCKETS)) / (1 * (ttot + DSIR_BUCKETS)))
+    ] * DSIR_BUCKETS  # unseen-bucket default; never probed (same corpus)
+    for r in fc:
+        lrs[r.f] = math.log2(
+            ((r.tc + 1) * (rtot + DSIR_BUCKETS))
+            / ((r.rc + 1) * (ttot + DSIR_BUCKETS))
+        )
+    lr_lit = F.array(*[F.lit(x) for x in lrs])
+    score = F.aggregate(
+        F.transform(toks, lambda t: F.element_at(lr_lit, (_dsir_feat(t) + 1).cast("int"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("log_importance"),
     )
 
 

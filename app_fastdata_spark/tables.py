@@ -193,3 +193,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def widen_small_scan(df: DataFrame) -> DataFrame:
+    """Re-split a scan whose file layout gives fewer partitions than the
+    cluster has slots (the tiny-testdata artifact: one 600 KB parquet →
+    one partition → a single-threaded map stage in front of every
+    token-level operator). A round-robin repartition to the default
+    parallelism costs one small shuffle and buys slots× map parallelism.
+    At real scale a corpus scan has thousands of splits, the guard is
+    false, and the DataFrame passes through UNTOUCHED — no added
+    exchange in the 100 TB plan."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df

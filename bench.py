@@ -59,6 +59,10 @@ HEADLINE = [
     "doc_dup_spans",
     "doc_tfidf_top_terms",
     "doc_global_shuffle",
+    "doc_dsir_weights",
+    "doc_cluster_balanced_sample",
+    "corpus_health",
+    "dedup_survivors_best_quality",
     "asof_last_purchase",
     "range_join_price_bands",
     "events_rollup",

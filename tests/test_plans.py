@@ -299,19 +299,20 @@ def test_store_serving_read_prunes_partitions(spark, sf_dir):
     assert m and "day" in m.group(1), plan
 
 
-def test_dsir_feature_table_broadcasts(spark, sf_dir):
-    """doc_dsir_weights' B-row ratio table must broadcast into the
-    scoring join (it is tiny by construction); the only doc-keyed
-    exchange is the final per-doc aggregate. A plan that shuffles token
-    occurrences against a 256-row table is wrong at any scale."""
+def test_dsir_scoring_is_pure_projection(spark, sf_dir):
+    """doc_dsir_weights' scoring stage (the returned plan — the model
+    fit runs eagerly at build time) must be a single corpus scan folded
+    through the inlined 256-entry ratio literal: no join, no explode,
+    no exchange of any kind, no Python eval node."""
     plan = plan_of(spark, sf_dir, "doc_dsir_weights")
-    assert "BroadcastHashJoin" in plan, plan
-    # exactly ONE feature-count aggregate: totals derive from a window
-    # over the B-row fc frame, never a second token pass
-    assert len(re.findall(r"Exchange hashpartitioning\(f#", plan)) == 1, plan
-    # two deliberate corpus passes (count pass + scoring pass), not three
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
-    assert len(scans) == 2, plan
+    assert len(scans) == 1, plan
+    assert "Join" not in plan, plan
+    # widen_small_scan may add a RoundRobin re-split at tiny SF (no-op at
+    # scale); a KEYED exchange would mean a join/agg snuck back in
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "Python" not in plan, plan
 
 
 def test_best_quality_survivors_corpus_never_shuffles(spark, sf_dir):

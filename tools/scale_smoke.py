@@ -56,6 +56,11 @@ QUERIES = [
     # so duplicated spans replicate per replica — linear by construction;
     # the sweep verifies the implementation matches)
     "doc_dup_spans",
+    # two token passes + B-row broadcast: must grow linearly in corpus size
+    "doc_dsir_weights",
+    # components chain + member-only quality argmax: rides the capped pair
+    # source, so growth tracks dedup_survivors
+    "dedup_survivors_best_quality",
 ]
 
 
