@@ -249,8 +249,10 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab — no forced hint) and averages per doc. The occurrence frame
     is recomputed for the scoring side rather than pinned in executor
     memory — two map passes beat caching 100 TB of bigrams."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+    from ..tables import widen_small_scan
+
+    docs = widen_small_scan(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
     occ = docs.select("doc_id", "text").mapInPandas(
         _py_bigram_rows, "doc_id long, w1 string, w2 string"

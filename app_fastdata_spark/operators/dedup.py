@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, widen_small_scan
 
 # --- shared shingle machinery --------------------------------------------
 
@@ -105,7 +105,9 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind of per-row text work that belongs in a vectorized UDF. The JVM
     form stays for plan-gated contexts and as the parity cross-check
     (tests assert both produce identical shingle sets)."""
-    return shingle_frame(load_table(spark, sf_dir, "documents"))
+    return shingle_frame(
+        widen_small_scan(load_table(spark, sf_dir, "documents"))
+    )
 
 
 def doc_shingles_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,7 +760,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 255 s at sf0.1 vs ~1 s for this form; the DuckDB oracle
     keeps the expression form, so signatures stay cross-checked
     bit-for-bit)."""
-    return simhash_frame(load_table(spark, sf_dir, "documents"))
+    return simhash_frame(
+        widen_small_scan(load_table(spark, sf_dir, "documents"))
+    )
 
 
 HAMMING_MAX = 6

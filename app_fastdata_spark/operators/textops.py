@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, widen_small_scan
 
 
 def _tokens(col: Column) -> Column:
@@ -306,7 +306,7 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
     ).select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s"))
     corp = shingle_frame(
-        docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+        widen_small_scan(docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID))
     ).select(
         "doc_id", F.size("shingles").alias("n_shingles"),
         F.explode("shingles").alias("s"),
