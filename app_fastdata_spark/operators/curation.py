@@ -638,30 +638,17 @@ def _dsir_feat(col):
     )
 
 
-def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tokens, log_importance): per-doc log2 likelihood ratio
-    between the target and raw hashed-unigram models, Laplace-smoothed.
+def _dsir_toks():
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
 
-    Shape: one token pass tags each occurrence with its md5-hash feature
-    bucket and reduces to ONE B-row aggregate (target counts as a
-    conditional sum); that 256-entry ratio table is collected and
-    inlined as an array LITERAL, so the scoring pass is a pure codegen
-    projection — per doc, fold the token array through element_at on the
-    literal — with NO join, NO explode, and NO doc-keyed exchange (the
-    with_cluster J4 idiom applied to model stats). Every token's bucket
-    occurred in the fit pass over the same corpus, so the literal covers
-    every probe. Two map passes + one B-row aggregate — linear at
-    100 TB, and the scoring stage is scan-bound. widen_small_scan
-    re-splits the tiny-testdata single-partition scan for map
-    parallelism (pass-through at real scale)."""
-    from ..tables import widen_small_scan
 
-    docs = widen_small_scan(
-        load_table(spark, sf_dir, "documents").filter(
-            F.col("text").isNotNull()
-        )
-    )
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+def fit_dsir_model(docs: DataFrame) -> list[float]:
+    """Fit the DSIR ratio table over a documents frame: one token pass
+    tags each occurrence with its md5-hash feature bucket and reduces to
+    ONE B-row aggregate (target = quality-passing docs, counted as a
+    conditional sum). Returns the 256-entry log2 likelihood-ratio table,
+    Laplace-smoothed; unseen buckets get the zero-count ratio."""
+    toks = _dsir_toks()
     is_target = (
         (F.length("text") >= 100)
         & (F.size(toks) >= 20)
@@ -683,15 +670,28 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttot = sum(r.tc for r in fc)
     lrs = [
         math.log2((1 * (rtot + DSIR_BUCKETS)) / (1 * (ttot + DSIR_BUCKETS)))
-    ] * DSIR_BUCKETS  # unseen-bucket default; never probed (same corpus)
+    ] * DSIR_BUCKETS
     for r in fc:
         lrs[r.f] = math.log2(
             ((r.tc + 1) * (rtot + DSIR_BUCKETS))
             / ((r.rc + 1) * (ttot + DSIR_BUCKETS))
         )
+    return lrs
+
+
+def dsir_score_frame(docs: DataFrame, lrs: list[float]) -> DataFrame:
+    """Stateless DSIR scoring projection over an arbitrary documents
+    frame — batch scan or structured STREAM (the model ships as a
+    256-double literal in the plan, the ST7 hot-model pattern applied to
+    curation). Per doc: fold the token array through element_at on the
+    inlined ratio literal — NO join, NO explode, NO doc-keyed exchange
+    (the with_cluster J4 idiom applied to model stats)."""
+    toks = _dsir_toks()
     lr_lit = F.array(*[F.lit(x) for x in lrs])
     score = F.aggregate(
-        F.transform(toks, lambda t: F.element_at(lr_lit, (_dsir_feat(t) + 1).cast("int"))),
+        F.transform(
+            toks, lambda t: F.element_at(lr_lit, (_dsir_feat(t) + 1).cast("int"))
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -700,6 +700,24 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.round(score, 6).alias("log_importance"),
     )
+
+
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, log_importance): per-doc log2 likelihood ratio
+    between the target and raw hashed-unigram models, Laplace-smoothed.
+
+    Fit pass + scoring pass, both linear; every token's bucket occurred
+    in the fit pass over the same corpus, so the literal covers every
+    probe. widen_small_scan re-splits the tiny-testdata single-partition
+    scan for map parallelism (pass-through at real scale)."""
+    from ..tables import widen_small_scan
+
+    docs = widen_small_scan(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+    )
+    return dsir_score_frame(docs, fit_dsir_model(docs))
 
 
 register(

@@ -282,6 +282,24 @@ def quality_gate_stream(docs: DataFrame) -> DataFrame:
     return quality_frame(docs).filter(F.col("passes_quality"))
 
 
+def dsir_gate_stream(
+    new_docs: DataFrame, lrs: list, min_log_importance: float = 0.0
+) -> DataFrame:
+    """Streaming importance gate: score arriving documents against an
+    OFFLINE-fitted DSIR ratio table (curation.fit_dsir_model) and keep
+    docs at or above the threshold — "fit the selection model on the
+    reference corpus, apply it at ingest", the ST7 hot-model pattern
+    applied to curation. The 256-entry model ships as a literal in the
+    plan, so the gate is a stateless projection + filter: no state
+    store, no watermark, scan-bound at any scale. Refitting = rebuild
+    the query with a new table (exactly like a clusters model swap)."""
+    from ..operators.curation import dsir_score_frame
+
+    return dsir_score_frame(
+        new_docs.filter(F.col("text").isNotNull()), lrs
+    ).filter(F.col("log_importance") >= min_log_importance)
+
+
 def corpus_simhash_index(spark, sf_dir: str) -> DataFrame:
     """Static side of the incremental near-dup gate: the existing
     corpus's SimHash band ints. At scale this is precomputed once and

@@ -437,3 +437,32 @@ def test_near_dup_gate_stream_matches_batch_simhash(spark, sf_dir, tmp_path):
         for r in dedup_simhash(spark, sf_dir).collect()
     }
     assert g == w and g
+
+
+def test_dsir_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming DSIR gate equals the batch weights filtered at the
+    threshold — same rows, same 6-dp scores (the offline-fitted model
+    applied to a stream is bit-identical to the batch projection)."""
+    import shutil
+
+    from app_fastdata_spark.operators.curation import (
+        doc_dsir_weights,
+        fit_dsir_model,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    src = tmp_path / "dsir_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "a.parquet")
+    lrs = fit_dsir_model(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    stream = P.dsir_gate_stream(P.documents_stream(spark, str(src)), lrs, 0.0)
+    got = {tuple(r) for r in P.run_to_memory(stream, "dsir_gate").collect()}
+    want = {
+        tuple(r)
+        for r in doc_dsir_weights(spark, sf_dir)
+        .filter(F.col("log_importance") >= 0.0)
+        .collect()
+    }
+    assert got == want and got
