@@ -1271,3 +1271,50 @@ register(
     JOIN true_j t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
     """,
 )(dedup_minhash_estimate_error)
+
+
+# --- source-overlap telemetry ---------------------------------------------
+
+# Which sources near-duplicate each other: the crawl-overlap matrix an
+# acquisition team reads before paying for another dump of a source that
+# is 90% already in the corpus. Pairs come from the capped (scale-safe)
+# Jaccard chain; sources attach via two joins of the SMALL pair set into
+# the corpus (pairs broadcast; the corpus side never shuffles), then a
+# tiny (source_a, source_b) rollup.
+def dedup_source_overlap(
+    spark: SparkSession, sf_dir: str, pair_source=None
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src = pair_source if pair_source is not None else dedup_ngram_jaccard_capped
+    pairs = src(spark, sf_dir).select("doc_a", "doc_b")
+    a = docs.join(
+        F.broadcast(pairs), docs.doc_id == pairs.doc_a
+    ).select("doc_a", "doc_b", F.col("source").alias("sa"))
+    ab = docs.join(F.broadcast(a), docs.doc_id == a.doc_b).select(
+        F.least("sa", "source").alias("source_a"),
+        F.greatest("sa", "source").alias("source_b"),
+    )
+    return (
+        ab.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+    )
+
+
+register(
+    "dedup_source_overlap",
+    sql="WITH pairs AS MATERIALIZED ("
+    + CAPPED_JACCARD_SQL
+    + """),
+    ab AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs
+    FROM ab GROUP BY 1, 2
+    ORDER BY n_pairs DESC, source_a, source_b
+    """,
+)(dedup_source_overlap)

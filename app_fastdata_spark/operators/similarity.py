@@ -670,3 +670,107 @@ register(
     ORDER BY e.query_id
     """,
 )(sim_ann_recall)
+
+
+# --- int8-quantized brute-force ANN ---------------------------------------
+
+# The memory-bandwidth scale path: at 100 TB of embeddings the scan is
+# bandwidth-bound, and symmetric int8 quantization cuts bytes/vector 4x
+# while keeping top-k order nearly intact. Per-vector symmetric scale
+# s = max|x|/127, q_i = round(x_i/s); the quantized cosine
+#   dot(qa,qb) / (||qa||·||qb||)
+# is scale-free (s cancels), so the whole score derives from EXACT
+# 64-bit integer sums — bit-identical across engines, full value-hash
+# oracle (no float-accumulation parity risk at all).
+
+
+def _quantize(col):
+    s = (
+        F.greatest(
+            F.array_max(F.transform(col, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-30),
+        )
+        / 127
+    )
+    return F.transform(col, lambda x: F.round(x.cast("double") / s).cast("long"))
+
+
+def sim_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors per query under int8-quantized cosine — the
+    brute-force scan in quantized arithmetic. Same broadcast-query shape
+    as sim_topk_cosine: candidates never shuffle; the only exchange is
+    the per-query top-k window over N_QUERIES * N scored rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.select("vec_id", _quantize(F.col("embedding")).alias("q"))
+    qn = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    queries = qemb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        qn.alias("qna"),
+    ).filter(F.col("query_id") < N_QUERIES)
+    cand = qemb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), qn.alias("qnb")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "qcos",
+        idot / (F.sqrt(F.col("qna").cast("double")) * F.sqrt(F.col("qnb").cast("double"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("qcos", 9).alias("qcos"))
+    )
+
+
+def _sql_int8_q(col: str) -> str:
+    s = (
+        f"greatest(list_max(list_transform({col}, "
+        f"x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127"
+    )
+    return (
+        f"list_transform({col}, x -> CAST(round(CAST(x AS DOUBLE) / ({s})) "
+        f"AS BIGINT))"
+    )
+
+
+def _sql_ldot(a: str, b: str) -> str:
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, DIM + 1))
+
+
+register(
+    "sim_ann_int8",
+    sql=f"""
+    WITH qv AS (
+      SELECT vec_id, {_sql_int8_q("embedding")} AS q FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, q, {_sql_ldot("q", "q")} AS n2 FROM qv
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ({_sql_ldot("a.q", "b.q")})
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+               AS qcos
+      FROM qn a JOIN qn b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY qcos DESC, neighbor_id) AS INTEGER)
+             AS rank,
+           neighbor_id, round(qcos, 9) AS qcos
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """,
+)(sim_ann_int8)

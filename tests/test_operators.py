@@ -666,3 +666,25 @@ def test_best_quality_survivor_keeps_argmax_ttr(spark, tmp_path):
     for i in range(3):
         assert 2000 + i in best and 2000 + i in minid
     assert len(best) == len(minid) == 8
+
+
+def test_int8_ann_recall_vs_exact(spark, sf_dir):
+    """int8-quantized top-k must closely track exact-cosine top-k:
+    mean overlap@K >= 0.8 over the query set (quantization to 8 bits
+    perturbs cosines by ~1e-2; at K=5 most neighbors survive)."""
+    from app_fastdata_spark.operators.similarity import (
+        TOP_K,
+        sim_ann_int8,
+        sim_topk_cosine,
+    )
+
+    exact: dict[int, set] = {}
+    for r in sim_topk_cosine(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    quant: dict[int, set] = {}
+    for r in sim_ann_int8(spark, sf_dir).collect():
+        quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(exact) == set(quant)
+    recalls = [len(exact[q] & quant[q]) / TOP_K for q in exact]
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.8, (mean, recalls)
