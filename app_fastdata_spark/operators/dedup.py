@@ -1008,7 +1008,10 @@ register(
 # `shared` counts only rare shingles, so the score is a lower bound of
 # true Jaccard; a pair is missed only if ALL its shared shingles are
 # stop-shingles (near-dups share many rare shingles).
-def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def capped_pair_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, na, doc_b, nb, shared) over the skew-capped inverted
+    index — the shared pair-with-sizes source behind the capped Jaccard
+    and the asymmetric containment projections."""
     sh = doc_shingles(spark, sf_dir)
     n_sh = F.size("shingles")
     fits = (n_sh < F.lit(1 << 20)) & (F.col("doc_id") < F.lit(1 << 43))
@@ -1064,6 +1067,11 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pb") % (1 << 20)).alias("nb"),
         "shared",
     )
+    return unpacked
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    unpacked = capped_pair_sizes(spark, sf_dir)
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
         unpacked.withColumn("jaccard_lb", F.round(jac, 6))
@@ -1318,3 +1326,66 @@ register(
     ORDER BY n_pairs DESC, source_a, source_b
     """,
 )(dedup_source_overlap)
+
+
+# --- asymmetric containment (sub-document duplication) ---------------------
+
+# Containment C(A,B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| finds
+# "A is mostly inside B" — quotes, excerpts, syndicated fragments —
+# which symmetric Jaccard misses when B is much larger than A. Shared
+# counts ride the capped pair source (rare shingles only), so the score
+# is a LOWER BOUND, same contract as jaccard_lb; the pair generation
+# inherits the skew cap's scale guarantee.
+CONTAINMENT_THRESHOLD = 0.25
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(contained_id, container_id, shared, containment_lb): pairs where
+    the smaller doc's rare shingles are >= threshold contained in the
+    larger (ties on size -> lower id is the contained side)."""
+    u = capped_pair_sizes(spark, sf_dir)
+    small_is_a = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    cont = F.round(
+        F.col("shared") / F.least(F.col("na"), F.col("nb")), 6
+    )
+    return (
+        u.select(
+            F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "contained_id"
+            ),
+            F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "container_id"
+            ),
+            "shared",
+            cont.alias("containment_lb"),
+        )
+        .filter(F.col("containment_lb") >= CONTAINMENT_THRESHOLD)
+        .orderBy("contained_id", "container_id")
+    )
+
+
+_SQL_CONTAINMENT_HEAD = CAPPED_JACCARD_SQL.split("SELECT doc_a, doc_b, shared,")[0]
+
+register(
+    "dedup_containment",
+    sql=_SQL_CONTAINMENT_HEAD
+    + f"""
+    SELECT CASE WHEN sa.n_shingles < sb.n_shingles
+                  OR (sa.n_shingles = sb.n_shingles AND doc_a < doc_b)
+                THEN doc_a ELSE doc_b END AS contained_id,
+           CASE WHEN sa.n_shingles < sb.n_shingles
+                  OR (sa.n_shingles = sb.n_shingles AND doc_a < doc_b)
+                THEN doc_b ELSE doc_a END AS container_id,
+           shared,
+           round(shared * 1.0 / least(sa.n_shingles, sb.n_shingles), 6)
+             AS containment_lb
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(shared * 1.0 / least(sa.n_shingles, sb.n_shingles), 6)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY contained_id, container_id
+    """,
+)(dedup_containment)

@@ -688,3 +688,31 @@ def test_int8_ann_recall_vs_exact(spark, sf_dir):
     recalls = [len(exact[q] & quant[q]) / TOP_K for q in exact]
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.8, (mean, recalls)
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For every capped pair, containment_lb (shared/min-size) >= its
+    jaccard_lb (shared/union) — the union denominator can only be
+    larger; and every emitted containment row meets the threshold with
+    the contained side no larger than the container."""
+    from app_fastdata_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        capped_pair_sizes,
+        dedup_containment,
+    )
+
+    u = capped_pair_sizes(spark, sf_dir).collect()
+    jac = {
+        (r.doc_a, r.doc_b): r.shared / (r.na + r.nb - r.shared) for r in u
+    }
+    con = {(r.doc_a, r.doc_b): r.shared / min(r.na, r.nb) for r in u}
+    assert all(con[k] >= jac[k] for k in jac)
+    sizes = {}
+    for r in u:
+        sizes[r.doc_a] = r.na
+        sizes[r.doc_b] = r.nb
+    out = dedup_containment(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.containment_lb >= CONTAINMENT_THRESHOLD
+        assert sizes[r.contained_id] <= sizes[r.container_id]
