@@ -720,9 +720,7 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_score_frame(docs, fit_dsir_model(docs))
 
 
-register(
-    "doc_dsir_weights",
-    sql=f"""
+_DSIR_SQL = f"""
     WITH t AS (
       SELECT doc_id,
              string_split_regex(trim(lower(text)), '\\s+') AS toks,
@@ -760,5 +758,51 @@ register(
            round(sum(lr), 6) AS log_importance
     FROM occ JOIN lm USING (f)
     GROUP BY doc_id
+    """
+
+register("doc_dsir_weights", sql=_DSIR_SQL)(doc_dsir_weights)
+
+
+# --- DSIR top-quantile selection -------------------------------------------
+
+DSIR_KEEP_FRAC = 0.25  # keep the top quarter by importance weight
+
+
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step of importance resampling: keep docs whose
+    log-importance is at or above the corpus's (1 - KEEP_FRAC)
+    percentile. The cutoff is one scalar aggregate over the weights
+    frame, broadcast back onto it (cross join of a 1-row frame — no
+    collect in the plan); weights ride the already-linear
+    doc_dsir_weights. Cutoff is 6-dp-quantized on both engines so the
+    boundary cannot straddle a rounding difference."""
+    w = doc_dsir_weights(spark, sf_dir)
+    cut = w.agg(
+        F.round(
+            F.expr(f"percentile(log_importance, {1 - DSIR_KEEP_FRAC})"), 6
+        ).alias("cutoff")
+    )
+    return (
+        w.crossJoin(F.broadcast(cut))
+        .filter(F.col("log_importance") >= F.col("cutoff"))
+        .select("doc_id", "n_tokens", "log_importance")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "doc_dsir_sample",
+    sql="WITH w AS ("
+    + _DSIR_SQL
+    + f"""),
+    cut AS (
+      SELECT round(quantile_cont(log_importance, {1 - DSIR_KEEP_FRAC}), 6)
+               AS cutoff
+      FROM w
+    )
+    SELECT doc_id, n_tokens, log_importance
+    FROM w, cut
+    WHERE log_importance >= cutoff
+    ORDER BY doc_id
     """,
-)(doc_dsir_weights)
+)(doc_dsir_sample)

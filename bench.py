@@ -53,6 +53,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_ann_int8",
     "doc_token_stats",
     "doc_contamination",
     "doc_repetition",
