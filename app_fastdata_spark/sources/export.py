@@ -176,3 +176,45 @@ def jdbc_export_writer(
         batch.write.jdbc(url, table, mode="append", properties=properties or {})
 
     return write_batch
+
+
+def write_training_shards(
+    spark, sf_dir: str, out_dir: str, doc_source=None
+) -> int:
+    """Emit the curated corpus as trainer-ready shard files: each doc
+    lands in its deterministic md5 shard (doc_global_shuffle assignment)
+    and rows inside each shard file are ordered by the shuffled pos —
+    a trainer streaming shard=K in file order sees the reproducible
+    pseudo-random permutation. Returns the shard count.
+
+    Layout: out_dir/shard=K/part-*.parquet (one file per shard via
+    repartition on shard before partitionBy — at 100 TB shard count
+    scales with the corpus and each writer task streams one shard;
+    repartition(shard) + sortWithinPartitions(pos) is one exchange +
+    per-partition sort, no global ordering).
+
+    `doc_source(spark, sf_dir) -> DataFrame[doc_id, ...]` narrows the
+    corpus (e.g. pipeline survivors); default is the full table.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.curation import doc_global_shuffle
+    from ..tables import load_table
+
+    docs = (
+        doc_source(spark, sf_dir)
+        if doc_source is not None
+        else load_table(spark, sf_dir, "documents")
+    )
+    assign = doc_global_shuffle(spark, sf_dir)
+    # sort leads with the partition column: the dynamic-partition writer
+    # re-sorts each task's rows by partition key (NOT a stable sort), so
+    # (shard, pos) satisfies that required ordering up front and pos
+    # order survives into the files.
+    out = (
+        docs.join(assign, "doc_id")
+        .repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    return assign.select("shard").distinct().count()

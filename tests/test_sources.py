@@ -503,3 +503,33 @@ def test_schema_evolution_old_queries_still_run(spark, sf_dir, tmp_path):
     got = doc_lang_id(spark, str(newdir)).collect()
     want = doc_lang_id(spark, sf_dir).collect()
     assert got == want
+
+
+def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
+    """Shard writer emits shard=K dirs whose doc sets match the
+    deterministic doc_global_shuffle assignment, with rows inside each
+    shard file in pos order (the trainer's streaming contract)."""
+    from app_fastdata_spark.operators.curation import doc_global_shuffle
+    from app_fastdata_spark.sources.export import write_training_shards
+
+    out = str(tmp_path / "shards")
+    n = write_training_shards(spark, sf_dir, out)
+    assign = {}
+    for r in doc_global_shuffle(spark, sf_dir).collect():
+        assign.setdefault(r.shard, []).append((r.pos, r.doc_id))
+    assert n == len(assign)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    for shard, want in assign.items():
+        files = sorted(_glob.glob(f"{out}/shard={shard}/*.parquet"))
+        assert files, shard
+        got = []
+        for f in files:
+            t = _pq.read_table(f, columns=["pos", "doc_id"])
+            got.extend(zip(t["pos"].to_pylist(), t["doc_id"].to_pylist()))
+        assert got == sorted(want), shard
+    # read-back through Spark sees every doc exactly once
+    back = spark.read.parquet(out)
+    assert back.count() == sum(len(v) for v in assign.values())
