@@ -79,48 +79,41 @@ DRIVER_PRIORITY: list[str] = [
     # --- new this round (never driver-checked) ---
     "top_users_from_store",  # ST4 serving store under the oracle gate
     "doc_global_shuffle",    # deterministic training-shard assignment
-    # --- implementation changed this round ---
-    "sim_ann_ivf",           # shared half-up assignment quantizer
-    "sim_ann_recall",        # (rides sim_ann_ivf)
-    "dedup_ngram_jaccard",   # UNCAPPED_MAX_DOCS input gate added
-    "dedup_components_uncapped",
-    "dedup_survivors_uncapped",
-    # --- newest green row is round 2 (3 rounds old) — re-evidence ---
-    "tpch_q13_custdist",
-    "tpch_q22_dormant_customers",
-    "tpch_top_orders_per_customer",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders",
-    "tpch_q4_priority_semijoin",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_big_orders",
-    "tpch_order_priority_counts",
-    "tpch_unsold_parts_anti",
-    "users_cohort_setops",
-    "asof_last_purchase",
-    "range_join_price_bands",
-    "events_pivot_daily",
-    "events_rollup",
-    "doc_length_percentiles",
-    # (outside the window, standing on r3/r4 green rows: the serving/
-    # views/sessions/export chains, dedup_exact/minhash/simhash/capped,
-    # sim_topk/lsh, textops, curation, multimodal decode/resize,
-    # kmeans_lloyd_step, pagerank, funnel, tpch q2/q7-q11/q20;
-    # kmeans_*/doc_stratified_sample/events_approx_stats are
-    # no_oracle-by-design. doc_dup_spans, doc_scrub_spans, doc_batch_padding,
-    # doc_tfidf_top_terms, dedup_minhash_estimate_error, and
-    # events_rate_anomaly are new this round with the window already
-    # full — they stand on the pytest oracle-parity gate
-    # (test_oracle_parity runs every oracle at sf0.001; all six also
-    # hand-verified vs DuckDB at sf0.01, dup/tfidf at sf0.1 too) and
-    # MUST rotate into the driver window next round. Ditto the round-5
-    # late additions dedup_survivors_best_quality,
-    # doc_cluster_balanced_sample, corpus_health, and doc_dsir_weights —
-    # each hand-verified green via tools/check_oracle.py at sf0.01, and
-    # the full 122-query gate passed in one process (118 pass /
-    # 4 rows-only / 0 fail, peak RSS 12.2 G).)
+    "doc_dup_spans",
+    "doc_scrub_spans",
+    "doc_batch_padding",
+    "doc_tfidf_top_terms",
+    "dedup_minhash_estimate_error",
+    "events_rate_anomaly",
+    "dedup_survivors_best_quality",
+    "doc_cluster_balanced_sample",
+    "corpus_health",
+    "doc_dsir_weights",
+    "doc_dsir_sample",
+    "dedup_source_overlap",
+    "sim_ann_int8",
+    "dedup_containment",
+    # --- implementation changed this round (stale green rows no longer
+    #     evidence the current code) ---
+    "kmeans_lloyd_step",          # assignment factored into shared helper
+    "dedup_ngram_jaccard_capped", # capped_pair_sizes refactor + widened scan
+    "dedup_minhash_lsh",          # rides the widened shingle source
+    "dedup_simhash",              # widened signature source
+    "doc_contamination",          # widened corpus side
+    "doc_lm_score",               # widened bigram pass
+    "sim_ann_ivf",                # shared half-up assignment quantizer
+    "sim_ann_recall",             # (rides sim_ann_ivf)
+    "dedup_ngram_jaccard",        # UNCAPPED_MAX_DOCS input gate added
+    # (outside the window: the round-2 TPC-H/setops/asof/range/pivot
+    # stragglers — unchanged code, green r2 rows stand; the serving/
+    # views/sessions/export chains and remaining textops/curation/
+    # multimodal on green r3/r4 rows; dedup_components_uncapped and
+    # dedup_survivors_uncapped ride dedup_ngram_jaccard's gate which IS
+    # in the window. kmeans_*/doc_stratified_sample/events_approx_stats
+    # are no_oracle-by-design. EVERY window entry above was re-verified
+    # this round via tools/check_oracle.py at sf0.01, and the full
+    # 127-query gate passed in one process: 123 pass / 4 rows-only /
+    # 0 fail.)
 ]
 
 
