@@ -42,7 +42,7 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 119 queries), round 5: the 25 queries
+    # Window math (50 driver slots, 127 queries), round 5: the 25 queries
     # whose NEWEST driver row is round 4's infra-OOM `err` re-evidence
     # first (they age worst — the judge adjudicated them green via
     # tools/check_oracle.py re-runs, but the driver artifact must show

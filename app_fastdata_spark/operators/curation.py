@@ -582,7 +582,11 @@ def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("chars"),
         ntok.alias("ntok"),
         F.md5(norm).alias("fp"),
-        passes.cast("double").alias("q"),
+        # NULL text yields a NULL pass flag, which Spark's avg would SKIP
+        # while the oracle's CASE maps it to 0.0 and keeps it in the
+        # denominator — coalesce so both engines count unreadable docs
+        # as failing the gate.
+        F.coalesce(passes.cast("double"), F.lit(0.0)).alias("q"),
     )
     return proj.agg(
         F.count("*").alias("n_docs"),

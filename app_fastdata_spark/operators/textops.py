@@ -630,7 +630,10 @@ def doc_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id",
         (F.size("t") - F.size(kept)).alias("n_removed"),
-        F.array_join(kept, " ").alias("text_clean"),
+        # NULL text: array_join(NULL) is NULL but the oracle's COALESCE
+        # yields '' — pin both engines to '' (n_removed stays NULL on
+        # both sides: size(NULL) - size(NULL)).
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("text_clean"),
     )
 
 

@@ -211,10 +211,12 @@ def write_training_shards(
     # re-sorts each task's rows by partition key (NOT a stable sort), so
     # (shard, pos) satisfies that required ordering up front and pos
     # order survives into the files.
-    out = (
-        docs.join(assign, "doc_id")
-        .repartition(F.col("shard"))
-        .sortWithinPartitions("shard", "pos")
+    joined = docs.join(assign, "doc_id")
+    out = joined.repartition(F.col("shard")).sortWithinPartitions(
+        "shard", "pos"
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
-    return assign.select("shard").distinct().count()
+    # count what was WRITTEN: a narrowing doc_source may cover fewer
+    # shards than the full-corpus assignment, and a trainer iterating
+    # range(n) must not hit missing shard dirs
+    return joined.select("shard").distinct().count()

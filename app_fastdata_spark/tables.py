@@ -72,19 +72,33 @@ def _probe_target(path: str) -> str | None:
 
 
 def file_stamp(path: str) -> tuple:
-    """(mtime_ns, size) of the parquet file / first part-file at `path` —
-    the cache-invalidation key shared by every per-path cache (ts-unit
-    probe, centroid broadcasts, serving stores): an in-place rewrite
-    changes the stamp, so caches re-derive instead of serving stale
-    state. (0, 0) when nothing exists (the subsequent load fails anyway)."""
+    """Cache-invalidation key shared by every per-path cache (ts-unit
+    probe, centroid broadcasts, serving stores): an in-place rewrite OR
+    append changes the stamp, so caches re-derive instead of serving
+    stale state. For a single file: (1, mtime_ns, size). For a directory
+    layout the stamp covers EVERY part file (count, max mtime, total
+    size) — stamping only the lexicographically-first part would miss an
+    appended part whose random name sorts later. (0, 0, 0) when nothing
+    exists (the subsequent load fails anyway)."""
+    import glob
     import os as _os
 
-    target = _probe_target(path) or path
+    if _os.path.isdir(path):
+        parts = glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        mt, size = 0, 0
+        for p in parts:
+            try:
+                st = _os.stat(p)
+            except OSError:
+                continue
+            mt = max(mt, st.st_mtime_ns)
+            size += st.st_size
+        return (len(parts), mt, size)
     try:
-        st = _os.stat(target)
-        return (st.st_mtime_ns, st.st_size)
+        st = _os.stat(path)
+        return (1, st.st_mtime_ns, st.st_size)
     except OSError:
-        return (0, 0)
+        return (0, 0, 0)
 
 
 @functools.lru_cache(maxsize=None)

@@ -49,3 +49,40 @@ def test_rows_only_queries_run(spark, sf_dir):
     for name in sorted(set(qs) - set(os_)):
         rows = qs[name](spark, sf_dir).collect()
         assert len(rows) >= 0  # must at least execute with a stable schema
+
+
+def test_null_text_parity_corpus_health_and_scrubber(spark, sf_dir, tmp_path):
+    """The schema allows NULL text; both engines must agree on it.
+    corpus_health counts a NULL-text doc as failing the quality gate
+    (not skipped from the denominator); doc_scrub_spans emits '' for
+    its text_clean on both sides."""
+    import duckdb as _ddb
+
+    from app_fastdata_spark.operators.curation import corpus_health
+    from app_fastdata_spark.operators.textops import doc_scrub_spans
+    from app_fastdata_spark.registry import oracles as _oracles
+    from app_fastdata_spark.tables import load_table
+
+    d = str(tmp_path / "nulldocs")
+    base = load_table(spark, sf_dir, "documents").limit(20)
+    nul = spark.createDataFrame(
+        [(999_991, None, "en", "srcX", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base.unionByName(nul).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    con = _ddb.connect()
+    # Spark writes the table as a directory of part files; glob them
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name, sdf in [
+        ("corpus_health", corpus_health(spark, d)),
+        ("doc_scrub_spans", doc_scrub_spans(spark, d)),
+    ]:
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(_oracles()[name])
+        dcols = [c[0] for c in res.description]
+        drows = res.fetchall()
+        assert len(srows) == len(drows), name
+        assert normalize(srows, sdf.columns) == normalize(drows, dcols), name

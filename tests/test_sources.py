@@ -533,3 +533,20 @@ def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
     # read-back through Spark sees every doc exactly once
     back = spark.read.parquet(out)
     assert back.count() == sum(len(v) for v in assign.values())
+
+
+def test_write_training_shards_counts_written_shards(spark, sf_dir, tmp_path):
+    """With a narrowing doc_source the return value counts shards that
+    were actually WRITTEN, never the full-corpus assignment."""
+    import glob as _glob
+
+    from app_fastdata_spark.sources.export import write_training_shards
+    from app_fastdata_spark.tables import load_table
+
+    def narrow(spark_, sf):
+        return load_table(spark_, sf, "documents").limit(3)
+
+    out = str(tmp_path / "narrow_shards")
+    n = write_training_shards(spark, sf_dir, out, doc_source=narrow)
+    dirs = _glob.glob(f"{out}/shard=*")
+    assert n == len(dirs) and 0 < n <= 3
