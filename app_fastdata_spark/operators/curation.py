@@ -79,7 +79,9 @@ def _py_char_entropy(text: pd.Series) -> pd.Series:
     for t in text:
         cnt = np.fromiter(Counter(t).values(), dtype=np.float64)
         p = cnt / cnt.sum()
-        out.append(round(float(-(p * np.log2(p)).sum()), 6))
+        # + 0.0 folds IEEE -0.0 (single-character-class docs) to 0.0,
+        # matching DuckDB's entropy() rendering under the type-tagged hash
+        out.append(round(float(-(p * np.log2(p)).sum()), 6) + 0.0)
     return pd.Series(out)
 
 
@@ -223,6 +225,8 @@ def _py_bigram_rows(batches):
     for pdf in batches:
         ids, w1s, w2s = [], [], []
         for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+            if t is None:  # defensive: callers filter NULL text upstream
+                continue
             toks = ws.split(t.lower().strip(" "))
             if len(toks) < 2:
                 continue

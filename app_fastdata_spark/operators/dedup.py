@@ -72,6 +72,9 @@ def _py_shingles(text: pd.Series) -> pd.Series:
     ws = re.compile(r"\s+", re.ASCII)
     out = []
     for t in text:
+        if t is None:  # NULL text: no shingles (filtered like len<N docs)
+            out.append([])
+            continue
         toks = ws.split(t.lower().strip(" "))
         if len(toks) < SHINGLE_N:
             out.append([])

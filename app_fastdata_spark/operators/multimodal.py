@@ -40,8 +40,12 @@ DECODE_SCHEMA = (
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
-    """Attach the synthetic opaque binary column (stands in for image bytes)."""
-    return docs.withColumn("payload", F.unhex(F.md5(F.col("text"))))
+    """Attach the synthetic opaque binary column (stands in for image
+    bytes). NULL text means no payload to decode — those docs are
+    excluded here and by the oracles' WHERE text IS NOT NULL."""
+    return docs.filter(F.col("text").isNotNull()).withColumn(
+        "payload", F.unhex(F.md5(F.col("text")))
+    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
@@ -130,7 +134,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "multimodal_decode",
     sql="""
-    WITH h AS (SELECT doc_id, md5(text) AS hexd FROM documents)
+    WITH h AS (SELECT doc_id, md5(text) AS hexd FROM documents WHERE text IS NOT NULL)
     SELECT doc_id,
            16 AS byte_len,
            ascii(substr(hexd, 1, 1)) AS width,
@@ -167,7 +171,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "multimodal_frame_sample",
     sql=f"""
-    WITH h AS (SELECT doc_id, md5(text) AS hexd FROM documents),
+    WITH h AS (SELECT doc_id, md5(text) AS hexd FROM documents WHERE text IS NOT NULL),
     idx AS (SELECT doc_id, hexd, unnest(range(0, 4)) AS frame_idx FROM h)
     SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
            CAST(('0x' || substr(hexd, frame_idx * {2 * FRAME_STRIDE} + 1, 2))
@@ -217,7 +221,7 @@ register(
       SELECT doc_id,
              ascii(substr(md5(text), 1, 1)) AS w,
              ascii(substr(md5(text), 2, 1)) AS h
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, w AS src_w, h AS src_h,
            CAST(CASE WHEN w >= h THEN {RESIZE_BOX}
@@ -279,7 +283,7 @@ register(
              list_transform(range(1, 17),
                i -> CAST(('0x' || substr(md5(text), (i-1)*2 + 1, 2)) AS INTEGER)
                     / 255.0) AS vec
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, 16 AS dim,
            round(sqrt(list_sum(list_transform(vec, x -> x * x))), 6) AS l2_norm,

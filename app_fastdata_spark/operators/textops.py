@@ -218,12 +218,16 @@ register(
     "doc_rolling_hash",
     sql=f"""
     SELECT doc_id,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-                          list_transform(string_split(text, ''),
-                                         ch -> CAST(ascii(ch) AS BIGINT))),
-             (acc, c) -> (acc * {_RH_B} + c) % {_RH_M}
-           ) AS rolling_hash
+           -- CASE preserves NULL for NULL text (list_prepend(0, NULL) is
+           -- [0] in DuckDB, which would hash a missing doc to 0 while
+           -- Spark's aggregate over a NULL array stays NULL)
+           CASE WHEN text IS NULL THEN NULL
+                ELSE list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(text, ''),
+                                              ch -> CAST(ascii(ch) AS BIGINT))),
+                  (acc, c) -> (acc * {_RH_B} + c) % {_RH_M}
+                ) END AS rolling_hash
     FROM documents
     """,
 )(doc_rolling_hash)
@@ -375,6 +379,11 @@ def _py_repetition(text: "pd.Series") -> "pd.DataFrame":
     ws = re.compile(r"\s+", re.ASCII)
     n_tok, n_dist, top = [], [], []
     for t in text:
+        if t is None:  # NULL text: filtered upstream; defensive guard
+            n_tok.append(0)
+            n_dist.append(0)
+            top.append(0)
+            continue
         toks = ws.split(t.lower().strip(" "))
         n_tok.append(len(toks))
         n_dist.append(len(set(toks)))

@@ -51,38 +51,60 @@ def test_rows_only_queries_run(spark, sf_dir):
         assert len(rows) >= 0  # must at least execute with a stable schema
 
 
-def test_null_text_parity_corpus_health_and_scrubber(spark, sf_dir, tmp_path):
-    """The schema allows NULL text; both engines must agree on it.
-    corpus_health counts a NULL-text doc as failing the quality gate
-    (not skipped from the denominator); doc_scrub_spans emits '' for
-    its text_clean on both sides."""
+def test_degenerate_text_parity_all_doc_oracles(spark, sf_dir, tmp_path):
+    """Every documents-table oracle must agree across engines on a corpus
+    containing the degenerate rows the schema allows: NULL text, empty
+    text, whitespace-only text, and a single-token doc. Round 5 found
+    and fixed real divergences here (shingle UDF crash on NULL, CASE vs
+    skipped-NULL averaging, -0.0 entropy, NULL vs 0 rolling hash, NULL
+    multimodal payloads) — this pins all of them."""
     import duckdb as _ddb
 
-    from app_fastdata_spark.operators.curation import corpus_health
-    from app_fastdata_spark.operators.textops import doc_scrub_spans
-    from app_fastdata_spark.registry import oracles as _oracles
     from app_fastdata_spark.tables import load_table
 
-    d = str(tmp_path / "nulldocs")
+    d = str(tmp_path / "degen")
     base = load_table(spark, sf_dir, "documents").limit(20)
-    nul = spark.createDataFrame(
-        [(999_991, None, "en", "srcX", 0)],
+    extra = spark.createDataFrame(
+        [
+            (999_991, None, "en", "srcX", 0),
+            (999_992, "", "en", "srcX", 0),
+            (999_993, "   ", "de", "srcX", 3),
+            (999_994, "solitary", "es", "srcX", 8),
+        ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    base.unionByName(nul).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    base.unionByName(extra).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    import shutil as _sh
+
+    _sh.copy(f"{sf_dir}/embeddings.parquet", f"{d}/embeddings.parquet")
 
     con = _ddb.connect()
-    # Spark writes the table as a directory of part files; glob them
+    con.execute("SET memory_limit='8GB'")
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
     )
-    for name, sdf in [
-        ("corpus_health", corpus_health(spark, d)),
-        ("doc_scrub_spans", doc_scrub_spans(spark, d)),
-    ]:
-        srows = [tuple(r) for r in sdf.collect()]
-        res = con.execute(_oracles()[name])
-        dcols = [c[0] for c in res.description]
-        drows = res.fetchall()
-        assert len(srows) == len(drows), name
-        assert normalize(srows, sdf.columns) == normalize(drows, dcols), name
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    qs, os_ = queries(), oracles()
+    doc_qs = [
+        n for n, sql in os_.items() if "documents" in sql and "events" not in sql
+    ]
+    assert len(doc_qs) >= 40
+    failures = []
+    for n in sorted(doc_qs):
+        try:
+            sdf = qs[n](spark, d)
+            srows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(os_[n])
+            dcols = [c[0] for c in res.description]
+            drows = res.fetchall()
+            if not (
+                len(srows) == len(drows)
+                and sorted(sdf.columns) == sorted(dcols)
+                and normalize(srows, sdf.columns) == normalize(drows, dcols)
+            ):
+                failures.append(n)
+        except Exception as e:  # noqa: BLE001 — collect all failures
+            failures.append(f"{n}: {type(e).__name__}")
+    assert not failures, failures
