@@ -84,7 +84,12 @@ register(
                + power(e.value - c.cv, 2) AS score
       FROM events e CROSS JOIN {clusters_values_sql()}
     )
-    SELECT event_id, cluster FROM scored
+    -- NULL score (NULL event value): no meaningful nearest centroid —
+    -- emit NULL like Spark's least()-CASE does, instead of letting
+    -- NULLS-LAST ordering crown cluster 0
+    SELECT event_id,
+           CASE WHEN score IS NULL THEN NULL ELSE cluster END AS cluster
+    FROM scored
     QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY score, cluster) = 1
     """,
 )(nearest_centroid)
@@ -95,12 +100,15 @@ register(
 def events_by_cluster(
     spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
 ) -> DataFrame:
-    scored = with_cluster(ev if ev is not None else load_table(spark, sf_dir, "events"))
-    # P3 `WHERE cluster IS NOT NULL` (ddl.sql:142) is statically never
-    # true with the non-empty literal model — and an explicit filter would
-    # re-evaluate the whole 20-center argmin expression a second time in
-    # the Filter node (no cross-operator subexpression reuse). Apply it
-    # only when the model could actually produce nulls.
+    src = ev if ev is not None else load_table(spark, sf_dir, "events")
+    # P3 `WHERE cluster IS NOT NULL` (ddl.sql:142). With a non-empty
+    # model, cluster is NULL exactly when the event's value is NULL —
+    # filter on the RAW column instead of the derived cluster, so the
+    # predicate pushes to the scan and the 20-center argmin expression
+    # is never re-evaluated in a Filter node.
+    if CLUSTERS:
+        src = src.filter(F.col("value").isNotNull())
+    scored = with_cluster(src)
     if not CLUSTERS:
         scored = scored.filter(F.col("cluster").isNotNull())
     return scored.groupBy(
@@ -123,7 +131,7 @@ register(
     )
     SELECT date_trunc('second', ts) AS second_ts, cluster,
            count(*) AS count_values
-    FROM scored WHERE rn = 1 AND cluster IS NOT NULL
+    FROM scored WHERE rn = 1 AND cluster IS NOT NULL AND score IS NOT NULL
     GROUP BY 1, 2
     """,
 )(events_by_cluster)

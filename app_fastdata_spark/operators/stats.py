@@ -383,7 +383,9 @@ def events_props_k_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "events_props_k_buckets",
     sql="""
-    SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10) * 10
+    SELECT CAST(floor(TRY_CAST(CASE WHEN json_valid(props)
+                                    THEN json_extract_string(props, '$.k')
+                               END AS INTEGER) / 10) * 10
                 AS BIGINT) AS k_bucket,
            count(*) AS n_events,
            round(avg(value), 6) AS avg_value

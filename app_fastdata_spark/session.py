@@ -57,6 +57,10 @@ def get_spark(app_name: str = "app_fastdata_spark") -> SparkSession:
         # testdata events.parquet stores ts as TIMESTAMP(NANOS), which Spark
         # has no native type for — read as long, converted in tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write µs timestamps, not deprecated INT96 (Spark's default) —
+        # keeps our own parquet output round-trippable through the same
+        # footer probe the testdata goes through.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

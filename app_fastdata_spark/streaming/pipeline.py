@@ -44,16 +44,32 @@ def events_stream(
     `max_files_per_trigger` is the ST10 backpressure knob — the file-source
     analogue of the client's setMaxTransactionsPerSecond cap
     (LogGenerator.java:129-131); rate_events_stream caps rows/s directly."""
+    import os as _os
+
+    from ..tables import _EVENTS_TS
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # file stream source requires a directory path; pathGlobFilter narrows
-    # it to the events table.
-    reader = spark.readStream.schema(SCHEMAS["events"]).option(
-        "pathGlobFilter", "events.parquet"
-    )
+    path = f"{sf_dir}/events.parquet"
+    unit = events_ts_unit(path)
+    # µs (incl. legacy INT96): read ts natively as TimestampType — reading
+    # those layouts through the raw-long schema fails or mis-scales;
+    # ns-long layout: read raw and convert.
+    schema = _EVENTS_TS if unit == "us" else SCHEMAS["events"]
+    reader = spark.readStream.schema(schema)
+    if _os.path.isdir(path):
+        # Spark-written table: events.parquet IS a directory of part
+        # files; point the stream at it directly (a pathGlobFilter on
+        # the sf_dir would match no part file's NAME).
+        src = path
+    else:
+        # single-file testdata layout: sf_dir holds every table as one
+        # file; narrow the stream to the events file by name.
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        src = sf_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(sf_dir)
-    return convert_raw_events(raw, events_ts_unit(f"{sf_dir}/events.parquet"))
+    raw = reader.parquet(src)
+    return raw if unit == "us" else convert_raw_events(raw, "ns")
 
 
 def rate_events_stream(spark: SparkSession, rows_per_second: int = 20000) -> DataFrame:

@@ -108,7 +108,19 @@ def _ts_unit_cached(target: str, stamp: tuple) -> str:
     import pyarrow.parquet as pq  # raises loudly if pyarrow is absent
 
     t = str(pq.read_schema(target).field("ts").type)
-    return "us" if t == "timestamp[us]" else "ns"
+    if t == "timestamp[us]":
+        return "us"
+    # pyarrow reports BOTH int64-nanos and legacy INT96 timestamps as
+    # timestamp[ns]; only int64-nanos needs the raw-long read path
+    # (nanosAsLong) — Spark reads INT96 natively as TimestampType, and
+    # forcing bigint on it fails with PARQUET_COLUMN_DATA_TYPE_MISMATCH.
+    pf = pq.ParquetFile(target)
+    idx = pf.schema_arrow.get_field_index("ts")
+    if pf.metadata.num_row_groups > 0:
+        phys = pf.metadata.row_group(0).column(idx).physical_type
+        if phys == "INT96":
+            return "us"
+    return "ns"
 
 
 def events_ts_unit(path: str) -> str:

@@ -9,6 +9,8 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from pyspark.sql import functions as F
+
 from app_fastdata_spark.catalog import oracles, queries
 from app_fastdata_spark.tables import TABLE_NAMES
 
@@ -93,6 +95,81 @@ def test_degenerate_text_parity_all_doc_oracles(spark, sf_dir, tmp_path):
     assert len(doc_qs) >= 40
     failures = []
     for n in sorted(doc_qs):
+        try:
+            sdf = qs[n](spark, d)
+            srows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(os_[n])
+            dcols = [c[0] for c in res.description]
+            drows = res.fetchall()
+            if not (
+                len(srows) == len(drows)
+                and sorted(sdf.columns) == sorted(dcols)
+                and normalize(srows, sdf.columns) == normalize(drows, dcols)
+            ):
+                failures.append(n)
+        except Exception as e:  # noqa: BLE001 — collect all failures
+            failures.append(f"{n}: {type(e).__name__}")
+    assert not failures, failures
+
+
+def test_degenerate_events_parity_all_event_oracles(spark, sf_dir, tmp_path):
+    """Every events-table oracle must agree across engines on a corpus
+    with the degenerate rows the schema allows — NULL value, NULL props,
+    malformed JSON props — written as a Spark DIRECTORY table with
+    legacy INT96 timestamps (the layout any existing lake contains).
+    Round 5 found real gaps here: the raw-long read path crashing on
+    INT96, the file-stream glob matching nothing under directory
+    layouts, strict-vs-permissive JSON, and NULLS-LAST crowning cluster
+    0 on NULL scores."""
+    import os as _os
+
+    import duckdb as _ddb
+
+    from app_fastdata_spark.tables import load_table
+
+    d = str(tmp_path / "degen_ev")
+    _os.makedirs(d)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = load_table(spark, sf_dir, "events").select(*cols).limit(200)
+    extra = spark.createDataFrame(
+        [
+            (888_881, "2024-01-01 00:00:01", 7, "click", None, None),
+            (888_882, "2024-01-01 00:00:02", 8, "view", 1.5, "{not json"),
+            (888_883, "2024-01-01 00:00:03", 9, "purchase", None, '{"k":"z9"}'),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    # INT96: the deprecated layout this test exists to cover
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        base.unionByName(extra).coalesce(1).write.parquet(f"{d}/events.parquet")
+    finally:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    import shutil as _sh
+
+    for t in TABLE_NAMES:
+        if t != "events" and _os.path.exists(f"{sf_dir}/{t}.parquet"):
+            _sh.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    con = _ddb.connect()
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    for t in TABLE_NAMES:
+        if t != "events" and _os.path.exists(f"{d}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    qs, os_ = queries(), oracles()
+    ev_qs = [n for n, sql in os_.items() if "events" in sql]
+    assert len(ev_qs) >= 30
+    failures = []
+    for n in sorted(ev_qs):
         try:
             sdf = qs[n](spark, d)
             srows = [tuple(r) for r in sdf.collect()]
