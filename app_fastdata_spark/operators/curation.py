@@ -814,3 +814,130 @@ register(
     ORDER BY doc_id
     """,
 )(doc_dsir_sample)
+
+
+# --- per-source scorecard --------------------------------------------------
+
+
+def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard: volume, quality-gate pass rate,
+    mean type-token ratio, and the within-source exact-duplicate rate —
+    the table a curation team reads to decide which sources to keep,
+    cap, or drop. Same single-scan projection as corpus_health, grouped
+    by source; one partial->final aggregate, scan-bound at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    ntok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / ntok
+    passes = (F.length("text") >= 100) & (ntok >= 20) & (ttr >= 0.3)
+    proj = docs.select(
+        "source",
+        ntok.alias("ntok"),
+        F.round(ttr, 6).alias("ttr"),
+        F.coalesce(passes.cast("double"), F.lit(0.0)).alias("q"),
+        F.md5(norm).alias("fp"),
+    )
+    return (
+        proj.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.round(F.avg("q"), 6).alias("quality_pass_rate"),
+            F.round(F.avg("ttr"), 6).alias("mean_ttr"),
+            (F.count("*") - F.countDistinct("fp")).alias("exact_dup_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "source_scorecard",
+    sql="""
+    WITH t AS (
+      SELECT source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS ntok,
+             round(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                   * 1.0
+                   / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS ttr,
+             CASE WHEN length(text) >= 100
+                   AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 20
+                   AND len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                       * 1.0
+                       / len(string_split_regex(trim(lower(text)), '\\s+')) >= 0.3
+                  THEN 1.0 ELSE 0.0 END AS q,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           round(avg(q), 6) AS quality_pass_rate,
+           round(avg(ttr), 6) AS mean_ttr,
+           count(*) - count(DISTINCT fp) AS exact_dup_docs
+    FROM t GROUP BY source ORDER BY source
+    """,
+)(source_scorecard)
+
+
+# --- Zipf vocabulary-health check ------------------------------------------
+
+
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row log-log least-squares fit of the token frequency spectrum
+    (count vs rank): natural text sits near slope -1 (Zipf); synthetic,
+    templated, or degenerate corpora drift far off — a cheap
+    whole-corpus health telemetry. The term count is the usual
+    explode->hash-agg (shuffles on the token, high cardinality, no
+    skew); the rank window runs over the VOCABULARY (|V| << corpus —
+    at web scale fit a top-K sample instead of the full spectrum), and
+    the fit is a closed-form single-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    counts = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    xy = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
+register(
+    "corpus_zipf_slope",
+    sql="""
+    WITH counts AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL)
+      GROUP BY tok
+    ),
+    xy AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM counts
+    )
+    SELECT count(*) AS n_terms,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope
+    FROM xy
+    """,
+)(corpus_zipf_slope)
