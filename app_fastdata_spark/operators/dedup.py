@@ -1392,3 +1392,65 @@ register(
     ORDER BY contained_id, container_id
     """,
 )(dedup_containment)
+
+
+# --- incremental shard dedup (batch twin of the streaming gate) ------------
+
+# The "new scrape shard arrives" check as a registered, oracled batch
+# query: the arriving shard is the deterministic eval slice of the md5
+# split (doc_train_eval_split's bucket >= 90), the existing corpus is
+# the train slice; every new doc within HAMMING_MAX of a corpus doc is
+# flagged. Rides the exact same band-LSH + Hamming machinery as
+# streaming.near_dup_gate_stream — this IS that gate applied to a batch
+# frame, so the oracle here also evidences the stream path's math.
+def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import SPLIT_TRAIN_PCT
+    from ..streaming.pipeline import near_dup_gate_stream
+
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    new = docs.filter(bucket >= SPLIT_TRAIN_PCT)
+    old = docs.filter(bucket < SPLIT_TRAIN_PCT)
+    idx = simhash_band_ints(simhash_frame(old))
+    return near_dup_gate_stream(new, idx).orderBy("doc_id", "corpus_doc_id")
+
+
+def _register_incremental_shard() -> None:
+    from ..operators.curation import SPLIT_TRAIN_PCT
+
+    bucket = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+    register(
+        "dedup_incremental_shard",
+        sql=f"""
+    WITH d AS (
+      SELECT doc_id,
+             {bucket} >= {SPLIT_TRAIN_PCT} AS is_new,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bs AS (
+      SELECT doc_id, is_new,
+             list_transform(toks, t -> {_bitstr_expr('t', 'strpos')}) AS bitstrs
+      FROM d WHERE len(toks) > 0
+    ),
+    v AS (SELECT doc_id, is_new, {_SQL_SIMHASH_VOTES} FROM bs),
+    sig AS (SELECT doc_id, is_new, {_SQL_SIMHASH_CONCAT} AS simhash FROM v),
+    buckets AS (
+      SELECT doc_id, is_new, simhash, band,
+             substr(simhash, band * {_BAND_LEN} + 1, {_BAND_LEN}) AS bh
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) bands
+    )
+    SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_doc_id,
+           {_SQL_HAMMING} AS hamming
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id <> b.doc_id
+    WHERE a.is_new AND NOT b.is_new AND {_SQL_HAMMING} <= {HAMMING_MAX}
+    ORDER BY doc_id, corpus_doc_id
+    """,
+    )(dedup_incremental_shard)
+
+
+_register_incremental_shard()
