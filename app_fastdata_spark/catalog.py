@@ -110,10 +110,12 @@ DRIVER_PRIORITY: list[str] = [
     # multimodal on green r3/r4 rows; dedup_components_uncapped and
     # dedup_survivors_uncapped ride dedup_ngram_jaccard's gate which IS
     # in the window. kmeans_*/doc_stratified_sample/events_approx_stats
-    # are no_oracle-by-design. EVERY window entry above was re-verified
-    # this round via tools/check_oracle.py at sf0.01, and the full
-    # 127-query gate passed in one process: 123 pass / 4 rows-only /
-    # 0 fail.)
+    # are no_oracle-by-design. source_scorecard, corpus_zipf_slope, and
+    # dedup_incremental_shard landed after the window filled — each
+    # hand-verified at sf0.01 and covered by the degenerate sweep tests;
+    # rotate them in next round. EVERY window entry above was
+    # re-verified this round via tools/check_oracle.py at sf0.01, and
+    # the full gate passed in one process: 0 fail.)
 ]
 
 
