@@ -30,6 +30,19 @@ from ..tables import load_table
 
 SPLIT_TRAIN_PCT = 90  # md5 bucket < 90 → train, else eval
 
+# The ONE definition of the split hash, shared (Spark + SQL) by the
+# train/eval split and everything that rides it (dedup_incremental_shard's
+# "arriving shard" = the eval slice) — a drift here would silently
+# desynchronize them.
+SPLIT_BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+
+
+def split_bucket_col():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+
 
 def doc_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable hash-bucket split: bucket = 32 bits of md5(doc_id) mod 100.
@@ -37,10 +50,7 @@ def doc_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus ordering — the standard way to keep a held-out slice stable
     as the corpus grows. Pure codegen projection."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = split_bucket_col()
     return docs.select(
         "doc_id",
         bucket.alias("bucket"),
@@ -54,9 +64,8 @@ register(
     "doc_train_eval_split",
     sql=f"""
     SELECT doc_id,
-           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
-           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
-                     < {SPLIT_TRAIN_PCT}
+           {SPLIT_BUCKET_SQL} AS bucket,
+           CASE WHEN {SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PCT}
                 THEN 'train' ELSE 'eval' END AS split
     FROM documents
     """,

@@ -1404,14 +1404,11 @@ register(
 # streaming.near_dup_gate_stream — this IS that gate applied to a batch
 # frame, so the oracle here also evidences the stream path's math.
 def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import SPLIT_TRAIN_PCT
+    from ..operators.curation import SPLIT_TRAIN_PCT, split_bucket_col
     from ..streaming.pipeline import near_dup_gate_stream
 
     docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = split_bucket_col()
     new = docs.filter(bucket >= SPLIT_TRAIN_PCT)
     old = docs.filter(bucket < SPLIT_TRAIN_PCT)
     idx = simhash_band_ints(simhash_frame(old))
@@ -1419,9 +1416,9 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_incremental_shard() -> None:
-    from ..operators.curation import SPLIT_TRAIN_PCT
+    from ..operators.curation import SPLIT_BUCKET_SQL, SPLIT_TRAIN_PCT
 
-    bucket = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+    bucket = SPLIT_BUCKET_SQL
     register(
         "dedup_incremental_shard",
         sql=f"""

@@ -210,8 +210,17 @@ def events_by_cluster_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and a sampling pass over the agg output (measured 0.95 s → 0.61 s
     # at sf0.1; at 1000 executors the sampling job is pure added latency
     # for a ≤k-row result).
+    src = events_in_window(spark, sf_dir)
+    # A9 re-aggregates the A6 view, which carries the DDL's cluster IS
+    # NOT NULL — same pushdown-friendly raw-value form as
+    # enrich.events_by_cluster (NULL value => NULL cluster).
+    if CLUSTERS:
+        src = src.filter(F.col("value").isNotNull())
+    scored = with_cluster(src)
+    if not CLUSTERS:
+        scored = scored.filter(F.col("cluster").isNotNull())
     return (
-        with_cluster(events_in_window(spark, sf_dir))
+        scored
         .groupBy("cluster")
         .agg(F.count("*").alias("counts"))
         .orderBy("cluster")
@@ -229,6 +238,7 @@ register(
                ORDER BY power(CAST(e.user_id % 100 AS DOUBLE) - c.cu, 2)
                           + power(e.value - c.cv, 2), c.id) AS rn
       FROM events e CROSS JOIN {clusters_values_sql()}
+      WHERE e.value IS NOT NULL
     ),
     ebc AS (
       SELECT date_trunc('second', ts) AS second_ts, cluster,

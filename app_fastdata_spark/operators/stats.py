@@ -384,6 +384,8 @@ register(
     "events_props_k_buckets",
     sql="""
     SELECT CAST(floor(TRY_CAST(CASE WHEN json_valid(props)
+                                     AND json_type(props, '$.k')
+                                         IN ('UBIGINT', 'BIGINT', 'DOUBLE')
                                     THEN json_extract_string(props, '$.k')
                                END AS INTEGER) / 10) * 10
                 AS BIGINT) AS k_bucket,

@@ -180,12 +180,15 @@ def jdbc_export_writer(
 
 def write_training_shards(
     spark, sf_dir: str, out_dir: str, doc_source=None
-) -> int:
+) -> list[int]:
     """Emit the curated corpus as trainer-ready shard files: each doc
     lands in its deterministic md5 shard (doc_global_shuffle assignment)
     and rows inside each shard file are ordered by the shuffled pos —
     a trainer streaming shard=K in file order sees the reproducible
-    pseudo-random permutation. Returns the shard count.
+    pseudo-random permutation. Returns the SORTED shard ids actually
+    written (shard ids are md5 buckets, NOT contiguous — a narrowing
+    doc_source may skip buckets entirely, so trainers iterate this
+    list, never range(n)).
 
     Layout: out_dir/shard=K/part-*.parquet (one file per shard via
     repartition on shard before partitionBy — at 100 TB shard count
@@ -216,7 +219,13 @@ def write_training_shards(
         "shard", "pos"
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
-    # count what was WRITTEN: a narrowing doc_source may cover fewer
-    # shards than the full-corpus assignment, and a trainer iterating
-    # range(n) must not hit missing shard dirs
-    return joined.select("shard").distinct().count()
+    # enumerate what was WRITTEN from the directory listing — free, and
+    # it cannot disagree with the artifact the trainer will read (a
+    # recount of the joined frame would re-run the whole assignment job)
+    import glob as _glob
+    import os as _os
+
+    return sorted(
+        int(_os.path.basename(p).split("=", 1)[1])
+        for p in _glob.glob(_os.path.join(out_dir, "shard=*"))
+    )

@@ -253,9 +253,17 @@ def dests_by_second_stream(events: DataFrame, retention: str = RETENTION) -> Dat
 def events_by_cluster_stream(events: DataFrame, retention: str = RETENTION) -> DataFrame:
     """A6/ST3+ST6 twin: scoring projection inside the streaming query,
     then per-second counts keyed by the assigned cluster
-    (db/ddl.sql:134-143)."""
+    (db/ddl.sql:134-143). Mirrors the batch view's cluster IS NOT NULL
+    (NULL-value events score no centroid) so batch/stream parity holds
+    on degenerate rows too."""
+    from ..dims import CLUSTERS as _CLUSTERS
+
+    src = events.filter(F.col("value").isNotNull()) if _CLUSTERS else events
+    gated = with_cluster(src)
+    if not _CLUSTERS:
+        gated = gated.filter(F.col("cluster").isNotNull())
     return (
-        with_cluster(events)
+        gated
         .withWatermark("ts", retention)
         .groupBy(F.window("ts", "1 second").alias("w"), "cluster")
         .agg(F.count("*").alias("count_values"))

@@ -56,19 +56,29 @@ def _probe_target(path: str) -> str | None:
     path OR the directory holds no parquet yet (a streaming source dir
     before its first drop — the genuinely-absent case callers may
     default on)."""
-    import glob
     import os as _os
 
     if _os.path.isfile(path):
         return path
     if _os.path.isdir(path):
-        parts = sorted(
-            glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
-        )
+        parts = _list_parts(path)
         if parts:
             return parts[0]
         return None
     return None
+
+
+def _list_parts(dir_path: str) -> list[str]:
+    """Sorted recursive *.parquet listing under a directory — the ONE
+    part-file discovery rule shared by the footer probe and the cache
+    stamp (divergent copies would let the stamp disagree with the probe
+    target)."""
+    import glob
+    import os as _os
+
+    return sorted(
+        glob.glob(_os.path.join(dir_path, "**", "*.parquet"), recursive=True)
+    )
 
 
 def file_stamp(path: str) -> tuple:
@@ -80,11 +90,10 @@ def file_stamp(path: str) -> tuple:
     size) — stamping only the lexicographically-first part would miss an
     appended part whose random name sorts later. (0, 0, 0) when nothing
     exists (the subsequent load fails anyway)."""
-    import glob
     import os as _os
 
     if _os.path.isdir(path):
-        parts = glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        parts = _list_parts(path)
         mt, size = 0, 0
         for p in parts:
             try:

@@ -133,9 +133,14 @@ def test_degenerate_events_parity_all_event_oracles(spark, sf_dir, tmp_path):
     base = load_table(spark, sf_dir, "events").select(*cols).limit(200)
     extra = spark.createDataFrame(
         [
-            (888_881, "2024-01-01 00:00:01", 7, "click", None, None),
-            (888_882, "2024-01-01 00:00:02", 8, "view", 1.5, "{not json"),
-            (888_883, "2024-01-01 00:00:03", 9, "purchase", None, '{"k":"z9"}'),
+            # INSIDE the AS_OF recency window (params.AS_OF minus minutes)
+            # so the windowed serving oracles exercise the NULLs too
+            (888_881, "2024-01-30 23:59:01", 7, "click", None, None),
+            (888_882, "2024-01-30 23:59:02", 8, "view", 1.5, "{not json"),
+            (888_883, "2024-01-30 23:59:03", 9, "purchase", None, '{"k":"z9"}'),
+            # string-typed JSON number: Spark's from_json('k int') is
+            # strict (NULL); the oracle must not coerce it either
+            (888_884, "2024-01-30 23:59:04", 10, "click", 2.0, '{"k":"7"}'),
         ],
         "event_id long, ts string, user_id long, event_type string, value double, props string",
     ).select(

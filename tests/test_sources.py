@@ -513,11 +513,11 @@ def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
     from app_fastdata_spark.sources.export import write_training_shards
 
     out = str(tmp_path / "shards")
-    n = write_training_shards(spark, sf_dir, out)
+    written = write_training_shards(spark, sf_dir, out)
     assign = {}
     for r in doc_global_shuffle(spark, sf_dir).collect():
         assign.setdefault(r.shard, []).append((r.pos, r.doc_id))
-    assert n == len(assign)
+    assert written == sorted(assign)
     import glob as _glob
 
     import pyarrow.parquet as _pq
@@ -536,8 +536,9 @@ def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
 
 
 def test_write_training_shards_counts_written_shards(spark, sf_dir, tmp_path):
-    """With a narrowing doc_source the return value counts shards that
-    were actually WRITTEN, never the full-corpus assignment."""
+    """With a narrowing doc_source the returned ids are the shards
+    actually WRITTEN (md5 buckets, possibly sparse), never the
+    full-corpus assignment."""
     import glob as _glob
 
     from app_fastdata_spark.sources.export import write_training_shards
@@ -547,6 +548,9 @@ def test_write_training_shards_counts_written_shards(spark, sf_dir, tmp_path):
         return load_table(spark_, sf, "documents").limit(3)
 
     out = str(tmp_path / "narrow_shards")
-    n = write_training_shards(spark, sf_dir, out, doc_source=narrow)
+    written = write_training_shards(spark, sf_dir, out, doc_source=narrow)
     dirs = _glob.glob(f"{out}/shard=*")
-    assert n == len(dirs) and 0 < n <= 3
+    assert len(written) == len(dirs) and 0 < len(written) <= 3
+    assert written == sorted(
+        int(d.rsplit("=", 1)[1]) for d in dirs
+    )
