@@ -950,3 +950,87 @@ register(
     FROM xy
     """,
 )(corpus_zipf_slope)
+
+
+# --- per-source distributional novelty -------------------------------------
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) in bits over the hashed-unigram feature space
+    — which sources are distributionally anomalous relative to the pool
+    (the complement of source_scorecard: a source can pass every quality
+    gate and still be word-soup from another planet). Laplace-smoothed
+    over all B buckets so unseen features contribute mass on both sides.
+
+    Shape: one token pass into a (source, bucket) aggregate, densified
+    against the tiny |sources| x B grid, per-source sum — the grid and
+    rollup are |sources| x 256 rows, so everything after the scan is
+    dim-sized."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    occ = docs.select(
+        "source", F.explode(toks).alias("tok")
+    ).select("source", _dsir_feat(F.col("tok")).alias("f"))
+    sc = occ.groupBy("source", "f").agg(F.count("*").alias("c"))
+    grid = (
+        sc.select("source").distinct()
+        .crossJoin(
+            spark.range(DSIR_BUCKETS).select(F.col("id").alias("f"))
+        )
+    )
+    dense = grid.join(sc, ["source", "f"], "left").select(
+        "source", "f", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    ws = Window.partitionBy("source")
+    wf = Window.partitionBy("f")
+    wall = Window.partitionBy(F.lit(1))
+    p_s = (F.col("c") + 1) / (F.sum("c").over(ws) + DSIR_BUCKETS)
+    p_c = (F.sum("c").over(wf) + 1) / (F.sum("c").over(wall) + DSIR_BUCKETS)
+    term = p_s * F.log2(p_s / p_c)
+    return (
+        dense.select("source", F.col("c").alias("c"), term.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(F.sum("t"), 6).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "source_kl_divergence",
+    sql=f"""
+    WITH occ AS (
+      SELECT source,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {DSIR_BUCKETS} AS f
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    sc AS (SELECT source, f, count(*) AS c FROM occ GROUP BY 1, 2),
+    grid AS (
+      SELECT s.source, g.f
+      FROM (SELECT DISTINCT source FROM sc) s
+      CROSS JOIN (SELECT unnest(range(0, {DSIR_BUCKETS})) AS f) g
+    ),
+    dense AS (
+      SELECT grid.source, grid.f, COALESCE(sc.c, 0) AS c
+      FROM grid LEFT JOIN sc ON sc.source = grid.source AND sc.f = grid.f
+    ),
+    terms AS (
+      SELECT source, c,
+             ((c + 1.0) / (sum(c) OVER (PARTITION BY source) + {DSIR_BUCKETS}))
+             * log2(((c + 1.0)
+                     / (sum(c) OVER (PARTITION BY source) + {DSIR_BUCKETS}))
+                    / ((sum(c) OVER (PARTITION BY f) + 1.0)
+                       / (sum(c) OVER () + {DSIR_BUCKETS}))) AS t
+      FROM dense
+    )
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(sum(t), 6) AS kl_bits
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)(source_kl_divergence)
