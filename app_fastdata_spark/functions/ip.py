@@ -15,13 +15,21 @@ from ..tables import load_table
 
 
 def int_to_ip(col: Column) -> Column:
-    """uint32 → 'a.b.c.d' (Utils.java:25-33 semantics, unsigned)."""
-    return F.concat_ws(
-        ".",
-        (F.shiftrightunsigned(col, 24) % 256).cast("string"),
-        (F.shiftrightunsigned(col, 16) % 256).cast("string"),
-        (F.shiftrightunsigned(col, 8) % 256).cast("string"),
-        (col % 256).cast("string"),
+    """uint32 → 'a.b.c.d' (Utils.java:25-33 semantics, unsigned).
+
+    NULL in → NULL out: concat_ws SKIPS null args (a NULL int would
+    otherwise format as '' — and '' later feeds an ANSI cast in
+    ip_to_int, which throws), so the NULL case is made explicit to
+    match SQL || concatenation semantics."""
+    return F.when(
+        col.isNotNull(),
+        F.concat_ws(
+            ".",
+            (F.shiftrightunsigned(col, 24) % 256).cast("string"),
+            (F.shiftrightunsigned(col, 16) % 256).cast("string"),
+            (F.shiftrightunsigned(col, 8) % 256).cast("string"),
+            (col % 256).cast("string"),
+        ),
     )
 
 

@@ -102,12 +102,16 @@ def events_by_cluster(
 ) -> DataFrame:
     src = ev if ev is not None else load_table(spark, sf_dir, "events")
     # P3 `WHERE cluster IS NOT NULL` (ddl.sql:142). With a non-empty
-    # model, cluster is NULL exactly when the event's value is NULL —
-    # filter on the RAW column instead of the derived cluster, so the
-    # predicate pushes to the scan and the 20-center argmin expression
-    # is never re-evaluated in a Filter node.
+    # model, cluster is NULL exactly when EITHER score input is NULL —
+    # the score is pow(user_id%100 - cu, 2) + pow(value - cv, 2), so a
+    # NULL user_id NULLs it just like a NULL value does. Filter on BOTH
+    # raw columns instead of the derived cluster, so the predicate
+    # pushes to the scan and the 20-center argmin expression is never
+    # re-evaluated in a Filter node.
     if CLUSTERS:
-        src = src.filter(F.col("value").isNotNull())
+        src = src.filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
     scored = with_cluster(src)
     if not CLUSTERS:
         scored = scored.filter(F.col("cluster").isNotNull())

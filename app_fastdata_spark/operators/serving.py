@@ -213,9 +213,12 @@ def events_by_cluster_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = events_in_window(spark, sf_dir)
     # A9 re-aggregates the A6 view, which carries the DDL's cluster IS
     # NOT NULL — same pushdown-friendly raw-value form as
-    # enrich.events_by_cluster (NULL value => NULL cluster).
+    # enrich.events_by_cluster (NULL value OR NULL user_id => NULL
+    # score => NULL cluster).
     if CLUSTERS:
-        src = src.filter(F.col("value").isNotNull())
+        src = src.filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
     scored = with_cluster(src)
     if not CLUSTERS:
         scored = scored.filter(F.col("cluster").isNotNull())
@@ -238,7 +241,7 @@ register(
                ORDER BY power(CAST(e.user_id % 100 AS DOUBLE) - c.cu, 2)
                           + power(e.value - c.cv, 2), c.id) AS rn
       FROM events e CROSS JOIN {clusters_values_sql()}
-      WHERE e.value IS NOT NULL
+      WHERE e.value IS NOT NULL AND e.user_id IS NOT NULL
     ),
     ebc AS (
       SELECT date_trunc('second', ts) AS second_ts, cluster,

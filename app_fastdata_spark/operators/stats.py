@@ -365,7 +365,11 @@ register("events_approx_stats")(events_approx_stats)
 # Scale: from_json is JVM-side (Jackson inside codegen), the parse output
 # is pruned to the referenced field, and the bucket agg is the usual
 # partial→final shape. Malformed JSON yields NULL (PERMISSIVE) and lands
-# in the NULL bucket rather than failing the scan.
+# in the NULL bucket rather than failing the scan. Spark's
+# from_json('k int') is strictly integral — a string-typed '"7"' AND a
+# double-typed 2.7/30.0 both parse to NULL — so the oracle's json_type
+# allowlist admits only UBIGINT/BIGINT (DuckDB types 30.0 as DOUBLE and
+# TRY_CAST would round it to 30, a cross-engine break).
 def events_props_k_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     k = F.from_json("props", "k int")["k"]
@@ -385,7 +389,7 @@ register(
     sql="""
     SELECT CAST(floor(TRY_CAST(CASE WHEN json_valid(props)
                                      AND json_type(props, '$.k')
-                                         IN ('UBIGINT', 'BIGINT', 'DOUBLE')
+                                         IN ('UBIGINT', 'BIGINT')
                                     THEN json_extract_string(props, '$.k')
                                END AS INTEGER) / 10) * 10
                 AS BIGINT) AS k_bucket,

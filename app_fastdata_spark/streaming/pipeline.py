@@ -254,11 +254,15 @@ def events_by_cluster_stream(events: DataFrame, retention: str = RETENTION) -> D
     """A6/ST3+ST6 twin: scoring projection inside the streaming query,
     then per-second counts keyed by the assigned cluster
     (db/ddl.sql:134-143). Mirrors the batch view's cluster IS NOT NULL
-    (NULL-value events score no centroid) so batch/stream parity holds
-    on degenerate rows too."""
+    (NULL-value OR NULL-user_id events score no centroid) so
+    batch/stream parity holds on degenerate rows too."""
     from ..dims import CLUSTERS as _CLUSTERS
 
-    src = events.filter(F.col("value").isNotNull()) if _CLUSTERS else events
+    src = (
+        events.filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        if _CLUSTERS
+        else events
+    )
     gated = with_cluster(src)
     if not _CLUSTERS:
         gated = gated.filter(F.col("cluster").isNotNull())

@@ -141,6 +141,16 @@ def test_degenerate_events_parity_all_event_oracles(spark, sf_dir, tmp_path):
             # string-typed JSON number: Spark's from_json('k int') is
             # strict (NULL); the oracle must not coerce it either
             (888_884, "2024-01-30 23:59:04", 10, "click", 2.0, '{"k":"7"}'),
+            # double-typed JSON numbers: from_json('k int') is strictly
+            # integral (NULL for 2.7 AND 30.0); DuckDB json_type says
+            # DOUBLE for both and TRY_CAST would round — the oracle must
+            # not admit DOUBLE
+            (888_885, "2024-01-30 23:59:05", 11, "view", 4.0, '{"k": 2.7}'),
+            (888_886, "2024-01-30 23:59:06", 12, "click", 5.0, '{"k": 30.0}'),
+            # NULL user_id with non-NULL value: every score input NULLs
+            # the argmin, so cluster views must drop it in BOTH engines
+            # (NULLS-LAST rn would crown cluster 0 in the oracle)
+            (888_887, "2024-01-30 23:59:07", None, "view", 6.0, '{"k": 3}'),
         ],
         "event_id long, ts string, user_id long, event_type string, value double, props string",
     ).select(
