@@ -42,80 +42,69 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 127 queries), round 5: the 25 queries
-    # whose NEWEST driver row is round 4's infra-OOM `err` re-evidence
-    # first (they age worst — the judge adjudicated them green via
-    # tools/check_oracle.py re-runs, but the driver artifact must show
-    # it); then the one new registration, then this round's
-    # implementation changes, then the round-2 stragglers that have never
-    # been rechecked. Everything outside the window stands on a green
-    # round-3/round-4 row ≤2 rounds old.
-    # --- round-4 `err` victims (newest row is infra-OOM; re-evidence) ---
-    "dedup_embedding_cosine_bucketed",
-    "dedup_embedding_cosine_bucketed_loose",
+    # Window math (50 driver slots, 131 queries), round 6 — VERDICT r5's
+    # rotation plan, verbatim: (a) the 5 queries whose round-5 oracle/
+    # impl change postdates their newest driver row; (b) the 4 late-r5
+    # registrations with no driver row at all; (c) the 15 entries whose
+    # newest green row is round 2 (three rounds stale); (d) everything
+    # whose implementation changed THIS round (NULL-parity fixes, the
+    # widen_small_scan estimator on the shingle/simhash/bigram sources,
+    # the capped-pair SQL recomposition, the brute-force-cosine gate).
+    # --- (a) changed in r5, driver row predates the change ---
+    "nearest_centroid",
+    "events_by_cluster",          # + r6 NULL-user_id fix
+    "doc_char_entropy",
+    "doc_train_eval_split",
+    "events_props_k_buckets",     # + r6 DOUBLE-allowlist oracle fix
+    # --- (b) registered late in r5, never driver-checked ---
+    "source_scorecard",
+    "corpus_zipf_slope",
+    "source_kl_divergence",
+    "dedup_incremental_shard",    # + r6 widened source
+    # --- (c) newest green row is round 2 ---
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q4_priority_semijoin",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_big_orders",
+    "tpch_q22_dormant_customers",
+    "tpch_order_priority_counts",
+    "tpch_unsold_parts_anti",
+    "tpch_top_orders_per_customer",
+    "enrich_events",
+    "session_starts",
+    "top_dests",
+    # --- (d) implementation/oracle changed this round ---
+    "events_by_cluster_window",   # NULL-user_id fix (impl + oracle SQL)
+    "ip_roundtrip",               # NULL-propagating int_to_ip
+    "dedup_embedding_cosine",     # BRUTE_FORCE_MAX_VECS input gate
+    "dedup_ngram_jaccard",        # widened shingle source (all below ride
+    "dedup_ngram_jaccard_capped", #  the _est_scan_partitions widen guard
+    "dedup_minhash_lsh",          #  and/or the CAPPED_PAIR_CTES_SQL
+    "dedup_simhash",              #  recomposition)
     "dedup_components",
+    "dedup_components_uncapped",
     "dedup_survivors",
-    "doc_pipeline_survivors",
-    "top_users",
-    "events_by_cluster_window",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "doc_bpe_tokens",
-    "doc_rolling_hash",
-    "doc_top_terms",
-    "ip_roundtrip",
-    "gen_events",
-    "retention_delete_oldest_to_target",
-    "session_aggregate_stateful",
-    "multimodal_embed",
-    "multimodal_frame_sample",
-    "top_users_salted",
-    "tpch_q21_lone_returner",
-    "tpch_q16_supplier_cnt",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q12_priority_lines",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    # --- new this round (never driver-checked) ---
-    "top_users_from_store",  # ST4 serving store under the oracle gate
-    "doc_global_shuffle",    # deterministic training-shard assignment
-    "doc_dup_spans",
-    "doc_scrub_spans",
-    "doc_batch_padding",
-    "doc_tfidf_top_terms",
-    "dedup_minhash_estimate_error",
-    "events_rate_anomaly",
+    "dedup_survivors_uncapped",
     "dedup_survivors_best_quality",
-    "doc_cluster_balanced_sample",
-    "corpus_health",
+    "dedup_containment",
+    "dedup_source_overlap",
+    "dedup_minhash_estimate_error",
+    "dedup_pagerank",
+    "doc_contamination",
+    "doc_lm_score",
     "doc_dsir_weights",
     "doc_dsir_sample",
-    "dedup_source_overlap",
-    "sim_ann_int8",
-    "dedup_containment",
-    # --- implementation changed this round (stale green rows no longer
-    #     evidence the current code) ---
-    "kmeans_lloyd_step",          # assignment factored into shared helper
-    "dedup_ngram_jaccard_capped", # capped_pair_sizes refactor + widened scan
-    "dedup_minhash_lsh",          # rides the widened shingle source
-    "dedup_simhash",              # widened signature source
-    "doc_contamination",          # widened corpus side
-    "doc_lm_score",               # widened bigram pass
-    "sim_ann_ivf",                # shared half-up assignment quantizer
-    "sim_ann_recall",             # (rides sim_ann_ivf)
-    "dedup_ngram_jaccard",        # UNCAPPED_MAX_DOCS input gate added
-    # (outside the window: the round-2 TPC-H/setops/asof/range/pivot
-    # stragglers — unchanged code, green r2 rows stand; the serving/
-    # views/sessions/export chains and remaining textops/curation/
-    # multimodal on green r3/r4 rows; dedup_components_uncapped and
-    # dedup_survivors_uncapped ride dedup_ngram_jaccard's gate which IS
-    # in the window. kmeans_*/doc_stratified_sample/events_approx_stats
-    # are no_oracle-by-design. source_scorecard, corpus_zipf_slope, and
-    # dedup_incremental_shard landed after the window filled — each
-    # hand-verified at sf0.01 and covered by the degenerate sweep tests;
-    # rotate them in next round. EVERY window entry above was
-    # re-verified this round via tools/check_oracle.py at sf0.01, and
-    # the full gate passed in one process: 0 fail.)
+    "doc_pipeline_survivors",
+    # (outside the window: everything else stands on a green r4/r5 row
+    # ≤2 rounds old and is untouched this round; the full registry is
+    # still re-verified every round by tests/test_oracle_parity.py at
+    # sf0.001 and was re-run via tools/check_oracle.py at sf0.01 for
+    # every entry above after the round-6 changes: 0 fail. 4–5 slots
+    # remain free for round-6 registrations.)
 ]
 
 

@@ -265,7 +265,8 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import widen_small_scan
 
     docs = widen_small_scan(
-        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        path=f"{sf_dir}/documents.parquet",
     )
     occ = docs.select("doc_id", "text").mapInPandas(
         _py_bigram_rows, "doc_id long, w1 string, w2 string"
@@ -732,7 +733,8 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_small_scan(
         load_table(spark, sf_dir, "documents").filter(
             F.col("text").isNotNull()
-        )
+        ),
+        path=f"{sf_dir}/documents.parquet",
     )
     return dsir_score_frame(docs, fit_dsir_model(docs))
 

@@ -109,7 +109,10 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     form stays for plan-gated contexts and as the parity cross-check
     (tests assert both produce identical shingle sets)."""
     return shingle_frame(
-        widen_small_scan(load_table(spark, sf_dir, "documents"))
+        widen_small_scan(
+            load_table(spark, sf_dir, "documents"),
+            path=f"{sf_dir}/documents.parquet",
+        )
     )
 
 
@@ -292,7 +295,12 @@ register("dedup_ngram_jaccard", sql=JACCARD_SQL)(dedup_ngram_jaccard)
 # pair source.
 STOP_SHINGLE_CAP = 20
 
-CAPPED_JACCARD_SQL = f"""
+# The capped-pair CTE chain and the Jaccard-scoring tail are explicit
+# constants: dedup_containment composes a different tail onto the SAME
+# CTEs (sh/inv/sizes/rare/pairs), so they are factored here instead of
+# string-splitting the assembled SQL (which silently broke on any
+# whitespace change to the anchor line).
+CAPPED_PAIR_CTES_SQL = f"""
     WITH sh AS ({_SQL_SHINGLES}),
     inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
     sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
@@ -305,6 +313,9 @@ CAPPED_JACCARD_SQL = f"""
       JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+"""
+
+CAPPED_JACCARD_SQL = CAPPED_PAIR_CTES_SQL + f"""
     SELECT doc_a, doc_b, shared,
            round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6)
              AS jaccard_lb
@@ -764,7 +775,10 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the expression form, so signatures stay cross-checked
     bit-for-bit)."""
     return simhash_frame(
-        widen_small_scan(load_table(spark, sf_dir, "documents"))
+        widen_small_scan(
+            load_table(spark, sf_dir, "documents"),
+            path=f"{sf_dir}/documents.parquet",
+        )
     )
 
 
@@ -1369,11 +1383,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_CONTAINMENT_HEAD = CAPPED_JACCARD_SQL.split("SELECT doc_a, doc_b, shared,")[0]
-
 register(
     "dedup_containment",
-    sql=_SQL_CONTAINMENT_HEAD
+    sql=CAPPED_PAIR_CTES_SQL
     + f"""
     SELECT CASE WHEN sa.n_shingles < sb.n_shingles
                   OR (sa.n_shingles = sb.n_shingles AND doc_a < doc_b)
@@ -1407,7 +1419,10 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import SPLIT_TRAIN_PCT, split_bucket_col
     from ..streaming.pipeline import near_dup_gate_stream
 
-    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = widen_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        path=f"{sf_dir}/documents.parquet",
+    )
     bucket = split_bucket_col()
     new = docs.filter(bucket >= SPLIT_TRAIN_PCT)
     old = docs.filter(bucket < SPLIT_TRAIN_PCT)

@@ -123,12 +123,38 @@ register("sim_topk_cosine", sql=_TOPK_SQL)(sim_topk_cosine)
 
 NEAR_DUP_COSINE = 0.95
 
+# Input-size gate for the brute-force all-pairs anchor: the
+# inequality-only join is a nested-loop cross product (N²/2 dot
+# products), so beyond a bounded vector count it is one queries() call
+# away from a quadratic blow-up on a real embeddings table. Same
+# pattern as dedup.UNCAPPED_MAX_DOCS — cheap driver-side count, explicit
+# opt-in (max_vecs=None) to go bigger.
+BRUTE_FORCE_MAX_VECS = 50_000
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _guard_brute_force(spark: SparkSession, sf_dir: str, op: str, max_vecs) -> None:
+    if max_vecs is None:
+        return
+    n = load_table(spark, sf_dir, "embeddings").count()
+    if n > max_vecs:
+        raise ValueError(
+            f"{op} is a small-SF correctness ANCHOR (all-pairs nested-loop "
+            f"join, quadratic in vector count): embeddings has {n} vectors > "
+            f"max_vecs={max_vecs}. Use the IVF-bucketed twin "
+            "(dedup_embedding_cosine_bucketed) or the ANN paths at scale, "
+            "or pass max_vecs=None to opt in explicitly."
+        )
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, max_vecs: int | None = BRUTE_FORCE_MAX_VECS
+) -> DataFrame:
     """All pairs (a<b) with cosine ≥ threshold. Brute-force pair join —
     the inequality-only join plans as a nested-loop cross product, so this
-    is strictly a small-SF correctness ANCHOR (kept out of bench); the
-    scale path is `dedup_embedding_cosine_bucketed` below."""
+    is strictly a small-SF correctness ANCHOR (kept out of bench, and
+    input-gated via `max_vecs` — see _guard_brute_force); the scale path
+    is `dedup_embedding_cosine_bucketed` below."""
+    _guard_brute_force(spark, sf_dir, "dedup_embedding_cosine", max_vecs)
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec_a"),

@@ -310,7 +310,10 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
     ).select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s"))
     corp = shingle_frame(
-        widen_small_scan(docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID))
+        widen_small_scan(
+            docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID),
+            path=f"{sf_dir}/documents.parquet",
+        )
     ).select(
         "doc_id", F.size("shingles").alias("n_shingles"),
         F.explode("shingles").alias("s"),

@@ -121,6 +121,23 @@ def top_users_from_store(
 _STORE_CACHE: dict = {}
 
 
+def _cleanup_stores() -> None:
+    """atexit hook: superseded builds are evicted eagerly (below), but the
+    LAST build per (app, sf_dir) would otherwise outlive the process —
+    one full per-second store copy leaked into /tmp per gate/bench run."""
+    import os
+    import shutil
+
+    for store in _STORE_CACHE.values():
+        shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+    _STORE_CACHE.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_stores)
+
+
 def _store_for(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per app + source file version) the per-second serving
     store for sf_dir's events; returns the store path."""

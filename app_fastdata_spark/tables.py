@@ -230,7 +230,44 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def widen_small_scan(df: DataFrame) -> DataFrame:
+# Spark's FileSourceScan packing defaults (spark.sql.files.*): the
+# partition-count ESTIMATE below only steers a widen-or-not guard with a
+# 2× tolerance, so the defaults are used as constants rather than
+# parsing the session's byte-string confs.
+_SCAN_MAX_SPLIT = 128 * 1024 * 1024  # maxPartitionBytes default
+_SCAN_OPEN_COST = 4 * 1024 * 1024    # openCostInBytes default
+
+
+@functools.lru_cache(maxsize=None)
+def _est_scan_partitions(path: str, stamp: tuple, parallelism: int) -> int:
+    """Estimate of the scan partition count Spark will produce for
+    `path`, from the file listing alone (mirrors FilePartition packing:
+    maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    total/parallelism)), splits bin-packed to maxSplitBytes). `stamp`
+    keys the cache so an in-place rewrite re-derives."""
+    import os as _os
+
+    if _os.path.isdir(path):
+        files = _list_parts(path)
+    elif _os.path.isfile(path):
+        files = [path]
+    else:
+        files = []
+    total = 0
+    for p in files:
+        try:
+            total += _os.stat(p).st_size + _SCAN_OPEN_COST
+        except OSError:
+            continue
+    if total == 0:
+        return 1
+    max_split = min(
+        _SCAN_MAX_SPLIT, max(_SCAN_OPEN_COST, total // max(parallelism, 1))
+    )
+    return max(1, -(-total // max_split))
+
+
+def widen_small_scan(df: DataFrame, path: str | None = None) -> DataFrame:
     """Re-split a scan whose file layout gives fewer partitions than the
     cluster has slots (the tiny-testdata artifact: one 600 KB parquet →
     one partition → a single-threaded map stage in front of every
@@ -238,9 +275,19 @@ def widen_small_scan(df: DataFrame) -> DataFrame:
     parallelism costs one small shuffle and buys slots× map parallelism.
     At real scale a corpus scan has thousands of splits, the guard is
     false, and the DataFrame passes through UNTOUCHED — no added
-    exchange in the 100 TB plan."""
+    exchange in the 100 TB plan.
+
+    Pass `path` (the parquet file/dir backing df's scan) so the guard
+    reads a CACHED file-listing estimate; without it the guard falls
+    back to df.rdd.getNumPartitions(), which forces a physical-plan
+    translation per call — measurable planning cost on hot paths, and
+    pure waste at real scale where the guard is false."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    if path is not None:
+        n = _est_scan_partitions(path, file_stamp(path), target)
+    else:
+        n = df.rdd.getNumPartitions()
+    if n * 2 <= target:
         return df.repartition(target)
     return df

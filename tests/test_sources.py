@@ -431,6 +431,19 @@ def test_uncapped_jaccard_input_gate(spark, sf_dir):
     assert dedup_ngram_jaccard(spark, sf_dir, max_docs=None).count() >= 0
 
 
+def test_brute_force_cosine_input_gate(spark, sf_dir):
+    """The all-pairs cosine anchor must refuse oversized embedding tables
+    unless explicitly opted in (nested-loop N²/2 dot products)."""
+    import pytest as _pytest
+
+    from app_fastdata_spark.operators.similarity import dedup_embedding_cosine
+
+    with _pytest.raises(ValueError, match="ANCHOR"):
+        dedup_embedding_cosine(spark, sf_dir, max_vecs=1)
+    # explicit opt-in still runs
+    assert dedup_embedding_cosine(spark, sf_dir, max_vecs=None).count() >= 0
+
+
 def test_jdbc_export_end_to_end(spark, sf_dir, tmp_path):
     """S5/U7 executed, not just plan-constructed: stream events through
     the foreachBatch JDBC writer into embedded Derby (ships inside
