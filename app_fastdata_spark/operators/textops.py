@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table, widen_small_scan
+from ..tables import load_table
 
 
 def _tokens(col: Column) -> Column:
@@ -309,11 +309,14 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = shingle_frame(
         docs.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
     ).select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s"))
+    # NO widen_small_scan on the corpus side: measured A/B at sf0.1
+    # (solo, min-of-3) has the round-robin exchange COSTING 0.15 s
+    # (1.32 s vs 1.17 s) — the broadcast-join + groupBy already provide
+    # post-shuffle parallelism, so the extra exchange only adds a
+    # barrier in front of the shingle UDF. (r5 added it; r6 adjudicated
+    # the +68% bench regression to exactly this insert and removed it.)
     corp = shingle_frame(
-        widen_small_scan(
-            docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID),
-            path=f"{sf_dir}/documents.parquet",
-        )
+        docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
     ).select(
         "doc_id", F.size("shingles").alias("n_shingles"),
         F.explode("shingles").alias("s"),
