@@ -117,6 +117,56 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
     cc_wall = round(time.time() - t0, 3)
+    # Distributed-CC timing at forced scale: the real pair set at sf0.1
+    # is ~600 edges (union-find fast path), so the pointer-jumping path
+    # the 100 TB design depends on never appears in the artifact. A
+    # synthetic 2M-edge chain graph (100-node chains: ground-truth
+    # component of node u is u - u%100) forces the distributed path
+    # (local_max_edges=0) and the post-run filter verifies EVERY label
+    # against ground truth — a full-result parity check, not a sample.
+    from pyspark.sql import functions as F
+
+    from app_fastdata_spark.operators.dedup import connected_components
+
+    chain_nodes = 2_050_000
+    chain = (
+        spark.range(chain_nodes)
+        .filter((F.col("id") % 100) != 99)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    dcc_stats: dict = {}
+    t0 = time.time()
+    dcc = connected_components(chain, stats_out=dcc_stats, local_max_edges=0)
+    dcc_bad = dcc.filter(
+        F.col("component") != (F.col("u") - F.col("u") % 100)
+    ).count()
+    dcc_wall = round(time.time() - t0, 3)
+    # Ingest throughput as a measured NUMBER (BASELINE.md run.sh:159
+    # target: ≥20k events/s): rate source at 50k rows/s through
+    # full_ingest_stream (broadcast dim resolution + inline centroid
+    # scoring — the complete NewEvent hot loop) into a noop sink;
+    # record the best sustained processedRowsPerSecond.
+    from app_fastdata_spark.streaming.pipeline import (
+        full_ingest_stream,
+        rate_events_stream,
+    )
+
+    q = (
+        full_ingest_stream(spark, rate_events_stream(spark, rows_per_second=50000))
+        .writeStream.format("noop")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(12)
+        rates = [
+            p["processedRowsPerSecond"]
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+    finally:
+        q.stop()
+    ingest_eps = round(max(rates), 1) if rates else None
     print(
         json.dumps(
             {
@@ -130,6 +180,11 @@ def main() -> None:
                 "cc_mode": cc_stats.get("mode"),
                 "cc_edges": cc_stats.get("edges"),
                 "cc_wall_sec": cc_wall,
+                "cc_distributed_edges": dcc_stats.get("edges"),
+                "cc_distributed_iters": dcc_stats.get("iters"),
+                "cc_distributed_wall_sec": dcc_wall,
+                "cc_distributed_label_errors": dcc_bad,
+                "ingest_events_per_sec": ingest_eps,
             }
         )
     )
