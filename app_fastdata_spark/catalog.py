@@ -26,6 +26,7 @@ def _load_all() -> None:
         tpch,
         views,
     )
+    from . import introspect  # noqa: F401  (procedure_profile)
     from .ml import kmeans, kmeans_udtf  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .plans import bucketing, skew  # noqa: F401
@@ -99,6 +100,8 @@ DRIVER_PRIORITY: list[str] = [
     "doc_dsir_weights",
     "doc_dsir_sample",
     "doc_pipeline_survivors",
+    # --- new this round ---
+    "procedure_profile",          # U5 PROCEDUREPROFILE (rows-only)
     # (outside the window: everything else stands on a green r4/r5 row
     # ≤2 rounds old and is untouched this round; the full registry is
     # still re-verified every round by tests/test_oracle_parity.py at

@@ -77,6 +77,90 @@ def explain_query(spark: SparkSession, sf_dir: str, name: str) -> str:
     )
 
 
+# --- @Statistics PROCEDUREPROFILE ------------------------------------------
+# The reference dashboard polls per-procedure latency
+# (web/js/voltdb-dashboard.js:100-160: PROCEDUREPROFILE rows keyed by
+# procedure name with invocation counts and avg/min/max ns). The Spark
+# twin accumulates wall time per registered query, per process — the
+# serving layer here is the registered `queries()` surface, so those ARE
+# the procedures.
+_PROC_PROFILE: dict[str, dict[str, float]] = {}
+
+
+def profiled_call(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Execute registered query `name` to completion (noop sink — full
+    plan, no driver collect in the measurement) and fold its wall time
+    into the process profile. Returns the built DataFrame for reuse."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    df = queries()[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    ms = (_time.perf_counter() - t0) * 1000.0
+    rec = _PROC_PROFILE.setdefault(
+        name,
+        {"invocations": 0, "total_ms": 0.0, "min_ms": float("inf"), "max_ms": 0.0},
+    )
+    rec["invocations"] += 1
+    rec["total_ms"] += ms
+    rec["min_ms"] = min(rec["min_ms"], ms)
+    rec["max_ms"] = max(rec["max_ms"], ms)
+    return df
+
+
+def procedure_profile() -> list[dict[str, Any]]:
+    """@Statistics PROCEDUREPROFILE: one row per profiled procedure,
+    heaviest first (the dashboard's sort), with invocation count and
+    avg/min/max/total wall ms."""
+    return sorted(
+        (
+            {
+                "procedure": name,
+                "invocations": int(rec["invocations"]),
+                "avg_ms": round(rec["total_ms"] / rec["invocations"], 3),
+                "min_ms": round(rec["min_ms"], 3),
+                "max_ms": round(rec["max_ms"], 3),
+                "total_ms": round(rec["total_ms"], 3),
+            }
+            for name, rec in _PROC_PROFILE.items()
+        ),
+        key=lambda r: -r["total_ms"],
+    )
+
+
+def procedure_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`procedure_profile` as a registered query (rows-only — wall times
+    are nondeterministic by nature): ensures at least the two cheapest
+    serving procedures have been profiled this process, then returns the
+    profile. Stable schema; values vary run to run."""
+    for name in ("top_users", "events_by_second"):
+        profiled_call(spark, sf_dir, name)
+    return spark.createDataFrame(
+        [
+            (
+                r["procedure"],
+                r["invocations"],
+                r["avg_ms"],
+                r["min_ms"],
+                r["max_ms"],
+                r["total_ms"],
+            )
+            for r in procedure_profile()
+        ],
+        "procedure string, invocations int, avg_ms double, min_ms double, "
+        "max_ms double, total_ms double",
+    )
+
+
+def _register_profile() -> None:
+    from .registry import register
+
+    register("procedure_profile")(procedure_profile_query)
+
+
+_register_profile()
+
+
 def streaming_progress(query) -> dict[str, Any]:
     """@Statistics PROCEDUREPROFILE's throughput role for streams: the
     latest micro-batch metrics (rows/s, batch duration, state rows)."""

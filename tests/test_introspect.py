@@ -58,3 +58,33 @@ def test_streaming_progress_shape(spark, sf_dir):
     prog = I.streaming_progress(q)
     assert prog["numInputRows"] > 0
     assert prog["stateRows"] > 0
+
+
+def test_procedure_profile_accumulates(spark, sf_dir):
+    """U5 @Statistics PROCEDUREPROFILE: profiled invocations accumulate
+    per-procedure wall stats (voltdb-dashboard.js:100-160 polls the same
+    shape: name, invocations, avg/min/max latency)."""
+    I.profiled_call(spark, sf_dir, "top_users")
+    I.profiled_call(spark, sf_dir, "top_users")
+    I.profiled_call(spark, sf_dir, "top_sources")
+    rows = {r["procedure"]: r for r in I.procedure_profile()}
+    assert rows["top_users"]["invocations"] >= 2
+    assert rows["top_sources"]["invocations"] >= 1
+    for r in rows.values():
+        assert r["min_ms"] <= r["avg_ms"] <= r["max_ms"]
+        assert r["total_ms"] >= r["max_ms"]
+    # heaviest-first ordering
+    totals = [r["total_ms"] for r in I.procedure_profile()]
+    assert totals == sorted(totals, reverse=True)
+
+
+def test_procedure_profile_registered_query(spark, sf_dir):
+    """The registered rows-only entry executes and returns stable schema."""
+    from app_fastdata_spark.catalog import queries
+
+    df = queries()["procedure_profile"](spark, sf_dir)
+    assert df.columns == [
+        "procedure", "invocations", "avg_ms", "min_ms", "max_ms", "total_ms",
+    ]
+    got = {r.procedure for r in df.collect()}
+    assert {"top_users", "events_by_second"} <= got

@@ -466,3 +466,74 @@ def test_dsir_gate_stream_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_kafka_roundtrip_parity_when_available(spark, sf_dir, tmp_path):
+    """The full Kafka recipe (VERDICT r5 item 7), armed and waiting:
+    events → Kafka topic (JSON values) → events_kafka_stream → enriched
+    counts == the file-source path's counts. Skipped-with-reason while
+    the sandbox lacks the spark-sql-kafka package and/or a broker; the
+    day the environment grows them, this runs with NO code change."""
+    import os
+    import socket
+    import uuid
+
+    import pytest
+
+    from app_fastdata_spark.sources.kafka import (
+        events_kafka_stream,
+        kafka_available,
+    )
+
+    if not kafka_available(spark):
+        pytest.skip("spark-sql-kafka package not resolvable in this env")
+    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA", "localhost:9092")
+    host, _, port = bootstrap.partition(":")
+    try:
+        socket.create_connection((host, int(port or 9092)), timeout=2).close()
+    except OSError:
+        pytest.skip(f"no Kafka broker reachable at {bootstrap}")
+
+    from app_fastdata_spark.streaming import pipeline as P
+    from app_fastdata_spark.tables import load_table
+
+    topic = f"events_rt_{uuid.uuid4().hex[:8]}"
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    # batch write: JSON value bytes, same wire shape as kafka_export_sink
+    (
+        ev.select(
+            F.col("user_id").cast("string").alias("key"),
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    F.unix_micros("ts").alias("ts_us"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                    "props",
+                )
+            ).alias("value"),
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    stream = events_kafka_stream(spark, bootstrap, topic)
+    out = str(tmp_path / "kafka_rt")
+    q = (
+        P.full_ingest_stream(spark, stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    want = P.full_ingest_stream(spark, ev)  # batch twin: same projection
+    assert got.count() == ev.count()
+    assert (
+        got.groupBy("dest").count().orderBy("dest").collect()
+        == want.groupBy("dest").count().orderBy("dest").collect()
+    )
