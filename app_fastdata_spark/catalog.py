@@ -102,6 +102,10 @@ DRIVER_PRIORITY: list[str] = [
     "doc_pipeline_survivors",
     # --- new this round ---
     "procedure_profile",          # U5 PROCEDUREPROFILE (rows-only)
+    "doc_pii_scan",
+    "doc_pii_scrub",
+    "doc_url_domains",
+    "embedding_dim_stats",
     # (outside the window: everything else stands on a green r4/r5 row
     # ≤2 rounds old and is untouched this round; the full registry is
     # still re-verified every round by tests/test_oracle_parity.py at

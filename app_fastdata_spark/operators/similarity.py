@@ -800,3 +800,52 @@ register(
     QUALIFY rank <= {TOP_K}
     """,
 )(sim_ann_int8)
+
+
+# --- per-dimension embedding statistics ------------------------------------
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding column — the
+    drift/health check a pipeline runs on every new embedding shard
+    (collapsed dims, scale shifts, NaN factories all show up here).
+
+    Scale: posexplode is a codegen projection (N·d rows, no Python),
+    the rollup is one hash-agg keyed by dim (d groups — partial agg
+    collapses almost everything map-side), output is d rows. All
+    accumulation in DOUBLE after an explicit cast so both engines fold
+    float32 inputs identically; 6-dp rounding absorbs fold-order fp
+    noise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("val")
+    )
+    return (
+        v.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.stddev_pop("val"), 6).alias("std_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+register(
+    "embedding_dim_stats",
+    sql="""
+    WITH d AS (
+      -- parallel unnests in one SELECT zip in DuckDB: value + 0-based
+      -- ordinal, the posexplode twin
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    )
+    SELECT dim, count(*) AS n,
+           round(avg(val), 6) AS mean_val,
+           round(stddev_pop(val), 6) AS std_val,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val
+    FROM d GROUP BY dim ORDER BY dim
+    """,
+)(embedding_dim_stats)

@@ -689,3 +689,127 @@ register(
     FROM kept
     """,
 )(doc_scrub_spans)
+
+
+# --- PII detection / scrubbing ---------------------------------------------
+# A training-data pipeline redacts contact/identifier strings before a
+# corpus ships (the reference has no analogue — this is LLM-pipeline
+# surface, like the dedup family). Patterns are chosen to behave
+# identically under Java regex (Spark, JVM-side regexp_count /
+# regexp_replace — no Python in the hot path) and RE2 (DuckDB): no
+# lookarounds, no backreferences. Scale: pure projections inside
+# whole-stage codegen, one scan, no shuffle for the scan query; the
+# scrub emits an md5 instead of the rewritten text so the oracle
+# compare stays narrow.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_CARD16 = r"\b\d{16}\b"
+
+
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII hit counts (email / IPv4 / 16-digit number) + flag.
+    NULL text propagates NULL counts (cross-engine NULL parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_email = F.regexp_count("text", F.lit(PII_EMAIL))
+    n_ip = F.regexp_count("text", F.lit(PII_IPV4))
+    n_card = F.regexp_count("text", F.lit(PII_CARD16))
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ipv4"),
+        n_card.alias("n_card16"),
+        ((n_email + n_ip + n_card) > 0).alias("has_pii"),
+    )
+
+
+register(
+    "doc_pii_scan",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS INTEGER)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{PII_CARD16}')) AS INTEGER)
+             AS n_card16,
+           len(regexp_extract_all(text, '{PII_EMAIL}'))
+             + len(regexp_extract_all(text, '{PII_IPV4}'))
+             + len(regexp_extract_all(text, '{PII_CARD16}')) > 0 AS has_pii
+    FROM documents
+    """,
+)(doc_pii_scan)
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redacted-corpus projection: emails → <EMAIL>, IPv4 → <IP>,
+    16-digit runs → <NUM>, applied in that fixed order on both engines
+    (order matters where patterns overlap; determinism, not taste).
+    Emits md5(scrubbed) + redaction count, not the text itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(PII_CARD16),
+        F.lit("<NUM>"),
+    )
+    n = (
+        F.regexp_count("text", F.lit(PII_EMAIL))
+        + F.regexp_count("text", F.lit(PII_IPV4))
+        + F.regexp_count("text", F.lit(PII_CARD16))
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_redactions"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+register(
+    "doc_pii_scrub",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+              + len(regexp_extract_all(text, '{PII_IPV4}'))
+              + len(regexp_extract_all(text, '{PII_CARD16}')) AS INTEGER)
+             AS n_redactions,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_IPV4}', '<IP>', 'g'),
+                 '{PII_CARD16}', '<NUM>', 'g')) AS scrub_hash
+    FROM documents
+    """,
+)(doc_pii_scrub)
+
+
+# --- URL / domain provenance ------------------------------------------------
+URL_DOMAIN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus provenance histogram: domains of in-text URLs, most
+    frequent first. Extraction is a codegen projection; the rollup is
+    one hash-agg on a domain-sized key space; top-k compiles to
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    doms = F.regexp_extract_all(F.lower("text"), F.lit(URL_DOMAIN), 1)
+    return (
+        docs.select(F.explode(doms).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy(F.desc("n_urls"), F.asc("domain"))
+        .limit(50)
+    )
+
+
+register(
+    "doc_url_domains",
+    sql=f"""
+    SELECT u.domain AS domain, count(*) AS n_urls
+    FROM documents d,
+         unnest(regexp_extract_all(lower(d.text), '{URL_DOMAIN}', 1)) AS u(domain)
+    GROUP BY 1 ORDER BY n_urls DESC, domain LIMIT 50
+    """,
+)(doc_url_domains)

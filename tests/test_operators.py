@@ -716,3 +716,48 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     for r in out:
         assert r.containment_lb >= CONTAINMENT_THRESHOLD
         assert sizes[r.contained_id] <= sizes[r.container_id]
+
+
+def test_pii_scan_and_scrub_content(spark, tmp_path):
+    """PII ops on a known corpus: counts per type, scrub hash equals the
+    md5 of the hand-redacted text, clean docs untouched."""
+    from app_fastdata_spark.operators.textops import doc_pii_scan, doc_pii_scrub
+
+    d = str(tmp_path / "pii")
+    spark.createDataFrame(
+        [
+            (1, "write bob@example.com from 10.1.2.3 card 1234123412341234", "en", "s", 55),
+            (2, "no secrets here", "en", "s", 15),
+            (3, None, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    scan = {r.doc_id: r for r in doc_pii_scan(spark, d).collect()}
+    assert (scan[1].n_emails, scan[1].n_ipv4, scan[1].n_card16) == (1, 1, 1)
+    assert scan[1].has_pii is True
+    assert (scan[2].n_emails, scan[2].has_pii) == (0, False)
+    assert scan[3].n_emails is None and scan[3].has_pii is None
+
+    import hashlib
+
+    scrub = {r.doc_id: r for r in doc_pii_scrub(spark, d).collect()}
+    want = "write <EMAIL> from <IP> card <NUM>"
+    assert scrub[1].n_redactions == 3
+    assert scrub[1].scrub_hash == hashlib.md5(want.encode()).hexdigest()
+    assert scrub[2].scrub_hash == hashlib.md5(b"no secrets here").hexdigest()
+    assert scrub[3].scrub_hash is None
+
+
+def test_embedding_dim_stats_known_vectors(spark, tmp_path):
+    """Dim stats on a hand-computable embedding table."""
+    from app_fastdata_spark.operators.similarity import embedding_dim_stats
+
+    d = str(tmp_path / "dimstats")
+    spark.createDataFrame(
+        [(0, [1.0, -2.0], 0), (1, [3.0, 2.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    rows = {r.dim: r for r in embedding_dim_stats(spark, d).collect()}
+    assert rows[0].n == 2 and rows[0].mean_val == 2.0 and rows[0].std_val == 1.0
+    assert rows[1].mean_val == 0.0 and rows[1].min_val == -2.0 and rows[1].max_val == 2.0

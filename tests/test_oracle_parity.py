@@ -72,6 +72,17 @@ def test_degenerate_text_parity_all_doc_oracles(spark, sf_dir, tmp_path):
             (999_992, "", "en", "srcX", 0),
             (999_993, "   ", "de", "srcX", 3),
             (999_994, "solitary", "es", "srcX", 8),
+            # PII-laden doc: exercises the scan/scrub/url oracles on
+            # actual hits (the synthetic corpus has none)
+            (
+                999_995,
+                "mail a@b.co or x.y_z%q@sub.example.org ip 10.0.0.1 "
+                "card 1234567890123456 see https://Sub.Example.COM/p and "
+                "http://a-b.io",
+                "en",
+                "srcX",
+                120,
+            ),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
