@@ -87,7 +87,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_lsh",          #  and/or the CAPPED_PAIR_CTES_SQL
     "dedup_simhash",              #  recomposition)
     "dedup_components",
-    "dedup_components_uncapped",
+    # (dedup_components_uncapped: same CC + gate + pair-source code as
+    # dedup_components/dedup_ngram_jaccard which ARE in the window —
+    # bumped for the new registration below; sf0.01 re-run green)
     "dedup_survivors",
     "dedup_survivors_uncapped",
     "dedup_survivors_best_quality",
@@ -106,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_pii_scrub",
     "doc_url_domains",
     "embedding_dim_stats",
+    "events_user_running_stats",
     # (outside the window: everything else stands on a green r4/r5 row
     # ≤2 rounds old and is untouched this round; the full registry is
     # still re-verified every round by tests/test_oracle_parity.py at

@@ -549,3 +549,42 @@ register(
     FROM scored
     """,
 )(events_rate_anomaly)
+
+
+# --- per-user running stats (cumulative windows + lag) ---------------------
+def events_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event cumulative count/sum and inter-event gap within each
+    user's ordered stream — the W-class beyond plain ROW_NUMBER
+    (cumulative frames, LAG). Window order is (ts, event_id) so the
+    running-sum FOLD ORDER is identical on both engines (float parity
+    by construction, 6-dp rounding as belt); the gap compares integer
+    microseconds. One shuffle on user_id, sort within partitions —
+    exactly the scale shape of a sessionizing pass."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(cum).alias("running_n"),
+        F.round(F.sum("value").over(cum), 6).alias("running_sum"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+register(
+    "events_user_running_stats",
+    sql="""
+    SELECT event_id, user_id,
+           count(*) OVER cum AS running_n,
+           round(sum(value) OVER cum, 6) AS running_sum,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)(events_user_running_stats)
