@@ -332,3 +332,41 @@ def test_corpus_health_single_row_aggregate(spark, sf_dir):
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_pii_ops_are_pure_codegen_projections(spark, sf_dir):
+    """The PII scan/scrub hot path is regexp work inside whole-stage
+    codegen: no Python eval nodes, no exchange at all (per-row
+    projections over one scan — embarrassingly parallel at 100 TB)."""
+    for name in ("doc_pii_scan", "doc_pii_scrub"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "Exchange" not in plan, (name, plan)
+        cols = re.search(r"FileScan parquet \[([^\]]*)\]", plan).group(1)
+        names = {c.split("#")[0] for c in cols.split(",")}
+        assert names <= {"doc_id", "text"}, names  # column pruning
+
+
+def test_url_domains_topk_no_global_sort(spark, sf_dir):
+    """Top-50 domains must compile to TakeOrderedAndProject (heap +
+    driver merge), not a range-partitioned global Sort."""
+    plan = plan_of(spark, sf_dir, "doc_url_domains")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_embedding_dim_stats_two_tier_agg(spark, sf_dir):
+    """N·d exploded rows collapse map-side: partial agg before the one
+    exchange on dim, final agg after — d groups move, not N·d rows."""
+    plan = plan_of(spark, sf_dir, "embedding_dim_stats")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_running_stats_single_user_shuffle(spark, sf_dir):
+    """Cumulative windows + LAG share ONE user_id hash exchange and one
+    within-partition sort — adding the second window function must not
+    add a second shuffle."""
+    plan = plan_of(spark, sf_dir, "events_user_running_stats")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
