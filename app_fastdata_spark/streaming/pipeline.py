@@ -310,6 +310,39 @@ def quality_gate_stream(docs: DataFrame) -> DataFrame:
     return quality_frame(docs).filter(F.col("passes_quality"))
 
 
+def pii_scrub_stream(docs: DataFrame) -> DataFrame:
+    """Streaming PII redaction at ingest: the batch doc_pii_scrub
+    patterns applied to the document stream, emitting the REDACTED text
+    (the batch query emits md5 for the narrow oracle compare; the ingest
+    gate needs the text itself) plus the redaction count. Stateless
+    codegen projection — no watermark, no state, scan-bound throughput;
+    the scale twin of running the scrub as a corpus rewrite."""
+    from ..operators.textops import PII_CARD16, PII_EMAIL, PII_IPV4
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(PII_CARD16),
+        F.lit("<NUM>"),
+    )
+    n = (
+        F.regexp_count("text", F.lit(PII_EMAIL))
+        + F.regexp_count("text", F.lit(PII_IPV4))
+        + F.regexp_count("text", F.lit(PII_CARD16))
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        n.alias("n_redactions"),
+    )
+
+
 def dsir_gate_stream(
     new_docs: DataFrame, lrs: list, min_log_importance: float = 0.0
 ) -> DataFrame:

@@ -537,3 +537,34 @@ def test_kafka_roundtrip_parity_when_available(spark, sf_dir, tmp_path):
         got.groupBy("dest").count().orderBy("dest").collect()
         == want.groupBy("dest").count().orderBy("dest").collect()
     )
+
+
+def test_pii_scrub_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming PII gate's redacted text hashes to exactly the
+    batch doc_pii_scrub md5 per doc (same patterns, same order), and
+    clean docs pass through byte-identical."""
+    import shutil
+
+    from app_fastdata_spark.operators.textops import doc_pii_scrub
+
+    src = tmp_path / "pii_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "a.parquet")
+    stream = P.pii_scrub_stream(P.documents_stream(spark, str(src)))
+    got = P.run_to_memory(stream, "pii_scrub_gate")
+    g = {r.doc_id: (r.text, r.n_redactions) for r in got.collect()}
+    want = {
+        r.doc_id: (r.scrub_hash, r.n_redactions)
+        for r in doc_pii_scrub(spark, sf_dir).collect()
+    }
+    assert set(g) == set(want) and g
+    import hashlib
+
+    for doc_id, (text, n) in g.items():
+        whash, wn = want[doc_id]
+        assert n == wn
+        assert (
+            text is None
+            and whash is None
+            or hashlib.md5(text.encode()).hexdigest() == whash
+        )
