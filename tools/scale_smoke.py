@@ -61,6 +61,12 @@ QUERIES = [
     # components chain + member-only quality argmax: rides the capped pair
     # source, so growth tracks dedup_survivors
     "dedup_survivors_best_quality",
+    # round 6: pure codegen regexp projections — the no-shuffle baseline
+    # (an exponent meaningfully above 1 here would indicate scan-layer
+    # regression, since there is nothing else in the plan)
+    "doc_pii_scrub",
+    # round 6: posexplode + two-tier agg over N·d rows
+    "embedding_dim_stats",
 ]
 
 
