@@ -43,7 +43,7 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 131 queries), round 6 — VERDICT r5's
+    # Window math (50 driver slots, 137 queries), round 6 — VERDICT r5's
     # rotation plan, verbatim: (a) the 5 queries whose round-5 oracle/
     # impl change postdates their newest driver row; (b) the 4 late-r5
     # registrations with no driver row at all; (c) the 15 entries whose
@@ -109,12 +109,16 @@ DRIVER_PRIORITY: list[str] = [
     "doc_url_domains",
     "embedding_dim_stats",
     "events_user_running_stats",
-    # (outside the window: everything else stands on a green r4/r5 row
-    # ≤2 rounds old and is untouched this round; the full registry is
-    # still re-verified every round by tests/test_oracle_parity.py at
-    # sf0.001 and was re-run via tools/check_oracle.py at sf0.01 for
-    # every entry above after the round-6 changes: 0 fail. 4–5 slots
-    # remain free for round-6 registrations.)
+    # (The list above is EXACTLY 50 — the window is full; a round-7
+    # registration must displace an entry, as events_user_running_stats
+    # displaced dedup_components_uncapped. Outside the window:
+    # everything else stands on a green r4/r5 row ≤2 rounds old and is
+    # untouched this round; the full registry is still re-verified every
+    # round by tests/test_oracle_parity.py at sf0.001 and was re-run via
+    # tools/check_oracle.py at sf0.01 after the round-6 changes:
+    # 132 pass, 5 rows-only, 0 fail. Round-7 rotation should lead with
+    # the r4-row entries (they hit the ≤2-rounds-old boundary) plus
+    # anything round 7 changes.)
 ]
 
 

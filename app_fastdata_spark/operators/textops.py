@@ -740,46 +740,69 @@ register(
 )(doc_pii_scan)
 
 
-def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Redacted-corpus projection: emails → <EMAIL>, IPv4 → <IP>,
-    16-digit runs → <NUM>, applied in that fixed order on both engines
-    (order matters where patterns overlap; determinism, not taste).
-    Emits md5(scrubbed) + redaction count, not the text itself."""
-    docs = load_table(spark, sf_dir, "documents")
-    scrubbed = F.regexp_replace(
+# The scrub expression pair, defined ONCE for the batch query AND the
+# streaming ingest gate (pii_scrub_stream) — pattern ORDER matters where
+# patterns overlap (an email whose domain embeds an IPv4 is scrubbed as
+# one email, not an email + an IP), so the chain must never fork.
+def pii_scrub_col(col) -> "F.Column":
+    return F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace("text", F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.regexp_replace(col, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
             F.lit(PII_IPV4),
             F.lit("<IP>"),
         ),
         F.lit(PII_CARD16),
         F.lit("<NUM>"),
     )
-    n = (
-        F.regexp_count("text", F.lit(PII_EMAIL))
-        + F.regexp_count("text", F.lit(PII_IPV4))
-        + F.regexp_count("text", F.lit(PII_CARD16))
+
+
+def pii_redaction_count_col(col) -> "F.Column":
+    """Replacements actually PERFORMED by the sequential scrub: each
+    stage counts on the previous stage's output, so overlapping PII
+    (e.g. an IPv4 inside an already-scrubbed email domain) is not
+    double-counted — this is the scrub's telemetry, distinct from
+    doc_pii_scan's per-type hit counts on the original text."""
+    t1 = F.regexp_replace(col, F.lit(PII_EMAIL), F.lit("<EMAIL>"))
+    t2 = F.regexp_replace(t1, F.lit(PII_IPV4), F.lit("<IP>"))
+    return (
+        F.regexp_count(col, F.lit(PII_EMAIL))
+        + F.regexp_count(t1, F.lit(PII_IPV4))
+        + F.regexp_count(t2, F.lit(PII_CARD16))
     )
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redacted-corpus projection: emails → <EMAIL>, IPv4 → <IP>,
+    16-digit runs → <NUM>, applied in that fixed order on both engines
+    (order matters where patterns overlap; determinism, not taste).
+    Emits md5(scrubbed) + performed-redaction count, not the text."""
+    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        n.alias("n_redactions"),
-        F.md5(scrubbed).alias("scrub_hash"),
+        pii_redaction_count_col(F.col("text")).alias("n_redactions"),
+        F.md5(pii_scrub_col(F.col("text"))).alias("scrub_hash"),
     )
 
 
 register(
     "doc_pii_scrub",
     sql=f"""
+    WITH staged AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM documents
+    ),
+    staged2 AS (
+      SELECT *, regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+      FROM staged
+    )
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
-              + len(regexp_extract_all(text, '{PII_IPV4}'))
-              + len(regexp_extract_all(text, '{PII_CARD16}')) AS INTEGER)
+              + len(regexp_extract_all(t1, '{PII_IPV4}'))
+              + len(regexp_extract_all(t2, '{PII_CARD16}')) AS INTEGER)
              AS n_redactions,
-           md5(regexp_replace(regexp_replace(regexp_replace(text,
-                 '{PII_EMAIL}', '<EMAIL>', 'g'),
-                 '{PII_IPV4}', '<IP>', 'g'),
-                 '{PII_CARD16}', '<NUM>', 'g')) AS scrub_hash
-    FROM documents
+           md5(regexp_replace(t2, '{PII_CARD16}', '<NUM>', 'g')) AS scrub_hash
+    FROM staged2
     """,
 )(doc_pii_scrub)
 

@@ -312,34 +312,24 @@ def quality_gate_stream(docs: DataFrame) -> DataFrame:
 
 def pii_scrub_stream(docs: DataFrame) -> DataFrame:
     """Streaming PII redaction at ingest: the batch doc_pii_scrub
-    patterns applied to the document stream, emitting the REDACTED text
-    (the batch query emits md5 for the narrow oracle compare; the ingest
-    gate needs the text itself) plus the redaction count. Stateless
+    expressions (SHARED helpers — the ordered chain must never fork)
+    applied to the document stream, emitting the REDACTED text (the
+    batch query emits md5 for the narrow oracle compare; the ingest
+    gate needs the text itself) plus the performed-redaction count.
+    n_chars is recomputed from the redacted text so the documents
+    invariant n_chars == length(text) survives the gate. Stateless
     codegen projection — no watermark, no state, scan-bound throughput;
     the scale twin of running the scrub as a corpus rewrite."""
-    from ..operators.textops import PII_CARD16, PII_EMAIL, PII_IPV4
+    from ..operators.textops import pii_redaction_count_col, pii_scrub_col
 
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("text", F.lit(PII_EMAIL), F.lit("<EMAIL>")),
-            F.lit(PII_IPV4),
-            F.lit("<IP>"),
-        ),
-        F.lit(PII_CARD16),
-        F.lit("<NUM>"),
-    )
-    n = (
-        F.regexp_count("text", F.lit(PII_EMAIL))
-        + F.regexp_count("text", F.lit(PII_IPV4))
-        + F.regexp_count("text", F.lit(PII_CARD16))
-    )
+    scrubbed = pii_scrub_col(F.col("text"))
     return docs.select(
         "doc_id",
         scrubbed.alias("text"),
         "lang",
         "source",
-        "n_chars",
-        n.alias("n_redactions"),
+        F.length(scrubbed).cast("long").alias("n_chars"),
+        pii_redaction_count_col(F.col("text")).alias("n_redactions"),
     )
 
 

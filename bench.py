@@ -137,10 +137,16 @@ def main() -> None:
     dcc_stats: dict = {}
     t0 = time.time()
     dcc = connected_components(chain, stats_out=dcc_stats, local_max_edges=0)
-    dcc_bad = dcc.filter(
-        F.col("component") != (F.col("u") - F.col("u") % 100)
-    ).count()
+    # one materializing agg verifies BOTH properties: every returned
+    # label correct AND no node dropped (count must equal chain_nodes)
+    row = dcc.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("component") != (F.col("u") - F.col("u") % 100)).cast("long")
+        ).alias("bad"),
+    ).first()
     dcc_wall = round(time.time() - t0, 3)
+    dcc_bad = int(row["bad"] or 0) + abs(chain_nodes - int(row["n"]))
     # Ingest throughput as a measured NUMBER (BASELINE.md run.sh:159
     # target: ≥20k events/s): rate source at 50k rows/s through
     # full_ingest_stream (broadcast dim resolution + inline centroid

@@ -729,6 +729,10 @@ def test_pii_scan_and_scrub_content(spark, tmp_path):
             (1, "write bob@example.com from 10.1.2.3 card 1234123412341234", "en", "s", 55),
             (2, "no secrets here", "en", "s", 15),
             (3, None, "en", "s", 0),
+            # overlap: the IPv4 lives inside the email's domain — the
+            # scan counts BOTH hit types on the original, the scrub
+            # performs ONE replacement
+            (4, "e@10.0.0.1.com", "en", "s", 14),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).coalesce(1).write.parquet(f"{d}/documents.parquet")
@@ -738,6 +742,7 @@ def test_pii_scan_and_scrub_content(spark, tmp_path):
     assert scan[1].has_pii is True
     assert (scan[2].n_emails, scan[2].has_pii) == (0, False)
     assert scan[3].n_emails is None and scan[3].has_pii is None
+    assert (scan[4].n_emails, scan[4].n_ipv4) == (1, 1)
 
     import hashlib
 
@@ -747,6 +752,9 @@ def test_pii_scan_and_scrub_content(spark, tmp_path):
     assert scrub[1].scrub_hash == hashlib.md5(want.encode()).hexdigest()
     assert scrub[2].scrub_hash == hashlib.md5(b"no secrets here").hexdigest()
     assert scrub[3].scrub_hash is None
+    # overlapping PII: one performed replacement, not two counted hits
+    assert scrub[4].n_redactions == 1
+    assert scrub[4].scrub_hash == hashlib.md5(b"<EMAIL>").hexdigest()
 
 
 def test_embedding_dim_stats_known_vectors(spark, tmp_path):

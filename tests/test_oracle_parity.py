@@ -78,7 +78,7 @@ def test_degenerate_text_parity_all_doc_oracles(spark, sf_dir, tmp_path):
                 999_995,
                 "mail a@b.co or x.y_z%q@sub.example.org ip 10.0.0.1 "
                 "card 1234567890123456 see https://Sub.Example.COM/p and "
-                "http://a-b.io",
+                "http://a-b.io plus overlapping e@10.0.0.1.com",
                 "en",
                 "srcX",
                 120,

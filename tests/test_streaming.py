@@ -498,15 +498,19 @@ def test_kafka_roundtrip_parity_when_available(spark, sf_dir, tmp_path):
     from app_fastdata_spark.tables import load_table
 
     topic = f"events_rt_{uuid.uuid4().hex[:8]}"
-    ev = load_table(spark, sf_dir, "events").limit(2000)
-    # batch write: JSON value bytes, same wire shape as kafka_export_sink
+    # deterministic subset (limit() may pick different rows per action)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    # batch write: JSON value bytes matching SCHEMAS['events']'s RAW wire
+    # shape — `ts` is the long NANOSECOND field the reader's
+    # `ts div 1000` conversion expects (a field named anything else
+    # parses to NULL ts silently)
     (
         ev.select(
             F.col("user_id").cast("string").alias("key"),
             F.to_json(
                 F.struct(
                     "event_id",
-                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("ts_ns").alias("ts"),
                     "user_id",
                     "event_type",
                     "value",
@@ -536,6 +540,14 @@ def test_kafka_roundtrip_parity_when_available(spark, sf_dir, tmp_path):
     assert (
         got.groupBy("dest").count().orderBy("dest").collect()
         == want.groupBy("dest").count().orderBy("dest").collect()
+    )
+    # ts must SURVIVE the wire (a silently-NULL or unit-shifted ts would
+    # pass the count asserts): compare the full per-second histogram
+    assert (
+        got.groupBy(F.date_trunc("second", "ts").alias("s")).count()
+        .orderBy("s").collect()
+        == want.groupBy(F.date_trunc("second", "ts").alias("s")).count()
+        .orderBy("s").collect()
     )
 
 
