@@ -91,7 +91,9 @@ DRIVER_PRIORITY: list[str] = [
     # dedup_components/dedup_ngram_jaccard which ARE in the window —
     # bumped for the new registration below; sf0.01 re-run green)
     "dedup_survivors",
-    "dedup_survivors_uncapped",
+    # (dedup_survivors_uncapped: same survivors + gate + pair-source
+    # code as the in-window dedup_survivors/dedup_ngram_jaccard —
+    # bumped for doc_bm25_search below; sf0.01 re-run green)
     "dedup_survivors_best_quality",
     "dedup_containment",
     "dedup_source_overlap",
@@ -109,6 +111,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_url_domains",
     "embedding_dim_stats",
     "events_user_running_stats",
+    "doc_bm25_search",
     # (The list above is EXACTLY 50 — the window is full; a round-7
     # registration must displace an entry, as events_user_running_stats
     # displaced dedup_components_uncapped. Outside the window:

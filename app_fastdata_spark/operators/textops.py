@@ -836,3 +836,100 @@ register(
     GROUP BY 1 ORDER BY n_urls DESC, domain LIMIT 50
     """,
 )(doc_url_domains)
+
+
+# --- BM25 keyword search ----------------------------------------------------
+# Full-text relevance ranking over the corpus — the retrieval half of a
+# RAG/data-curation stack (the reference has no search surface; this is
+# LLM-pipeline class like the dedup family). Okapi BM25 with the
+# standard k1/b; idf is the +1 ("BM25+") form so it is always positive.
+#
+# Determinism contract: tf/df/dl/N are integers, and avgdl — the only
+# float statistic — is 6-dp-quantized in BOTH engines before it enters
+# the formula, so each per-(doc,term) score is a fixed arithmetic
+# expression over integers; the final 6-dp round absorbs the ≤3-term
+# sum's fold-order eps.
+#
+# Scale shape: tokenize once, filter the exploded term stream to the
+# query terms BEFORE any aggregation (the tf frame is |Q|·matching-docs,
+# not corpus-sized), df and (N, avgdl) are dim-sized aggregates that
+# broadcast, and the top-k compiles to TakeOrderedAndProject.
+BM25_QUERY_TERMS = ["hash", "join", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    lens = toks.select("doc_id", F.size("t").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl")
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    score = idf * F.col("tf") * (BM25_K1 + 1) / denom
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(score), 6).alias("bm25"),
+            F.count("*").alias("n_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+register(
+    "doc_bm25_search",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl
+              FROM lens),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(t) AS term FROM toks
+      ) WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                    + {BM25_B} * l.dl / s.avgdl)) AS sc
+      FROM tf
+      JOIN dfq d USING (term)
+      JOIN lens l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, round(sum(sc), 6) AS bm25,
+           count(*) AS n_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)(doc_bm25_search)
