@@ -370,3 +370,18 @@ def test_running_stats_single_user_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_user_running_stats")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_filters_terms_before_agg_and_heap_topk(spark, sf_dir):
+    """BM25: the exploded term stream must be filtered to the query
+    terms before any aggregate (the tf frame is |Q|-bounded, never
+    corpus-sized), stats/df sides broadcast, top-20 is a heap."""
+    plan = plan_of(spark, sf_dir, "doc_bm25_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "EvalPython" not in plan, plan
+    # the IN-filter on query terms sits BELOW the tf aggregate: the
+    # filter line appears after (deeper than) the count aggregate in the
+    # tree dump, i.e. the agg consumes an already-|Q|-bounded stream
+    tf_agg = plan.index("functions=[partial_count(1)]")
+    assert re.search(r"Filter term#\d+ IN \(hash,join,vector\)", plan[tf_agg:]), plan
