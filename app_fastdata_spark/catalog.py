@@ -102,7 +102,9 @@ DRIVER_PRIORITY: list[str] = [
     "doc_contamination",
     "doc_lm_score",
     "doc_dsir_weights",
-    "doc_dsir_sample",
+    # (doc_dsir_sample: the shared DSIR scoring is evidenced by the
+    # in-window doc_dsir_weights; its own cutoff step is unchanged —
+    # bumped for events_fuzzy_enrich below; sf0.01 re-run green)
     "doc_pipeline_survivors",
     # --- new this round ---
     "procedure_profile",          # U5 PROCEDUREPROFILE (rows-only)
@@ -112,6 +114,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_dim_stats",
     "events_user_running_stats",
     "doc_bm25_search",
+    "events_fuzzy_enrich",
     # (The list above is EXACTLY 50 — the window is full; a round-7
     # registration must displace an entry, as events_user_running_stats
     # displaced dedup_components_uncapped. Outside the window:

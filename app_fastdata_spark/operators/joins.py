@@ -154,3 +154,82 @@ register(
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
     """,
 )(click_purchase_attribution)
+
+
+# --- fuzzy dim resolution (edit-distance entity matching) -------------------
+# Real ingest feeds carry typo'd/variant keys that exact equi-joins drop
+# on the floor; the entity-resolution answer at dim scale is a broadcast
+# fuzzy argmin — here, like nearest_centroid (J4), the dim is literal so
+# the whole match is ONE codegen projection: an array of
+# (levenshtein, candidate) structs, array_min for the lexicographic
+# argmin (min distance, ties to the alphabetically-first candidate), no
+# join and no shuffle at any event count. levenshtein is the classic
+# unit-cost DP in both engines, so distances agree exactly.
+#
+# The typo'd feed is synthesized deterministically (user_id % 97 == 0
+# events get a trailing 'x') because the testdata's event_type values
+# are all clean — the corruption rule lives in the query on BOTH engines.
+def events_fuzzy_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dims import EVENT_TYPES, dests_df
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("user_id") % 97 == 0, F.concat(F.col("event_type"), F.lit("x"))
+    ).otherwise(F.col("event_type"))
+    cands = F.array(
+        *[
+            F.struct(
+                F.levenshtein(F.col("raw_type"), F.lit(t)).alias("lev"),
+                F.lit(t).alias("t"),
+            )
+            for t in EVENT_TYPES
+        ]
+    )
+    best = F.array_min(cands)
+    dests = dests_df(spark).filter(F.col("url") != "")
+    return (
+        ev.select("event_id", raw.alias("raw_type"))
+        .select(
+            "event_id",
+            "raw_type",
+            best["lev"].alias("edit_distance"),
+            best["t"].alias("resolved_type"),
+        )
+        .join(
+            F.broadcast(dests.select(F.col("event_type").alias("resolved_type"), "url")),
+            "resolved_type",
+        )
+        .select("event_id", "raw_type", "resolved_type", "edit_distance", "url")
+    )
+
+
+def _register_fuzzy() -> None:
+    from ..dims import EVENT_TYPES, dests_values_sql
+
+    types_rows = ", ".join(f"('{t}')" for t in EVENT_TYPES)
+    register(
+        "events_fuzzy_enrich",
+        sql=f"""
+    WITH ev AS (
+      SELECT event_id,
+             CASE WHEN user_id % 97 = 0 THEN event_type || 'x'
+                  ELSE event_type END AS raw_type
+      FROM events
+    ),
+    c AS (
+      SELECT e.event_id, e.raw_type, t.t,
+             levenshtein(e.raw_type, t.t) AS edit_distance,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY levenshtein(e.raw_type, t.t), t.t) AS rn
+      FROM ev e CROSS JOIN (VALUES {types_rows}) AS t(t)
+    )
+    SELECT c.event_id, c.raw_type, c.t AS resolved_type,
+           c.edit_distance, d.url
+    FROM c JOIN {dests_values_sql()} ON d.event_type = c.t AND d.url <> ''
+    WHERE c.rn = 1
+    """,
+    )(events_fuzzy_enrich)
+
+
+_register_fuzzy()

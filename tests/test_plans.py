@@ -385,3 +385,13 @@ def test_bm25_filters_terms_before_agg_and_heap_topk(spark, sf_dir):
     # tree dump, i.e. the agg consumes an already-|Q|-bounded stream
     tf_agg = plan.index("functions=[partial_count(1)]")
     assert re.search(r"Filter term#\d+ IN \(hash,join,vector\)", plan[tf_agg:]), plan
+
+
+def test_fuzzy_enrich_is_projection_plus_dim_broadcast(spark, sf_dir):
+    """Fuzzy dim resolution must be the J4 idiom: the levenshtein argmin
+    is a literal-array projection (no join, no shuffle for the match),
+    with only the url lookup as a broadcast dim join."""
+    plan = plan_of(spark, sf_dir, "events_fuzzy_enrich")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "EvalPython" not in plan, plan
