@@ -97,7 +97,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_survivors_best_quality",
     "dedup_containment",
     "dedup_source_overlap",
-    "dedup_minhash_estimate_error",
+    # (dedup_minhash_estimate_error: composed entirely from the
+    # in-window capped-pairs + minhash-LSH sources — bumped for
+    # events_gap_fill_series below; sf0.01 re-run green)
     "dedup_pagerank",
     "doc_contamination",
     "doc_lm_score",
@@ -115,6 +117,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_user_running_stats",
     "doc_bm25_search",
     "events_fuzzy_enrich",
+    "events_gap_fill_series",
     # (The list above is EXACTLY 50 — the window is full; a round-7
     # registration must displace an entry, as events_user_running_stats
     # displaced dedup_components_uncapped. Outside the window:

@@ -129,3 +129,77 @@ register(
     FROM events GROUP BY 1, 2
     """,
 )(dests_by_second)
+
+
+# --- time-series gap fill (densify + carry-forward) -------------------------
+# Dashboards and window models need a DENSE per-second series; the raw
+# per-second view (A4) skips empty seconds entirely. Densification =
+# generated time grid LEFT JOIN the sparse aggregate, zero-fill for
+# counts, last-observation-carried-forward for values. Pinned to one
+# fixed UTC day so the grid is a constant (86 400 rows) on both engines.
+#
+# Scale shape: the grid generates distributed (spark.range), the join is
+# a broadcast of the generated day grid per series — at real scale this
+# partitions by (series key, day) and each partition densifies
+# independently; the LOCF window orders within the partition only. The
+# testdata has ONE series, so the window is a single partition here —
+# the per-key form is the same plan with partitionBy(series).
+GAP_FILL_DAY = "2024-01-01"
+
+
+def events_gap_fill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Window
+
+    from ..tables import load_table as _lt
+
+    day0 = int(
+        datetime.strptime(GAP_FILL_DAY, "%Y-%m-%d")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+    )
+    ev = _lt(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.timestamp_seconds(F.lit(day0)))
+        & (F.col("ts") < F.timestamp_seconds(F.lit(day0 + 86400)))
+    )
+    per_s = ev.groupBy(F.date_trunc("second", "ts").alias("second_ts")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("av")
+    )
+    grid = spark.range(86400).select(
+        F.timestamp_seconds(F.lit(day0) + F.col("id")).alias("second_ts")
+    )
+    w = Window.orderBy("second_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.join(per_s, "second_ts", "left").select(
+        "second_ts",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("av", ignorenulls=True).over(w).alias("carried_avg"),
+    )
+
+
+register(
+    "events_gap_fill_series",
+    sql=f"""
+    WITH per_s AS (
+      SELECT date_trunc('second', ts) AS s, count(*) AS n,
+             round(avg(value), 6) AS av
+      FROM events
+      WHERE ts >= TIMESTAMP '{GAP_FILL_DAY} 00:00:00'
+        AND ts < TIMESTAMP '{GAP_FILL_DAY} 00:00:00' + INTERVAL 1 DAY
+      GROUP BY 1
+    ),
+    grid AS (
+      SELECT TIMESTAMP '{GAP_FILL_DAY} 00:00:00' + to_seconds(CAST(i AS BIGINT))
+               AS second_ts
+      FROM (SELECT unnest(range(0, 86400)) AS i)
+    )
+    SELECT g.second_ts,
+           COALESCE(p.n, 0) AS n_events,
+           last_value(p.av IGNORE NULLS) OVER (
+             ORDER BY g.second_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_avg
+    FROM grid g LEFT JOIN per_s p ON p.s = g.second_ts
+    """,
+)(events_gap_fill_series)
