@@ -43,7 +43,7 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 138 queries), round 6 — VERDICT r5's
+    # Window math (50 driver slots, 140 queries), round 6 — VERDICT r5's
     # rotation plan, verbatim: (a) the 5 queries whose round-5 oracle/
     # impl change postdates their newest driver row; (b) the 4 late-r5
     # registrations with no driver row at all; (c) the 15 entries whose
@@ -125,7 +125,7 @@ DRIVER_PRIORITY: list[str] = [
     # untouched this round; the full registry is still re-verified every
     # round by tests/test_oracle_parity.py at sf0.001 and was re-run via
     # tools/check_oracle.py at sf0.01 after the round-6 changes:
-    # 133 pass, 5 rows-only, 0 fail. Round-7 rotation should lead with
+    # 135 pass, 5 rows-only, 0 fail. Round-7 rotation should lead with
     # the r4-row entries (they hit the ≤2-rounds-old boundary) plus
     # anything round 7 changes.)
 ]
