@@ -850,10 +850,14 @@ register(
 # expression over integers; the final 6-dp round absorbs the ≤3-term
 # sum's fold-order eps.
 #
-# Scale shape: tokenize once, filter the exploded term stream to the
-# query terms BEFORE any aggregation (the tf frame is |Q|·matching-docs,
-# not corpus-sized), df and (N, avgdl) are dim-sized aggregates that
-# broadcast, and the top-k compiles to TakeOrderedAndProject.
+# Scale shape: TWO corpus passes, not four — dl rides the exploded term
+# stream into the tf aggregate (first("dl") — constant within a
+# (doc, term) group), so no separate doc-length join; the df rollup
+# re-aggregates tf's output (its (doc_id, term) exchange is reused, not
+# recomputed); the only other pass is the (N, avgdl) corpus-stats
+# aggregate, which broadcasts as one row. The query-term filter sits
+# BELOW the tf aggregate (the tf frame is |Q|·matching-docs, never
+# corpus-sized) and the top-k compiles to TakeOrderedAndProject.
 BM25_QUERY_TERMS = ["hash", "join", "vector"]
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -863,17 +867,14 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    toks = docs.select(
-        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
-    )
-    lens = toks.select("doc_id", F.size("t").alias("dl"))
+    toks = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("t"))
     tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
+        toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
         .filter(F.col("term").isin(BM25_QUERY_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
-    stats = lens.agg(
+    stats = toks.select(F.size("t").alias("dl")).agg(
         F.count("*").alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl")
     )
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -886,7 +887,6 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = idf * F.col("tf") * (BM25_K1 + 1) / denom
     return (
         tf.join(F.broadcast(dfq), "term")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(

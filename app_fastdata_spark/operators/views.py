@@ -152,14 +152,12 @@ def events_gap_fill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from ..tables import load_table as _lt
-
     day0 = int(
         datetime.strptime(GAP_FILL_DAY, "%Y-%m-%d")
         .replace(tzinfo=timezone.utc)
         .timestamp()
     )
-    ev = _lt(spark, sf_dir, "events").filter(
+    ev = load_table(spark, sf_dir, "events").filter(
         (F.col("ts") >= F.timestamp_seconds(F.lit(day0)))
         & (F.col("ts") < F.timestamp_seconds(F.lit(day0 + 86400)))
     )

@@ -380,11 +380,18 @@ def test_bm25_filters_terms_before_agg_and_heap_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
     assert "EvalPython" not in plan, plan
-    # the IN-filter on query terms sits BELOW the tf aggregate: the
-    # filter line appears after (deeper than) the count aggregate in the
-    # tree dump, i.e. the agg consumes an already-|Q|-bounded stream
-    tf_agg = plan.index("functions=[partial_count(1)]")
+    # the IN-filter on query terms sits BELOW the tf aggregate. The
+    # dump is top-down (parents first), so a filter hoisted ABOVE an
+    # aggregate would print BEFORE the first partial-count line —
+    # assert the region above the first aggregate is filter-free (the
+    # dfq subtree's own copy can't mask a regression this way), and
+    # that the filter exists at all.
+    tf_agg = plan.index("functions=[partial_count(1), partial_first")
     assert re.search(r"Filter term#\d+ IN \(hash,join,vector\)", plan[tf_agg:]), plan
+    assert not re.search(r"Filter term#\d+ IN", plan[:tf_agg]), plan
+    # dl rides the tf aggregate — no separate doc-length join: at most
+    # the 2 intended corpus scans (tf subtree + stats), never 4
+    assert plan.count("FileScan parquet") <= 3, plan
 
 
 def test_fuzzy_enrich_is_projection_plus_dim_broadcast(spark, sf_dir):
