@@ -67,6 +67,13 @@ HEADLINE = [
     "asof_last_purchase",
     "range_join_price_bands",
     "events_rollup",
+    # round-6 additions
+    "doc_pii_scan",
+    "doc_bm25_search",
+    "events_fuzzy_enrich",
+    "events_user_running_stats",
+    "events_gap_fill_series",
+    "embedding_dim_stats",
 ]
 
 

@@ -81,3 +81,84 @@ def test_salted_sum_equals_direct(spark, rows, n_salts):
         for r in salted_sum(df, "k", "v", salt_from="rid", n_salts=n_salts).collect()
     }
     assert direct == salted
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab1@. x-%_\n"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_pii_scrub_idempotent_and_clean_texts_unchanged(spark, texts):
+    """Scrubbing is idempotent for ANY input (replacement tokens match no
+    pattern), and a text the scan calls clean passes through unchanged."""
+    from app_fastdata_spark.operators.textops import (
+        pii_redaction_count_col,
+        pii_scrub_col,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    once = pii_scrub_col(F.col("t"))
+    out = df.select(
+        "i",
+        "t",
+        once.alias("s1"),
+        pii_scrub_col(once).alias("s2"),
+        pii_redaction_count_col(F.col("t")).alias("n"),
+    ).collect()
+    for r in out:
+        assert r.s1 == r.s2, (r.t, r.s1, r.s2)  # idempotent
+        if r.n == 0:
+            assert r.s1 == r.t, (r.t, r.s1)  # clean ⟹ untouched
+        else:
+            assert r.s1 != r.t
+
+
+@given(
+    typo=st.sampled_from(["click", "error", "purchase", "signup", "view"]),
+    mutate=st.integers(0, 2),
+)
+@settings(**SETTINGS)
+def test_fuzzy_argmin_resolves_exact_and_single_typo(spark, typo, mutate):
+    """The levenshtein argmin idiom: a clean dim value resolves to itself
+    at distance 0; a one-edit corruption resolves at distance 1 to a type
+    within 1 edit of the corrupted string (the true source type unless an
+    alternative is equally close — argmin tie-breaks alphabetically)."""
+    from app_fastdata_spark.dims import EVENT_TYPES
+
+    raw = {0: typo, 1: typo + "x", 2: typo[:-1]}[mutate]
+    cands = F.array(
+        *[
+            F.struct(
+                F.levenshtein(F.col("raw"), F.lit(t)).alias("lev"),
+                F.lit(t).alias("t"),
+            )
+            for t in EVENT_TYPES
+        ]
+    )
+    best = F.array_min(cands)
+    r = (
+        spark.createDataFrame([(raw,)], "raw string")
+        .select(best["lev"].alias("lev"), best["t"].alias("t"))
+        .collect()[0]
+    )
+    if mutate == 0:
+        assert (r.lev, r.t) == (0, typo)
+    else:
+        assert r.lev == 1  # the true source is always 1 edit away
+
+        def _lev(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        assert _lev(raw, r.t) == 1, (raw, r.t)
