@@ -1171,6 +1171,14 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty near-dup graph (e.g. an empty corpus): rank of nothing
+        # is the empty relation — mirror the oracle, which yields 0
+        # rows from the empty deg CTE, instead of dividing by zero
+        return deg.select(
+            F.col("src").alias("doc_id"),
+            F.lit(0.0).alias("pagerank"),
+        )
     base = F.lit(round((1 - PR_DAMPING) / n_nodes, 9))
     pr = deg.select("src", F.round(F.lit(1.0 / n_nodes), 6).alias("pr"))
     for _ in range(PR_ITERS):

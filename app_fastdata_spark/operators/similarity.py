@@ -250,7 +250,13 @@ def _centroid_broadcast(spark: SparkSession, sf_dir: str):
         )
         cell_ids = np.array([r.vec_id for r in cent], dtype=np.int64)
         C = np.array([r.embedding for r in cent], dtype=np.float64)
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        if C.size:
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        else:
+            # empty embeddings table ("the arriving shard is empty"):
+            # a (0, 0) matrix keeps every downstream GEMM/assignment a
+            # well-formed empty result instead of an axis error
+            Cn = C.reshape(0, 0)
         _CENTROID_BC[key] = spark.sparkContext.broadcast((cell_ids, Cn))
     return _CENTROID_BC[key]
 

@@ -85,6 +85,11 @@ register(
            count(*) AS n_events, round(sum(value), 4) AS total_value
     FROM events
     GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+    -- empty-input parity: standard SQL (DuckDB) emits the grand-total
+    -- row with count 0 over an EMPTY table; Spark's rollup emits no
+    -- rows. On non-empty input every rollup group has count >= 1, so
+    -- this filter is a no-op there and aligns only the empty case.
+    HAVING count(*) > 0
     ORDER BY event_type NULLS FIRST, day NULLS FIRST
     """,
 )(events_rollup)

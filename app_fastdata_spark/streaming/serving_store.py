@@ -177,6 +177,15 @@ def _store_for(spark: SparkSession, sf_dir: str) -> str:
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if not _path_exists(spark, store):
+            # zero micro-batches wrote (empty events source): a store
+            # must still EXIST after a build — materialize the empty
+            # relation with the store schema (day as DATE, matching
+            # partition-column inference) so readers see 0 rows instead
+            # of PATH_NOT_FOUND
+            spark.createDataFrame(
+                [], "second_ts timestamp, src bigint, count_values bigint, day date"
+            ).write.parquet(store)
         _STORE_CACHE[key] = store
     return _STORE_CACHE[key]
 

@@ -211,3 +211,48 @@ def test_degenerate_events_parity_all_event_oracles(spark, sf_dir, tmp_path):
         except Exception as e:  # noqa: BLE001 — collect all failures
             failures.append(f"{n}: {type(e).__name__}")
     assert not failures, failures
+
+
+def test_empty_tables_parity_all_oracles(spark, sf_dir, tmp_path):
+    """Every oracle must agree across engines — and not crash — when
+    every input table is EMPTY (schema-preserving 0-row parquet). "The
+    arriving shard is empty" is a routine pipeline event, and empty
+    aggregates are a classic cross-engine divergence nest (empty avg,
+    empty windows, empty argmin, collect-on-empty driver paths)."""
+    import duckdb as _ddb
+
+    from app_fastdata_spark.tables import load_table
+
+    d = str(tmp_path / "empty")
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).limit(0).coalesce(1).write.parquet(
+            f"{d}/{t}.parquet"
+        )
+
+    con = _ddb.connect()
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+        )
+    qs, os_ = queries(), oracles()
+    failures = []
+    for n in sorted(os_):
+        try:
+            sdf = qs[n](spark, d)
+            srows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(os_[n])
+            dcols = [c[0] for c in res.description]
+            drows = res.fetchall()
+            if not (
+                len(srows) == len(drows)
+                and sorted(sdf.columns) == sorted(dcols)
+                and normalize(srows, sdf.columns) == normalize(drows, dcols)
+            ):
+                failures.append(
+                    f"{n}: rows {len(srows)}/{len(drows)}"
+                )
+        except Exception as e:  # noqa: BLE001 — collect all failures
+            failures.append(f"{n}: {type(e).__name__}: {e}")
+    assert not failures, failures
