@@ -142,6 +142,10 @@ def main() -> None:
         .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
     )
     dcc_stats: dict = {}
+    # (Partition-count tuning was A/B'd here: isolated sessions showed 16
+    # partitions ~15% faster, but IN BENCH CONTEXT (warm JVM, GC pressure
+    # from 100+ prior queries) 32 measured no worse (54.6s vs 60-66s) —
+    # per the repo's noise discipline the session default stands.)
     t0 = time.time()
     dcc = connected_components(chain, stats_out=dcc_stats, local_max_edges=0)
     # one materializing agg verifies BOTH properties: every returned
