@@ -34,6 +34,13 @@ def train_centers(events: DataFrame) -> DataFrame:
         (F.col("user_id") % 100).cast("double").alias("u"),
         F.col("value").alias("v"),
     )
+    spark_ = events.sparkSession
+    if feats.isEmpty():
+        # "the arriving shard is empty": MLlib's fit() throws on an empty
+        # dataset — no observations means no model; return the empty
+        # centers relation (same schema), matching the UDTF twin's
+        # 0-row behavior and the reference's empty-table swap semantics
+        return spark_.createDataFrame([], "id int, cu int, cv int")
     assembled = VectorAssembler(inputCols=["u", "v"], outputCol="features").transform(
         feats
     )

@@ -180,12 +180,17 @@ def _store_for(spark: SparkSession, sf_dir: str) -> str:
         if not _path_exists(spark, store):
             # zero micro-batches wrote (empty events source): a store
             # must still EXIST after a build — materialize the empty
-            # relation with the store schema (day as DATE, matching
-            # partition-column inference) so readers see 0 rows instead
-            # of PATH_NOT_FOUND
-            spark.createDataFrame(
-                [], "second_ts timestamp, src bigint, count_values bigint, day date"
-            ).write.parquet(store)
+            # relation with the store's schema DERIVED from the same
+            # aggregation the upsert writes (plus the day partition
+            # column as DATE, matching partition-column inference), so
+            # this path can never drift from the populated-store schema
+            import pyspark.sql.types as T
+
+            agg_schema = per_second_counts(events_stream(spark, sf_dir)).schema
+            schema = T.StructType(
+                [*agg_schema.fields, T.StructField("day", T.DateType())]
+            )
+            spark.createDataFrame([], schema).write.parquet(store)
         _STORE_CACHE[key] = store
     return _STORE_CACHE[key]
 

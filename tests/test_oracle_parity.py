@@ -31,6 +31,33 @@ def ddb(sf_dir):
     return con
 
 
+
+
+def _parity_failures(spark, con, d, names):
+    """The one compare loop all sweeps share: run each named query on
+    Spark (at dir `d`) and its oracle on `con`, collect mismatches and
+    exceptions instead of stopping at the first."""
+    qs, os_ = queries(), oracles()
+    failures = []
+    for n in sorted(names):
+        try:
+            sdf = qs[n](spark, d)
+            srows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(os_[n])
+            dcols = [c[0] for c in res.description]
+            drows = res.fetchall()
+            if not (
+                len(srows) == len(drows)
+                and sorted(sdf.columns) == sorted(dcols)
+                and normalize(srows, sdf.columns) == normalize(drows, dcols)
+            ):
+                failures.append(f"{n}: rows {len(srows)}/{len(drows)}")
+        except Exception as e:  # noqa: BLE001 — collect all failures
+            failures.append(f"{n}: {type(e).__name__}: {str(e)[:120]}")
+    return failures
+
+
+
 _oracle_names = sorted(oracles().keys())
 
 
@@ -104,22 +131,7 @@ def test_degenerate_text_parity_all_doc_oracles(spark, sf_dir, tmp_path):
         n for n, sql in os_.items() if "documents" in sql and "events" not in sql
     ]
     assert len(doc_qs) >= 40
-    failures = []
-    for n in sorted(doc_qs):
-        try:
-            sdf = qs[n](spark, d)
-            srows = [tuple(r) for r in sdf.collect()]
-            res = con.execute(os_[n])
-            dcols = [c[0] for c in res.description]
-            drows = res.fetchall()
-            if not (
-                len(srows) == len(drows)
-                and sorted(sdf.columns) == sorted(dcols)
-                and normalize(srows, sdf.columns) == normalize(drows, dcols)
-            ):
-                failures.append(n)
-        except Exception as e:  # noqa: BLE001 — collect all failures
-            failures.append(f"{n}: {type(e).__name__}")
+    failures = _parity_failures(spark, con, d, doc_qs)
     assert not failures, failures
 
 
@@ -194,22 +206,7 @@ def test_degenerate_events_parity_all_event_oracles(spark, sf_dir, tmp_path):
     qs, os_ = queries(), oracles()
     ev_qs = [n for n, sql in os_.items() if "events" in sql]
     assert len(ev_qs) >= 30
-    failures = []
-    for n in sorted(ev_qs):
-        try:
-            sdf = qs[n](spark, d)
-            srows = [tuple(r) for r in sdf.collect()]
-            res = con.execute(os_[n])
-            dcols = [c[0] for c in res.description]
-            drows = res.fetchall()
-            if not (
-                len(srows) == len(drows)
-                and sorted(sdf.columns) == sorted(dcols)
-                and normalize(srows, sdf.columns) == normalize(drows, dcols)
-            ):
-                failures.append(n)
-        except Exception as e:  # noqa: BLE001 — collect all failures
-            failures.append(f"{n}: {type(e).__name__}")
+    failures = _parity_failures(spark, con, d, ev_qs)
     assert not failures, failures
 
 
@@ -225,9 +222,12 @@ def test_empty_tables_parity_all_oracles(spark, sf_dir, tmp_path):
 
     d = str(tmp_path / "empty")
     for t in TABLE_NAMES:
-        load_table(spark, sf_dir, t).limit(0).coalesce(1).write.parquet(
-            f"{d}/{t}.parquet"
-        )
+        src = load_table(spark, sf_dir, t).limit(0)
+        if t == "events":
+            # write the PRODUCTION events schema — load_table derives
+            # ts_ns, which a real shard does not contain
+            src = src.drop("ts_ns")
+        src.coalesce(1).write.parquet(f"{d}/{t}.parquet")
 
     con = _ddb.connect()
     con.execute("SET memory_limit='8GB'")
@@ -237,22 +237,12 @@ def test_empty_tables_parity_all_oracles(spark, sf_dir, tmp_path):
             f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
         )
     qs, os_ = queries(), oracles()
-    failures = []
-    for n in sorted(os_):
+    failures = _parity_failures(spark, con, d, list(os_))
+    # rows-only queries get a crash-only pass — the blind spot that let a
+    # KMeans.fit-on-empty crash through the first version of this sweep
+    for n in sorted(set(qs) - set(os_)):
         try:
-            sdf = qs[n](spark, d)
-            srows = [tuple(r) for r in sdf.collect()]
-            res = con.execute(os_[n])
-            dcols = [c[0] for c in res.description]
-            drows = res.fetchall()
-            if not (
-                len(srows) == len(drows)
-                and sorted(sdf.columns) == sorted(dcols)
-                and normalize(srows, sdf.columns) == normalize(drows, dcols)
-            ):
-                failures.append(
-                    f"{n}: rows {len(srows)}/{len(drows)}"
-                )
+            qs[n](spark, d).collect()
         except Exception as e:  # noqa: BLE001 — collect all failures
-            failures.append(f"{n}: {type(e).__name__}: {e}")
+            failures.append(f"{n} (rows-only): {type(e).__name__}: {str(e)[:120]}")
     assert not failures, failures
