@@ -15,6 +15,7 @@ PROCEDUREPROFILE`'s throughput role) come from StreamingQuery
 
 from __future__ import annotations
 
+import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,8 +84,12 @@ def explain_query(spark: SparkSession, sf_dir: str, name: str) -> str:
 # procedure name with invocation counts and avg/min/max ns). The Spark
 # twin accumulates wall time per registered query, per process — the
 # serving layer here is the registered `queries()` surface, so those ARE
-# the procedures.
+# the procedures. The accumulator is lock-guarded: the modeled dashboard
+# polls concurrently, and driver apps may invoke procedures from
+# multiple threads — an unguarded read-modify-write loses invocation
+# counts and interleaves min/max updates.
 _PROC_PROFILE: dict[str, dict[str, float]] = {}
+_PROC_PROFILE_LOCK = threading.Lock()
 
 
 def profiled_call(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -97,14 +102,15 @@ def profiled_call(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = queries()[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     ms = (_time.perf_counter() - t0) * 1000.0
-    rec = _PROC_PROFILE.setdefault(
-        name,
-        {"invocations": 0, "total_ms": 0.0, "min_ms": float("inf"), "max_ms": 0.0},
-    )
-    rec["invocations"] += 1
-    rec["total_ms"] += ms
-    rec["min_ms"] = min(rec["min_ms"], ms)
-    rec["max_ms"] = max(rec["max_ms"], ms)
+    with _PROC_PROFILE_LOCK:
+        rec = _PROC_PROFILE.setdefault(
+            name,
+            {"invocations": 0, "total_ms": 0.0, "min_ms": float("inf"), "max_ms": 0.0},
+        )
+        rec["invocations"] += 1
+        rec["total_ms"] += ms
+        rec["min_ms"] = min(rec["min_ms"], ms)
+        rec["max_ms"] = max(rec["max_ms"], ms)
     return df
 
 
@@ -112,6 +118,8 @@ def procedure_profile() -> list[dict[str, Any]]:
     """@Statistics PROCEDUREPROFILE: one row per profiled procedure,
     heaviest first (the dashboard's sort), with invocation count and
     avg/min/max/total wall ms."""
+    with _PROC_PROFILE_LOCK:
+        snapshot = {k: dict(v) for k, v in _PROC_PROFILE.items()}
     return sorted(
         (
             {
@@ -122,7 +130,7 @@ def procedure_profile() -> list[dict[str, Any]]:
                 "max_ms": round(rec["max_ms"], 3),
                 "total_ms": round(rec["total_ms"], 3),
             }
-            for name, rec in _PROC_PROFILE.items()
+            for name, rec in snapshot.items()
         ),
         key=lambda r: -r["total_ms"],
     )

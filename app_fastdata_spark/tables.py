@@ -230,16 +230,59 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-# Spark's FileSourceScan packing defaults (spark.sql.files.*): the
-# partition-count ESTIMATE below only steers a widen-or-not guard with a
-# 2× tolerance, so the defaults are used as constants rather than
-# parsing the session's byte-string confs.
+# Spark's FileSourceScan packing defaults (spark.sql.files.*) — used as
+# fallbacks only; the live session's values are read per call (a session
+# that overrides them would otherwise get a silently wrong estimate and
+# the widen guard would fire/skip incorrectly).
 _SCAN_MAX_SPLIT = 128 * 1024 * 1024  # maxPartitionBytes default
 _SCAN_OPEN_COST = 4 * 1024 * 1024    # openCostInBytes default
 
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(s: str | None, default: int) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "128MB", "4m",
+    "134217728b") to an int; `default` on absent/unparsable."""
+    if not s:
+        return default
+    txt = str(s).strip().lower()
+    i = len(txt)
+    while i > 0 and not txt[: i].isdigit():
+        i -= 1
+    num, suffix = txt[:i], txt[i:].strip()
+    if not num or suffix not in _BYTE_SUFFIX:
+        return default
+    return int(num) * _BYTE_SUFFIX[suffix]
+
+
+def _scan_packing_confs(spark: SparkSession) -> tuple[int, int]:
+    """(maxPartitionBytes, openCostInBytes) from the live session."""
+    return (
+        _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", None),
+            _SCAN_MAX_SPLIT,
+        ),
+        _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", None),
+            _SCAN_OPEN_COST,
+        ),
+    )
+
 
 @functools.lru_cache(maxsize=None)
-def _est_scan_partitions(path: str, stamp: tuple, parallelism: int) -> int:
+def _est_scan_partitions(
+    path: str,
+    stamp: tuple,
+    parallelism: int,
+    max_split_conf: int = _SCAN_MAX_SPLIT,
+    open_cost_conf: int = _SCAN_OPEN_COST,
+) -> int:
     """Estimate of the scan partition count Spark will produce for
     `path`, from the file listing alone (mirrors FilePartition packing:
     maxSplitBytes = min(maxPartitionBytes, max(openCost,
@@ -256,13 +299,13 @@ def _est_scan_partitions(path: str, stamp: tuple, parallelism: int) -> int:
     total = 0
     for p in files:
         try:
-            total += _os.stat(p).st_size + _SCAN_OPEN_COST
+            total += _os.stat(p).st_size + open_cost_conf
         except OSError:
             continue
     if total == 0:
         return 1
     max_split = min(
-        _SCAN_MAX_SPLIT, max(_SCAN_OPEN_COST, total // max(parallelism, 1))
+        max_split_conf, max(open_cost_conf, total // max(parallelism, 1))
     )
     return max(1, -(-total // max_split))
 
@@ -285,7 +328,10 @@ def widen_small_scan(df: DataFrame, path: str | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if path is not None:
-        n = _est_scan_partitions(path, file_stamp(path), target)
+        max_split, open_cost = _scan_packing_confs(df.sparkSession)
+        n = _est_scan_partitions(
+            path, file_stamp(path), target, max_split, open_cost
+        )
     else:
         n = df.rdd.getNumPartitions()
     if n * 2 <= target:

@@ -162,7 +162,9 @@ def main() -> None:
     # target: ≥20k events/s): rate source at 50k rows/s through
     # full_ingest_stream (broadcast dim resolution + inline centroid
     # scoring — the complete NewEvent hot loop) into a noop sink;
-    # record the best sustained processedRowsPerSecond.
+    # record the MEDIAN steady-state processedRowsPerSecond (the
+    # sustained number — a single-batch peak can certify a target the
+    # pipeline does not hold) plus the peak for reference.
     from app_fastdata_spark.streaming.pipeline import (
         full_ingest_stream,
         rate_events_stream,
@@ -183,7 +185,13 @@ def main() -> None:
         ]
     finally:
         q.stop()
-    ingest_eps = round(max(rates), 1) if rates else None
+    if rates:
+        import statistics
+
+        ingest_eps = round(statistics.median(rates), 1)
+        ingest_eps_peak = round(max(rates), 1)
+    else:
+        ingest_eps = ingest_eps_peak = None
     print(
         json.dumps(
             {
@@ -202,6 +210,7 @@ def main() -> None:
                 "cc_distributed_wall_sec": dcc_wall,
                 "cc_distributed_label_errors": dcc_bad,
                 "ingest_events_per_sec": ingest_eps,
+                "ingest_events_per_sec_peak": ingest_eps_peak,
             }
         )
     )

@@ -88,3 +88,26 @@ def test_procedure_profile_registered_query(spark, sf_dir):
     ]
     got = {r.procedure for r in df.collect()}
     assert {"top_users", "events_by_second"} <= got
+
+
+def test_procedure_profile_concurrent_invocations(spark, sf_dir):
+    """The accumulator update is lock-guarded: concurrent profiled_call
+    invocations from multiple driver threads must not lose counts (the
+    modeled dashboard polls while procedures run)."""
+    import threading
+
+    before = {r["procedure"]: r["invocations"] for r in I.procedure_profile()}
+    base = before.get("events_by_second", 0)
+    per_thread, n_threads = 2, 4
+
+    def worker():
+        for _ in range(per_thread):
+            I.profiled_call(spark, sf_dir, "events_by_second")
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    rows = {r["procedure"]: r for r in I.procedure_profile()}
+    assert rows["events_by_second"]["invocations"] == base + per_thread * n_threads

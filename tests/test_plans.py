@@ -402,3 +402,28 @@ def test_fuzzy_enrich_is_projection_plus_dim_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_scan_partition_estimate_honors_session_confs(tmp_path):
+    """_est_scan_partitions must use the session's spark.sql.files.*
+    byte confs, not hardcoded defaults: a 1 MiB maxPartitionBytes
+    override on a multi-MiB file should multiply the estimate."""
+    from app_fastdata_spark.tables import _est_scan_partitions, _parse_bytes
+
+    # byte-string parser: all the spellings Spark accepts
+    assert _parse_bytes("134217728", 0) == 128 * 1024 * 1024
+    assert _parse_bytes("134217728b", 0) == 128 * 1024 * 1024
+    assert _parse_bytes("128MB", 0) == 128 * 1024 * 1024
+    assert _parse_bytes("4m", 0) == 4 * 1024 * 1024
+    assert _parse_bytes("1g", 0) == 1 << 30
+    assert _parse_bytes(None, 77) == 77
+    assert _parse_bytes("garbage", 77) == 77
+
+    f = tmp_path / "blob.parquet"
+    f.write_bytes(b"\0" * (8 * 1024 * 1024))
+    stamp = ("t", 1)
+    # defaults: 8 MiB + openCost fits well under 128 MiB → few splits
+    n_default = _est_scan_partitions(str(f), stamp, 1)
+    # 1 MiB max split, zero open cost → ~8 splits
+    n_small = _est_scan_partitions(str(f), stamp, 1, 1 << 20, 0)
+    assert n_small >= 8 > n_default
