@@ -17,6 +17,7 @@ def _load_all() -> None:
         export_views,
         joins,
         pipeline_e2e,
+        prep,
         retention,
         serving,
         sessions,
@@ -29,7 +30,7 @@ def _load_all() -> None:
     from . import introspect  # noqa: F401  (procedure_profile)
     from .ml import kmeans, kmeans_udtf  # noqa: F401
     from .operators import multimodal  # noqa: F401
-    from .plans import bucketing, skew  # noqa: F401
+    from .plans import bucketing, skew, zorder  # noqa: F401
     from .sources import generator  # noqa: F401
     from .streaming import serving_store, stateful  # noqa: F401
 

@@ -1036,3 +1036,74 @@ register(
     FROM terms GROUP BY source ORDER BY source
     """,
 )(source_kl_divergence)
+
+
+# --- corpus snapshot diff ---------------------------------------------------
+# Crawl-to-crawl change accounting: which documents were added, removed,
+# edited, or untouched between two corpus snapshots — the bookkeeping
+# every recurring-ingest pipeline needs before deciding what to
+# re-embed / re-dedup. The "previous" snapshot is derived
+# deterministically from the corpus (doc_id residue classes drop some
+# docs from each side and truncate some texts) so the operator has a
+# full value-hash oracle without a second testdata table; with a real
+# lake the two sides are just two scans.
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two snapshot fingerprint frames on doc_id →
+    per-status counts. Scale shape: both sides project to (doc_id, fp)
+    at scan time (fingerprints, not text, go through the exchange), the
+    join is a plain sort-merge on the key both lakes are laid out by,
+    and the rollup output is 4 rows. At 100 TB this is one co-partitioned
+    join; with bucketed snapshot tables the exchange disappears
+    (plans/bucketing.py shows that form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.md5(
+            F.coalesce(
+                F.when(
+                    F.col("doc_id") % 7 == 3, F.substring("text", 1, 10)
+                ).otherwise(F.col("text")),
+                F.lit(""),
+            )
+        ).alias("fp_prev"),
+    )
+    curr = docs.where(F.col("doc_id") % 11 != 5).select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("fp_curr")
+    )
+    status = (
+        F.when(F.col("fp_prev").isNull(), F.lit("added"))
+        .when(F.col("fp_curr").isNull(), F.lit("removed"))
+        .when(F.col("fp_prev") != F.col("fp_curr"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        prev.join(curr, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+register(
+    "corpus_snapshot_diff",
+    sql="""
+    WITH prev AS (
+      SELECT doc_id,
+             md5(coalesce(CASE WHEN doc_id % 7 = 3 THEN substr(text, 1, 10)
+                               ELSE text END, '')) AS fp_prev
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    curr AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS fp_curr
+      FROM documents WHERE doc_id % 11 <> 5
+    )
+    SELECT CASE WHEN fp_prev IS NULL THEN 'added'
+                WHEN fp_curr IS NULL THEN 'removed'
+                WHEN fp_prev <> fp_curr THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_docs
+    FROM prev FULL OUTER JOIN curr USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)(corpus_snapshot_diff)

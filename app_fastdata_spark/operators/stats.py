@@ -593,3 +593,138 @@ register(
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )(events_user_running_stats)
+
+
+# --- interval merge (gaps-and-islands) -------------------------------------
+MERGE_GAP_US = 60_000_000  # events within 60 s of the previous interval merge
+
+
+def events_merged_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each user's overlapping activity intervals ([ts, ts+60 s))
+    into maximal sessions — the classic gaps-and-islands shape (running
+    MAX of interval end, island breaks where the next start exceeds it,
+    running SUM of breaks numbers the islands) that plain windowed aggs
+    can't express and the reference's sessionizer special-cases.
+
+    All timestamp math is integer microseconds (cross-engine exact).
+    Scale shape: ONE hash exchange on user_id feeds both window passes
+    AND the final group-by (same key → Spark reuses the partitioning);
+    per-user data sorts once within partitions. Skewed users are bounded
+    by their own event counts — no global sort anywhere."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_end = F.max(F.col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = ev.select("event_id", "user_id", "ts", s.alias("s"), (s + MERGE_GAP_US).alias("e"))
+    islanded = base.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "s",
+        "e",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1)
+        .otherwise(0)
+        .alias("brk"),
+    ).select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return (
+        islanded.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("s").alias("session_start_us"),
+            F.max("e").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+register(
+    "events_merged_sessions",
+    sql=f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {MERGE_GAP_US} AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                       OR s > max(e) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk,
+             ts, event_id
+      FROM base
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(s) AS session_start_us, max(e) AS session_end_us,
+           count(*) AS n_events
+    FROM islands GROUP BY user_id, session_seq
+    """,
+)(events_merged_sessions)
+
+
+# --- global rank distribution (NTILE / PERCENT_RANK / CUME_DIST) -----------
+def events_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity ranked into quartiles with the full
+    rank-distribution window family (NTILE, PERCENT_RANK, CUME_DIST) —
+    the remaining OVER() classes beyond ROW_NUMBER/frames/LAG. Total
+    order (cnt DESC, user_id) makes every rank deterministic.
+
+    Scale note: the global-ORDER window runs over the POST-AGGREGATE
+    frame (one row per user — dim-sized, ~1e6 rows at 100 TB, one
+    partition is fine); the corpus-sized side only pays the group-by
+    exchange. This is the house pattern for global ranks: reduce first,
+    rank the reduction."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+register(
+    "events_user_quartiles",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n_events
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM per_user
+    WINDOW w AS (ORDER BY n_events DESC, user_id)
+    """,
+)(events_user_quartiles)

@@ -427,3 +427,73 @@ def test_scan_partition_estimate_honors_session_confs(tmp_path):
     # 1 MiB max split, zero open cost → ~8 splits
     n_small = _est_scan_partitions(str(f), stamp, 1, 1 << 20, 0)
     assert n_small >= 8 > n_default
+
+
+def test_zorder_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Z-order layout: a 2-D box predicate over (user bucket, second
+    bucket) must (a) prune z-cell directory partitions at PLANNING time
+    (PartitionFilters on the zcell IN-list; only matching cells' files
+    are read) and (b) return exactly the rows a direct filter over the
+    raw table returns. This is the multi-dim-pruning answer to the
+    reference's single-column partitioning (db/ddl.sql:73)."""
+    from pyspark.sql import functions as F
+
+    from app_fastdata_spark.plans import zorder as Z
+    from app_fastdata_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_z")
+    Z.write_zordered(ev, out)
+
+    # box: one user-bucket stripe × full time range → few z-cells
+    row = ev.agg(
+        F.min(F.expr("(unix_micros(ts) div 1000000) % 65536")).alias("slo"),
+        F.max(F.expr("(unix_micros(ts) div 1000000) % 65536")).alias("shi"),
+    ).first()
+    user_lo, user_hi = 100, 4000
+    cells = Z.zcells_for_box(user_lo, user_hi, int(row.slo), int(row.shi))
+    assert 0 < len(cells) < 256  # the box must actually prune
+
+    zdf = spark.read.parquet(out)
+    boxed = zdf.filter(
+        F.col("zcell").isin(cells)
+        & (F.col("user_id") % 65536).between(user_lo, user_hi)
+    )
+    plan = boxed._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters: [" in scan and "zcell" in scan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], scan
+
+    expect = ev.filter((F.col("user_id") % 65536).between(user_lo, user_hi))
+    got = sorted(r.event_id for r in boxed.select("event_id").collect())
+    want = sorted(r.event_id for r in expect.select("event_id").collect())
+    assert got == want  # cell enumeration is exact — no row lost to pruning
+
+
+def test_zorder_sort_clusters_key_within_files(spark, sf_dir, tmp_path):
+    """Within each written file the fine z-key must be sorted (that's
+    what makes parquet row-group min/max stats selective on zkey)."""
+    from pyspark.sql import functions as F
+
+    from app_fastdata_spark.plans import zorder as Z
+    from app_fastdata_spark.tables import load_table
+
+    out = str(tmp_path / "events_z2")
+    Z.write_zordered(load_table(spark, sf_dir, "events"), out)
+    df = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "zkey"
+    )
+    bad = (
+        df.withColumn(
+            "prev",
+            F.lag("zkey").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("f")
+                .orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        .filter(F.col("prev") > F.col("zkey"))
+        .count()
+    )
+    assert bad == 0
