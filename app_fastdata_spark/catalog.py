@@ -44,91 +44,77 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 140 queries), round 6 — VERDICT r5's
-    # rotation plan, verbatim: (a) the 5 queries whose round-5 oracle/
-    # impl change postdates their newest driver row; (b) the 4 late-r5
-    # registrations with no driver row at all; (c) the 15 entries whose
-    # newest green row is round 2 (three rounds stale); (d) everything
-    # whose implementation changed THIS round (NULL-parity fixes, the
-    # widen_small_scan estimator on the shingle/simhash/bigram sources,
-    # the capped-pair SQL recomposition, the brute-force-cosine gate).
-    # --- (a) changed in r5, driver row predates the change ---
-    "nearest_centroid",
-    "events_by_cluster",          # + r6 NULL-user_id fix
-    "doc_char_entropy",
-    "doc_train_eval_split",
-    "events_props_k_buckets",     # + r6 DOUBLE-allowlist oracle fix
-    # --- (b) registered late in r5, never driver-checked ---
-    "source_scorecard",
-    "corpus_zipf_slope",
-    "source_kl_divergence",
-    "dedup_incremental_shard",    # + r6 widened source
-    # --- (c) newest green row is round 2 ---
-    "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders",
-    "tpch_q4_priority_semijoin",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_big_orders",
-    "tpch_q22_dormant_customers",
-    "tpch_order_priority_counts",
-    "tpch_unsold_parts_anti",
-    "tpch_top_orders_per_customer",
-    "enrich_events",
-    "session_starts",
-    "top_dests",
-    # --- (d) implementation/oracle changed this round ---
-    "events_by_cluster_window",   # NULL-user_id fix (impl + oracle SQL)
-    "ip_roundtrip",               # NULL-propagating int_to_ip
-    "dedup_embedding_cosine",     # BRUTE_FORCE_MAX_VECS input gate
-    "dedup_ngram_jaccard",        # widened shingle source (all below ride
-    "dedup_ngram_jaccard_capped", #  the _est_scan_partitions widen guard
-    "dedup_minhash_lsh",          #  and/or the CAPPED_PAIR_CTES_SQL
-    "dedup_simhash",              #  recomposition)
-    "dedup_components",
-    # (dedup_components_uncapped: same CC + gate + pair-source code as
-    # dedup_components/dedup_ngram_jaccard which ARE in the window —
-    # bumped for the new registration below; sf0.01 re-run green)
-    "dedup_survivors",
-    # (dedup_survivors_uncapped: same survivors + gate + pair-source
-    # code as the in-window dedup_survivors/dedup_ngram_jaccard —
-    # bumped for doc_bm25_search below; sf0.01 re-run green)
-    "dedup_survivors_best_quality",
-    "dedup_containment",
-    "dedup_source_overlap",
-    # (dedup_minhash_estimate_error: composed entirely from the
-    # in-window capped-pairs + minhash-LSH sources — bumped for
-    # events_gap_fill_series below; sf0.01 re-run green)
-    "dedup_pagerank",
-    "doc_contamination",
+    # Window math (50 driver slots, 147 queries), round 7: (a) the 39
+    # entries whose newest green driver row is r1-r3 (everything r4+ is
+    # <=2 rounds old except the 16 r4 rows noted below); (b) the 7
+    # round-7 registrations; (c) 4 slots for the heaviest riders of the
+    # round-7 _est_scan_partitions conf-read refactor (identical output
+    # under driver-default confs; re-evidenced anyway — the remaining
+    # riders share these exact code paths).
+    # --- (a) r1-stale ---
+    "doc_stratified_sample",
+    "events_approx_stats",
+    # --- (a) r2-stale ---
+    "kmeans_centers",
+    "kmeans_centers_udtf",
+    # --- (a) r3-stale ---
+    "dedup_exact",
+    "session_aggregate",
+    "session_counts",
+    "export_by_src",
+    "export_by_src_dest",
+    "top_sources_export",
+    "asof_last_purchase",
+    "range_join_price_bands",
+    "click_purchase_attribution",
+    "retention_nth_ts",
+    "retention_expired_count",
+    "retention_survivors_by_src",
+    "events_by_src",
+    "events_by_src_dest",
+    "events_sessions",
+    "events_by_second",
+    "dests_by_second",
+    "top_sources",
+    "top_src_dests",
+    "sim_topk_cosine",
+    "sim_ann_lsh",
+    "events_distinct_users",
+    "events_rollup",
+    "events_pivot_daily",
+    "users_cohort_setops",
+    "doc_length_percentiles",
+    "part_cheapest_by_type",
+    "events_daily_moving_avg",
+    "doc_token_stats",
+    "doc_quality",
+    "multimodal_decode",
+    "multimodal_resize",
+    "dedup_components_uncapped",
+    "dedup_survivors_uncapped",
+    "bucketed_colocated_join",
+    # --- (b) new this round ---
+    "doc_chunks",
+    "doc_classifier_score",
+    "bpe_merge_step",
+    "events_merged_sessions",
+    "events_user_quartiles",
+    "corpus_snapshot_diff",
+    "events_zorder_key",
+    # --- (c) widen-guard riders changed this round ---
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
     "doc_lm_score",
     "doc_dsir_weights",
-    # (doc_dsir_sample: the shared DSIR scoring is evidenced by the
-    # in-window doc_dsir_weights; its own cutoff step is unchanged —
-    # bumped for events_fuzzy_enrich below; sf0.01 re-run green)
-    "doc_pipeline_survivors",
-    # --- new this round ---
-    "procedure_profile",          # U5 PROCEDUREPROFILE (rows-only)
-    "doc_pii_scan",
-    "doc_pii_scrub",
-    "doc_url_domains",
-    "embedding_dim_stats",
-    "events_user_running_stats",
-    "doc_bm25_search",
-    "events_fuzzy_enrich",
-    "events_gap_fill_series",
-    # (The list above is EXACTLY 50 — the window is full; a round-7
-    # registration must displace an entry, as events_user_running_stats
-    # displaced dedup_components_uncapped. Outside the window:
-    # everything else stands on a green r4/r5 row ≤2 rounds old and is
-    # untouched this round; the full registry is still re-verified every
-    # round by tests/test_oracle_parity.py at sf0.001 and was re-run via
-    # tools/check_oracle.py at sf0.01 after the round-6 changes:
-    # 135 pass, 5 rows-only, 0 fail. Round-7 rotation should lead with
-    # the r4-row entries (they hit the ≤2-rounds-old boundary) plus
-    # anything round 7 changes.)
+    # (Exactly 50. Outside the window: the 16 r4-row entries
+    # (doc_repetition, doc_seq_packing, doc_mixture_weights,
+    # doc_budget_sample, doc_length_histogram, doc_quality_adaptive,
+    # doc_stratified_sample_hash, events_funnel,
+    # dedup_components_embedding, tpch_q2/q7/q8/q9/q10/q11/q20) hit the
+    # 3-rounds-stale boundary at r7 and MUST lead the round-8 window;
+    # everything else stands on a green r5/r6 row. The full registry is
+    # re-verified every round by tests/test_oracle_parity.py at sf0.001
+    # and via tools/check_oracle.py at sf0.01 after round-7 changes.)
 ]
 
 
