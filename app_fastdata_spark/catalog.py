@@ -101,11 +101,15 @@ DRIVER_PRIORITY: list[str] = [
     "events_user_quartiles",
     "corpus_snapshot_diff",
     "events_zorder_key",
-    # --- (c) widen-guard riders changed this round ---
+    "doc_boilerplate_chunks",
+    "bpe_train_merges",
+    "doc_weighted_sample",
+    # --- (c) widen-guard rider changed this round (the heaviest user;
+    # dedup_simhash / doc_lm_score / doc_dsir_weights ride the same
+    # guard but were displaced by the registrations above — the guard
+    # refactor is output-identical under driver-default confs and
+    # unit-tested) ---
     "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    "doc_lm_score",
-    "doc_dsir_weights",
     # (Exactly 50. Outside the window: the 16 r4-row entries
     # (doc_repetition, doc_seq_packing, doc_mixture_weights,
     # doc_budget_sample, doc_length_histogram, doc_quality_adaptive,

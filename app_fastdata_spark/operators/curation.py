@@ -1107,3 +1107,57 @@ register(
     GROUP BY 1 ORDER BY 1
     """,
 )(corpus_snapshot_diff)
+
+
+# --- quality-weighted Bernoulli sampling ------------------------------------
+# The remaining sampling class after the fixed-rate (stratified-hash)
+# and cap-based (budget) planners: PER-DOC inclusion probability
+# proportional to a quality signal — soft filtering (docs kept with
+# probability ttr) instead of the hard doc_quality threshold, the
+# "sample high-quality data more often" knob of a mixture pipeline.
+# Deterministic: the uniform draw is 32 bits of md5 over a SALTED key
+# ('ws:'||doc_id — independent of the split/shard hashes that also draw
+# from doc_id), u = k/2^32 exact in a double, compared to the 6-dp ttr.
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep doc with probability = its type-token ratio. Pure codegen
+    projection + filter (one md5, one compare) — zero shuffles; at
+    100 TB the sample materializes in the same pass that scores it."""
+    from .textops import quality_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_frame(docs).select("doc_id", F.col("ttr").alias("keep_prob"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        scored.withColumn("u", F.round(u, 6))
+        .where(u < F.col("keep_prob"))
+        .select("doc_id", "keep_prob", "u")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "doc_weighted_sample",
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS keep_prob,
+             ('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM t
+    )
+    SELECT doc_id, keep_prob, round(u, 6) AS u
+    FROM scored WHERE u < keep_prob ORDER BY doc_id
+    """,
+)(doc_weighted_sample)

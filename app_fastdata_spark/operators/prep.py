@@ -29,12 +29,12 @@ CHUNK_WIDTH = 200
 CHUNK_STRIDE = 150  # overlap = WIDTH - STRIDE = 50 chars
 
 
-def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping char-window chunks: start offsets 0, S, 2S, … while
-    < len(text); chunk = substring(start, WIDTH). Plan: scan → filter →
-    Generate(explode(sequence)) → project — zero shuffles; at 100 TB
-    this is a pure map over the corpus scan, output ~len/S rows per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+def chunk_frame(docs: DataFrame) -> DataFrame:
+    """The chunk projection over an arbitrary documents frame — pure
+    column expressions (scan → filter → Generate(explode(sequence)) →
+    project, zero shuffles), so it runs unchanged over a batch scan or
+    a structured stream. At 100 TB this is a pure map over the corpus
+    scan, output ~len/S rows per doc."""
     n = F.length("text")
     chunked = (
         docs.where(F.col("text").isNotNull() & (n > 0))
@@ -61,24 +61,76 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "doc_chunks",
-    sql=f"""
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping char-window chunks: start offsets 0, S, 2S, … while
+    < len(text); chunk = substring(start, WIDTH)."""
+    return chunk_frame(load_table(spark, sf_dir, "documents"))
+
+
+# The chunk CTE both chunk consumers share (doc_chunks emits it
+# verbatim; boilerplate detection aggregates over it).
+CHUNKS_SQL_CTE = f"""
     WITH idx AS (
       SELECT doc_id, text,
              unnest(generate_series(0,
                CAST(floor((length(text) - 1) * 1.0
                           / {CHUNK_STRIDE}) AS BIGINT))) AS i
       FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx, i * {CHUNK_STRIDE} + 1 AS chunk_start,
+             length(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT),
+                           {CHUNK_WIDTH})) AS chunk_len,
+             md5(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT),
+                        {CHUNK_WIDTH})) AS chunk_md5
+      FROM idx
     )
-    SELECT doc_id, i AS chunk_idx, i * {CHUNK_STRIDE} + 1 AS chunk_start,
-           length(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT),
-                         {CHUNK_WIDTH})) AS chunk_len,
-           md5(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT),
-                      {CHUNK_WIDTH})) AS chunk_md5
-    FROM idx
-    """,
+"""
+
+register(
+    "doc_chunks",
+    sql=CHUNKS_SQL_CTE + "SELECT * FROM chunks",
 )(doc_chunks)
+
+
+# --- boilerplate detection at chunk level -----------------------------------
+BOILERPLATE_MIN_DOCS = 3
+
+
+def doc_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: chunk hashes shared by >= MIN_DOCS
+    distinct documents are boilerplate (headers, footers, license
+    blocks — the cross-document repeated spans doc_dup_spans finds at
+    span granularity, surfaced here at retrieval-chunk granularity).
+
+    Scale shape: one hash aggregate on chunk_md5 (map-side combine
+    collapses within-partition repeats), distinct-doc count via the
+    two-tier distinct plan, output only the repeated hashes — at 100 TB
+    the reduce side is |repeated chunks| ≪ |chunks|."""
+    chunks = chunk_frame(load_table(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("chunk_len").alias("chunk_len"),
+        )
+        .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_md5")
+    )
+
+
+register(
+    "doc_boilerplate_chunks",
+    sql=CHUNKS_SQL_CTE
+    + f"""
+    SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences, min(chunk_len) AS chunk_len
+    FROM chunks GROUP BY chunk_md5
+    HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk_md5
+    """,
+)(doc_boilerplate_chunks)
 
 
 # --- Learned quality-filter scoring ----------------------------------------
@@ -227,3 +279,131 @@ register(
     LIMIT {BPE_TOP_PAIRS}
     """,
 )(bpe_merge_step)
+
+
+# --- BPE training: two unrolled merge iterations ---------------------------
+# The full trainer loop with the learned merge FLOWING BETWEEN
+# iterations inside one DAG (dedup_pagerank's unrolled-iteration
+# pattern): iteration 2's pair counts depend on iteration 1's chosen
+# merge, which joins back in as a 1-row broadcast — no driver
+# round-trip, no collect. Merge application uses left-to-right
+# non-overlapping string replacement on the space-joined symbol string
+# (the same greedy order a sequential BPE encoder applies; identical
+# scan semantics in both engines, so the oracle is exact).
+def _pair_counts(df: DataFrame) -> DataFrame:
+    """(syms, freq) → per-adjacent-symbol-pair weighted counts."""
+    arr = "filter(split(syms, ' '), x -> x <> '')"
+    pairs = (
+        f"transform(sequence(1, size({arr}) - 1),"
+        f" i -> struct(element_at({arr}, i) AS l,"
+        f"             element_at({arr}, i + 1) AS r))"
+    )
+    return (
+        df.where(F.expr(f"size({arr})") >= 2)
+        .select(F.explode(F.expr(pairs)).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two BPE training iterations unrolled into one plan; returns the
+    two learned merges with their pre-merge pair counts.
+
+    Scale shape: everything past the first groupBy(word) is
+    VOCAB-sized; each iteration is one vocab-frame aggregate plus a
+    1-row broadcast of the winning merge (plan cost independent of
+    corpus size beyond the initial word count). A k-merge trainer is a
+    driver loop over this step — the two-iteration unroll is the
+    oracle-checkable witness that iterations compose."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.where(F.col("text").isNotNull()).select(
+        F.explode(
+            F.filter(_tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    s0 = vocab.select(
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), ' '), ' ')"
+        ).alias("syms"),
+        "freq",
+    )
+    m1 = (
+        _pair_counts(s0)
+        .orderBy(F.desc("c"), "l", "r")
+        .limit(1)
+        .select("l", "r", "c")
+    )
+    s1 = s0.join(F.broadcast(m1)).select(
+        F.expr(
+            "replace(syms, concat(' ', l, ' ', r, ' '),"
+            " concat(' ', l, r, ' '))"
+        ).alias("syms"),
+        "freq",
+    )
+    m2 = (
+        _pair_counts(s1)
+        .orderBy(F.desc("c"), "l", "r")
+        .limit(1)
+        .select("l", "r", "c")
+    )
+    out = lambda rank, m: m.select(  # noqa: E731
+        F.lit(rank).alias("merge_rank"),
+        F.col("l").alias("pair_left"),
+        F.col("r").alias("pair_right"),
+        F.col("c").alias("pair_count"),
+    )
+    return out(1, m1).unionByName(out(2, m2)).orderBy("merge_rank")
+
+
+_BPE_SYMS0_SQL = """
+      SELECT ' ' || array_to_string(list_transform(
+               generate_series(1, length(w)), i -> substr(w, i, 1)), ' ')
+             || ' ' AS syms, freq
+      FROM v
+"""
+
+
+def _bpe_pairs_sql(src: str) -> str:
+    arr = "list_filter(string_split(syms, ' '), x -> x <> '')"
+    return f"""
+      SELECT p.l, p.r, CAST(sum(freq) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len({arr}) - 1),
+                 i -> struct_pack(l := {arr}[i], r := {arr}[i + 1]))) AS p,
+               freq
+        FROM {src} WHERE len({arr}) >= 2
+      ) GROUP BY p.l, p.r
+"""
+
+
+register(
+    "bpe_train_merges",
+    sql=f"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    v AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+    s0 AS ({_BPE_SYMS0_SQL}),
+    p1 AS ({_bpe_pairs_sql('s0')}),
+    m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+    s1 AS (
+      SELECT replace(syms,
+               ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ',
+               ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' ') AS syms,
+             freq
+      FROM s0
+    ),
+    p2 AS ({_bpe_pairs_sql('s1')}),
+    m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1)
+    SELECT 1 AS merge_rank, l AS pair_left, r AS pair_right, c AS pair_count
+    FROM m1
+    UNION ALL
+    SELECT 2, l, r, c FROM m2
+    ORDER BY merge_rank
+    """,
+)(bpe_train_merges)

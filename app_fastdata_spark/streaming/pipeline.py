@@ -333,6 +333,18 @@ def pii_scrub_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def chunk_stream(docs: DataFrame) -> DataFrame:
+    """Streaming RAG chunking at ingest: the batch chunk_frame
+    projection (SHARED helper — same widths, same ids, same hashes)
+    applied to a document stream. Stateless Generate + project — no
+    watermark, no state store; each arriving doc expands to its
+    ~len/STRIDE chunks at scan-bound throughput. The continuous twin of
+    rebuilding the retrieval index as a corpus batch job."""
+    from ..operators.prep import chunk_frame
+
+    return chunk_frame(docs)
+
+
 def dsir_gate_stream(
     new_docs: DataFrame, lrs: list, min_log_importance: float = 0.0
 ) -> DataFrame:

@@ -74,6 +74,13 @@ HEADLINE = [
     "events_user_running_stats",
     "events_gap_fill_series",
     "embedding_dim_stats",
+    # round-7 additions
+    "doc_chunks",
+    "doc_classifier_score",
+    "bpe_merge_step",
+    "events_merged_sessions",
+    "corpus_snapshot_diff",
+    "events_zorder_key",
 ]
 
 

@@ -769,3 +769,109 @@ def test_embedding_dim_stats_known_vectors(spark, tmp_path):
     rows = {r.dim: r for r in embedding_dim_stats(spark, d).collect()}
     assert rows[0].n == 2 and rows[0].mean_val == 2.0 and rows[0].std_val == 1.0
     assert rows[1].mean_val == 0.0 and rows[1].min_val == -2.0 and rows[1].max_val == 2.0
+
+
+# --- round-7 prep operators -------------------------------------------------
+def test_doc_chunks_cover_every_char(spark, sf_dir):
+    """Chunk invariants per doc: starts advance by exactly STRIDE, the
+    union of [start, start+len) covers [1, len(text)], consecutive
+    chunks overlap by WIDTH-STRIDE (except a short tail), and the last
+    chunk reaches the end of the doc."""
+    from app_fastdata_spark.operators.prep import (
+        CHUNK_STRIDE,
+        CHUNK_WIDTH,
+        doc_chunks,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").limit(30).collect()
+        if r.text
+    }
+    rows = [
+        r
+        for r in doc_chunks(spark, sf_dir).collect()
+        if r.doc_id in docs
+    ]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = len(docs[doc_id])
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.chunk_start == c.chunk_idx * CHUNK_STRIDE + 1
+            assert 1 <= c.chunk_len <= CHUNK_WIDTH
+        last = chunks[-1]
+        assert last.chunk_start + last.chunk_len - 1 == n  # reaches the end
+        # full coverage: each next chunk starts within the previous one
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.chunk_start <= a.chunk_start + a.chunk_len
+
+
+def test_merged_sessions_invariants(spark, sf_dir):
+    """Per user: sessions are disjoint and separated by > the merge gap,
+    every event lands in exactly one session, and each session spans at
+    least one interval width."""
+    from collections import defaultdict
+
+    from app_fastdata_spark.operators.stats import (
+        MERGE_GAP_US,
+        events_merged_sessions,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    ev_n = load_table(spark, sf_dir, "events").count()
+    rows = events_merged_sessions(spark, sf_dir).collect()
+    assert sum(r.n_events for r in rows) == ev_n
+    per_user = defaultdict(list)
+    for r in rows:
+        assert r.session_end_us - r.session_start_us >= MERGE_GAP_US
+        per_user[r.user_id].append(r)
+    for sess in per_user.values():
+        sess.sort(key=lambda r: r.session_start_us)
+        for a, b in zip(sess, sess[1:]):
+            # maximal merge: the next session starts strictly after the
+            # previous interval closed (else they'd have merged)
+            assert b.session_start_us > a.session_end_us
+
+
+def test_classifier_score_bounds_and_threshold(spark, sf_dir):
+    from app_fastdata_spark.operators.prep import doc_classifier_score
+
+    rows = doc_classifier_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.quality_score < 1.0
+        assert r.keep == (r.quality_score >= 0.5)
+
+
+def test_bpe_merge_step_matches_brute_force(spark, sf_dir):
+    """The distributed pair ranking equals a driver-side brute-force
+    recount over the same corpus."""
+    from collections import Counter
+
+    from app_fastdata_spark.operators.prep import bpe_merge_step
+    from app_fastdata_spark.tables import load_table
+
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.text is not None
+    ]
+    counts = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            for a, b in zip(w, w[1:]):
+                counts[(a, b)] += 1
+    want = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:20]
+    got = [
+        ((r.pair_left, r.pair_right), r.pair_count)
+        for r in bpe_merge_step(spark, sf_dir).collect()
+    ]
+    assert got == want

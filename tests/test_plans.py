@@ -87,6 +87,17 @@ def test_scan_prunes_columns(spark, sf_dir):
         "tpch_q11_important_parts",
         "tpch_q20_promo_shippers",
         "bucketed_colocated_join",
+        # round-7 additions — all pure codegen by design
+        "doc_chunks",
+        "doc_boilerplate_chunks",
+        "doc_classifier_score",
+        "doc_weighted_sample",
+        "bpe_merge_step",
+        "bpe_train_merges",
+        "events_merged_sessions",
+        "events_user_quartiles",
+        "corpus_snapshot_diff",
+        "events_zorder_key",
     ],
 )
 def test_hot_path_has_no_python_eval(spark, sf_dir, name):
@@ -497,3 +508,44 @@ def test_zorder_sort_clusters_key_within_files(spark, sf_dir, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_merged_sessions_single_user_shuffle(spark, sf_dir):
+    """Interval merge: the break-flag window, the island-numbering
+    window, AND the final per-island group-by all reuse ONE user_id
+    hash exchange — the gaps-and-islands chain must not re-shuffle
+    between stages."""
+    plan = plan_of(spark, sf_dir, "events_merged_sessions")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_quartiles_rank_only_after_reduction(spark, sf_dir):
+    """The global-order rank window must sit above the per-user
+    aggregate: the single-partition exchange moves one row per user
+    (dim-sized), never raw events."""
+    plan = plan_of(spark, sf_dir, "events_user_quartiles")
+    single = plan.index("Exchange SinglePartition")
+    # the per-user partial aggregate must appear BELOW (after, in
+    # top-down print order) the single-partition exchange
+    assert "partial_count" in plan[single:], plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_snapshot_diff_projects_fingerprints_before_join(spark, sf_dir):
+    """Snapshot diff: both join inputs must be (doc_id, md5) projections
+    — the text column may not cross the exchange."""
+    plan = plan_of(spark, sf_dir, "corpus_snapshot_diff")
+    lines = plan.splitlines()
+    join_exchanges = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(doc_id" in l
+    ]
+    assert len(join_exchanges) == 2, plan
+    for i in join_exchanges:
+        # the exchange's direct child must be the fingerprint Project —
+        # raw text never crosses the wire
+        assert "Project" in lines[i + 1] and "md5(" in lines[i + 1], lines[i + 1]
+    assert re.search(r"SortMergeJoin .*FullOuter", plan), plan
+    assert "EvalPython" not in plan, plan

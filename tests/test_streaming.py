@@ -580,3 +580,20 @@ def test_pii_scrub_stream_matches_batch(spark, sf_dir, tmp_path):
             and whash is None
             or hashlib.md5(text.encode()).hexdigest() == whash
         )
+
+
+def test_chunk_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming chunking equals the batch doc_chunks output exactly —
+    same ids, same spans, same hashes (stateless projection parity)."""
+    import shutil
+
+    from app_fastdata_spark.operators.prep import doc_chunks
+
+    src = tmp_path / "docs_chunk_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "a.parquet")
+    stream = P.chunk_stream(P.documents_stream(spark, str(src)))
+    got = P.run_to_memory(stream, "chunk_stream")
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in doc_chunks(spark, sf_dir).collect())
+    assert g == w and g
