@@ -104,12 +104,12 @@ DRIVER_PRIORITY: list[str] = [
     "doc_boilerplate_chunks",
     "bpe_train_merges",
     "doc_weighted_sample",
-    # --- (c) widen-guard rider changed this round (the heaviest user;
-    # dedup_simhash / doc_lm_score / doc_dsir_weights ride the same
-    # guard but were displaced by the registrations above — the guard
-    # refactor is output-identical under driver-default confs and
-    # unit-tested) ---
-    "dedup_ngram_jaccard_capped",
+    "bpe_compression",
+    # (No explicit slot remains for the widen-guard conf-read refactor's
+    # riders — it is output-identical under driver-default confs and
+    # unit-tested, and the in-window dedup_components_uncapped /
+    # dedup_survivors_uncapped exercise the same guard code path on
+    # their shingle sources.)
     # (Exactly 50. Outside the window: the 16 r4-row entries
     # (doc_repetition, doc_seq_packing, doc_mixture_weights,
     # doc_budget_sample, doc_length_histogram, doc_quality_adaptive,

@@ -306,16 +306,12 @@ def _pair_counts(df: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two BPE training iterations unrolled into one plan; returns the
-    two learned merges with their pre-merge pair counts.
-
-    Scale shape: everything past the first groupBy(word) is
-    VOCAB-sized; each iteration is one vocab-frame aggregate plus a
-    1-row broadcast of the winning merge (plan cost independent of
-    corpus size beyond the initial word count). A k-merge trainer is a
-    driver loop over this step — the two-iteration unroll is the
-    oracle-checkable witness that iterations compose."""
+def _two_merges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The unrolled two-iteration trainer core: (m1, m2) as 1-row
+    (l, r, c) frames, iteration 2 depending on iteration 1's winner
+    through a 1-row broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.where(F.col("text").isNotNull()).select(
         F.explode(
@@ -349,6 +345,20 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select("l", "r", "c")
     )
+    return m1, m2
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two BPE training iterations unrolled into one plan; returns the
+    two learned merges with their pre-merge pair counts.
+
+    Scale shape: everything past the first groupBy(word) is
+    VOCAB-sized; each iteration is one vocab-frame aggregate plus a
+    1-row broadcast of the winning merge (plan cost independent of
+    corpus size beyond the initial word count). A k-merge trainer is a
+    driver loop over this step — the two-iteration unroll is the
+    oracle-checkable witness that iterations compose."""
+    m1, m2 = _two_merges(spark, sf_dir)
     out = lambda rank, m: m.select(  # noqa: E731
         F.lit(rank).alias("merge_rank"),
         F.col("l").alias("pair_left"),
@@ -379,9 +389,9 @@ def _bpe_pairs_sql(src: str) -> str:
 """
 
 
-register(
-    "bpe_train_merges",
-    sql=f"""
+# The trainer CTE chain (through m1/m2) shared by the trainer output
+# and the corpus-wide merge application below.
+_BPE_MERGES_CTES = f"""
     WITH w AS (
       SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                                 x -> x <> '')) AS w
@@ -400,6 +410,12 @@ register(
     ),
     p2 AS ({_bpe_pairs_sql('s1')}),
     m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1)
+"""
+
+register(
+    "bpe_train_merges",
+    sql=_BPE_MERGES_CTES
+    + """
     SELECT 1 AS merge_rank, l AS pair_left, r AS pair_right, c AS pair_count
     FROM m1
     UNION ALL
@@ -407,3 +423,91 @@ register(
     ORDER BY merge_rank
     """,
 )(bpe_train_merges)
+
+
+# --- BPE application: corpus compression telemetry --------------------------
+# The encode side of the tokenizer: apply the two learned merges to
+# every document and report symbols-per-char — the compression-ratio
+# telemetry a tokenizer team tracks as merges accumulate. The learned
+# merges enter the per-doc projection as 1-row broadcasts (train on the
+# corpus, apply to the corpus, one DAG).
+def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc symbol counts after applying merge 1 then merge 2.
+
+    Scale shape: the trainer side is vocab-sized (see bpe_train_merges);
+    the apply side is a pure codegen fold over each doc's token array
+    with the two merges inlined via 1-row broadcast joins — zero
+    doc-keyed shuffles, linear in corpus size."""
+    m1, m2 = _two_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    joined = docs.join(
+        F.broadcast(m1.select(F.col("l").alias("l1"), F.col("r").alias("r1")))
+    ).join(
+        F.broadcast(m2.select(F.col("l").alias("l2"), F.col("r").alias("r2")))
+    )
+    toks = r"filter(split(trim(lower(text)), '\\s+'), x -> x <> '')"
+    sym_string = (
+        "replace(replace("
+        "concat(' ', array_join(transform(sequence(1, length(w)),"
+        " i -> substring(w, i, 1)), ' '), ' '),"
+        " concat(' ', l1, ' ', r1, ' '), concat(' ', l1, r1, ' ')),"
+        " concat(' ', l2, ' ', r2, ' '), concat(' ', l2, r2, ' '))"
+    )
+    base = joined.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"aggregate({toks}, cast(0 as bigint), (acc, w) -> acc + length(w))"
+        ).alias("n_alpha_chars"),
+        F.expr(
+            f"aggregate({toks}, cast(0 as bigint), (acc, w) -> acc +"
+            f" size(filter(split({sym_string}, ' '), x -> x <> '')))"
+        ).alias("n_symbols"),
+    ).where(F.col("n_tokens") > 0)
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_alpha_chars",
+        "n_symbols",
+        F.round(F.col("n_symbols") / F.col("n_alpha_chars"), 6).alias(
+            "compression"
+        ),
+    )
+
+
+register(
+    "bpe_compression",
+    sql=_BPE_MERGES_CTES
+    + """
+    , d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    enc AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, w -> length(w)))
+                  AS BIGINT) AS n_alpha_chars,
+             CAST(list_sum(list_transform(toks, w ->
+               len(list_filter(string_split(
+                 replace(replace(
+                   ' ' || array_to_string(list_transform(
+                     generate_series(1, length(w)), i -> substr(w, i, 1)),
+                     ' ') || ' ',
+                   ' ' || l1 || ' ' || r1 || ' ', ' ' || l1 || r1 || ' '),
+                   ' ' || l2 || ' ' || r2 || ' ', ' ' || l2 || r2 || ' '),
+                 ' '), y -> y <> ''))))
+               AS BIGINT) AS n_symbols
+      FROM d,
+           (SELECT l AS l1, r AS r1 FROM m1) mm1,
+           (SELECT l AS l2, r AS r2 FROM m2) mm2
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_tokens, n_alpha_chars, n_symbols,
+           round(n_symbols * 1.0 / n_alpha_chars, 6) AS compression
+    FROM enc
+    """,
+)(bpe_compression)

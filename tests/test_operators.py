@@ -875,3 +875,21 @@ def test_bpe_merge_step_matches_brute_force(spark, sf_dir):
         for r in bpe_merge_step(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_bpe_compression_merges_reduce_symbols(spark, sf_dir):
+    """Applying the two learned merges must never increase symbol count
+    (each application replaces 2 symbols with 1), must compress at
+    least one doc corpus-wide (the merges were learned ON this corpus),
+    and per-doc: n_symbols <= n_alpha_chars with equality only when no
+    merge fires."""
+    from app_fastdata_spark.operators.prep import bpe_compression
+
+    rows = bpe_compression(spark, sf_dir).collect()
+    assert rows
+    total_chars = sum(r.n_alpha_chars for r in rows)
+    total_syms = sum(r.n_symbols for r in rows)
+    assert total_syms < total_chars  # merges actually fire
+    for r in rows:
+        assert 0 < r.n_symbols <= r.n_alpha_chars
+        assert abs(r.compression - round(r.n_symbols / r.n_alpha_chars, 6)) < 1e-9
