@@ -76,8 +76,10 @@ HEADLINE = [
     "embedding_dim_stats",
     # round-7 additions
     "doc_chunks",
+    "doc_boilerplate_chunks",
     "doc_classifier_score",
     "bpe_merge_step",
+    "bpe_compression",
     "events_merged_sessions",
     "corpus_snapshot_diff",
     "events_zorder_key",
