@@ -147,12 +147,14 @@ _CLS_MOD = 997          # prime → near-uniform weight units
 _CLS_SCALE = 499.0      # unit → weight in ~[-1, 1): u/499 - 1
 
 
-def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc classifier score. Plan: scan → codegen projection (md5 +
-    integer fold over the token array) — zero shuffles, no UDFs; model
-    weights are inlined arithmetic so there is no join and nothing to
-    broadcast. At 100 TB: a pure map, same shape as doc_dsir_weights."""
-    docs = load_table(spark, sf_dir, "documents")
+def classifier_frame(docs: DataFrame) -> DataFrame:
+    """The classifier projection over an arbitrary documents frame —
+    pure column expressions, so it runs unchanged over a batch scan or
+    a structured stream (streaming.pipeline.classifier_gate_stream).
+    Plan: scan → codegen projection (md5 + integer fold over the token
+    array) — zero shuffles, no UDFs; model weights are inlined
+    arithmetic so there is no join and nothing to broadcast. At 100 TB:
+    a pure map, same shape as doc_dsir_weights."""
     toks = F.filter(_tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))
     # integer weight units: ((bucket32(t) % B) * MULT) % MOD   (0..996)
     unit = (
@@ -178,6 +180,10 @@ def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier_frame(load_table(spark, sf_dir, "documents"))
 
 
 register(

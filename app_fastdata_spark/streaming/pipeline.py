@@ -333,6 +333,44 @@ def pii_scrub_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def classifier_gate_stream(docs: DataFrame) -> DataFrame:
+    """Streaming learned-quality gate: the batch classifier_frame
+    projection (SHARED helper — same hashed features, same frozen
+    weights) applied at ingest, keeping docs the classifier accepts.
+    Stateless codegen projection + filter — the fastText-filter stage
+    of a crawl pipeline run continuously; refit = swap the inlined
+    weight constants (ST7 hot-model pattern)."""
+    from ..operators.prep import classifier_frame
+
+    return classifier_frame(docs).filter(F.col("keep"))
+
+
+def merged_sessions_stream(events: DataFrame, retention: str = RETENTION) -> DataFrame:
+    """Streaming interval merge: session_window(60 s) IS the streaming
+    form of the batch gaps-and-islands operator — the window extends
+    while events keep arriving within the gap and closes at
+    last_event + gap, exactly the batch operator's [min(s), max(e))
+    session. State is bounded by the watermark. Emits one row per
+    closed session keyed by user."""
+    from ..operators.stats import MERGE_GAP_US
+
+    gap_s = MERGE_GAP_US // 1_000_000
+    return (
+        events.withWatermark("ts", retention)
+        .groupBy(
+            F.session_window("ts", f"{gap_s} seconds").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def chunk_stream(docs: DataFrame) -> DataFrame:
     """Streaming RAG chunking at ingest: the batch chunk_frame
     projection (SHARED helper — same widths, same ids, same hashes)

@@ -114,10 +114,17 @@ def file_stamp(path: str) -> tuple:
 def _ts_unit_cached(target: str, stamp: tuple) -> str:
     # `stamp` (mtime_ns, size) is part of the key purely to invalidate on
     # in-place rewrite (tools/tests that regenerate testdata mid-app).
+    import pyarrow as pa
     import pyarrow.parquet as pq  # raises loudly if pyarrow is absent
 
-    t = str(pq.read_schema(target).field("ts").type)
-    if t == "timestamp[us]":
+    t = pq.read_schema(target).field("ts").type
+    # match on (kind, unit), NOT the rendered string: Spark writes
+    # isAdjustedToUTC=true, which pyarrow renders "timestamp[us,
+    # tz=UTC]" — a string compare against "timestamp[us]" misrouted
+    # every Spark-written µs directory to the ns path (ts ÷ 1000 →
+    # 1970-era timestamps; caught by the merged-sessions stream parity
+    # test in round 7).
+    if pa.types.is_timestamp(t) and t.unit == "us":
         return "us"
     # pyarrow reports BOTH int64-nanos and legacy INT96 timestamps as
     # timestamp[ns]; only int64-nanos needs the raw-long read path

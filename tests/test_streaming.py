@@ -597,3 +597,50 @@ def test_chunk_stream_matches_batch(spark, sf_dir, tmp_path):
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in doc_chunks(spark, sf_dir).collect())
     assert g == w and g
+
+
+def test_classifier_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming learned-quality gate equals the batch classifier
+    filter — same kept docs, same scores (stateless projection parity)."""
+    import shutil
+
+    from app_fastdata_spark.operators.prep import doc_classifier_score
+
+    src = tmp_path / "docs_cls_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "a.parquet")
+    stream = P.classifier_gate_stream(P.documents_stream(spark, str(src)))
+    got = P.run_to_memory(stream, "classifier_gate")
+    want = doc_classifier_score(spark, sf_dir).filter(F.col("keep"))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and g
+
+
+def test_merged_sessions_stream_matches_batch(spark, sf_dir, tmp_path):
+    """session_window(gap) in streaming produces EXACTLY the batch
+    gaps-and-islands sessions: same (user, start, end, n_events) set —
+    the two formulations of interval merge agree row-for-row."""
+    import shutil
+
+    from app_fastdata_spark.operators.stats import events_merged_sessions
+    from app_fastdata_spark.tables import load_table
+
+    src = tmp_path / "ev_sess_src"
+    src.mkdir()
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.parquet(str(src / "events.parquet"))
+    stream = P.merged_sessions_stream(P.events_stream(spark, str(src)))
+    # complete mode: append would hold sessions until the watermark
+    # passes them; with AvailableNow the final sessions never close
+    got = P.run_to_memory(stream, "merged_sessions", output_mode="complete")
+    g = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in got.collect()
+    )
+    w = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in events_merged_sessions(spark, sf_dir).collect()
+    )
+    assert g == w and g
