@@ -44,13 +44,10 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 147 queries), round 7: (a) the 39
+    # Window math (50 driver slots, 151 queries), round 7: (a) the 39
     # entries whose newest green driver row is r1-r3 (everything r4+ is
-    # <=2 rounds old except the 16 r4 rows noted below); (b) the 7
-    # round-7 registrations; (c) 4 slots for the heaviest riders of the
-    # round-7 _est_scan_partitions conf-read refactor (identical output
-    # under driver-default confs; re-evidenced anyway — the remaining
-    # riders share these exact code paths).
+    # <=2 rounds old except the 16 r4 rows noted below); (b) the 11
+    # round-7 registrations.
     # --- (a) r1-stale ---
     "doc_stratified_sample",
     "events_approx_stats",

@@ -67,6 +67,16 @@ QUERIES = [
     "doc_pii_scrub",
     # round 6: posexplode + two-tier agg over N·d rows
     "embedding_dim_stats",
+    # round 7: chunk_md5 hash-agg + distinct-doc count — the reduce side
+    # is only the repeated hashes; must stay ~linear in corpus size
+    "doc_boilerplate_chunks",
+    # round 7: vocab-sized trainer (sublinear reduce) + corpus-linear
+    # apply fold; a super-linear exponent would mean the vocab reduce is
+    # not collapsing
+    "bpe_compression",
+    # round 7: gaps-and-islands over one user_id exchange — the window
+    # chain must scale with per-user event counts, not globally
+    "events_merged_sessions",
 ]
 
 
@@ -114,6 +124,31 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
     for rep in vreps[1:]:
         vout = vout.unionByName(rep)
     vout.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    # events: shift ids AND user ids per replica — replicas hold disjoint
+    # user populations, so per-user session/window structure is preserved
+    # while global volume scales by the factor. (The Spark-written µs
+    # directory also exercises the tz-annotated ts-unit probe route.)
+    ev = load_table(spark, base_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    n_ev = ev.count()
+    n_users = 1 + (ev.agg(F.max("user_id")).first()[0] or 0)
+    ereps = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * n_ev)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(k * n_users)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(factor)
+    ]
+    eout = ereps[0]
+    for rep in ereps[1:]:
+        eout = eout.unionByName(rep)
+    eout.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
 def main() -> None:
