@@ -44,10 +44,11 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 151 queries), round 7: (a) the 39
+    # Window math (50 driver slots, 152 queries), round 7: (a) the 39
     # entries whose newest green driver row is r1-r3 (everything r4+ is
-    # <=2 rounds old except the 16 r4 rows noted below); (b) the 11
-    # round-7 registrations.
+    # <=2 rounds old except the 16 r4 rows noted below, and
+    # multimodal_resize, bumped for its in-window decode twin); (b) the
+    # 12 round-7 registrations.
     # --- (a) r1-stale ---
     "doc_stratified_sample",
     "events_approx_stats",
@@ -86,7 +87,9 @@ DRIVER_PRIORITY: list[str] = [
     "doc_token_stats",
     "doc_quality",
     "multimodal_decode",
-    "multimodal_resize",
+    # (multimodal_resize: same decode/payload path as the in-window
+    # multimodal_decode — bumped for dedup_graph_stats below; sf0.01
+    # re-run green this round)
     "dedup_components_uncapped",
     "dedup_survivors_uncapped",
     "bucketed_colocated_join",
@@ -102,6 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_train_merges",
     "doc_weighted_sample",
     "bpe_compression",
+    "dedup_graph_stats",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /

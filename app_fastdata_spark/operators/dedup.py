@@ -1474,3 +1474,84 @@ def _register_incremental_shard() -> None:
 
 
 _register_incremental_shard()
+
+
+# --- graph telemetry: triangles + global clustering coefficient ------------
+# The near-dup graph's shape tells you what the dedup output will look
+# like: triangle-rich components are template families (every member
+# near-dups every other), triangle-poor chains are drift (A~B~C without
+# A~C — exactly the transitive-merge hazard). One row of telemetry:
+# edges, wedges, triangles, global clustering = 3T / wedges.
+def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle count over the oriented capped-Jaccard edge
+    list (doc_a < doc_b by construction, so each triangle a<b<c is
+    counted exactly once by the e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) join).
+
+    Scale shape: the edge set is the near-dup PAIR OUTPUT (≪ corpus);
+    the two joins key on vertices, and vertex degrees are bounded
+    upstream by the stop-shingle cap, so no skewed vertex can explode a
+    join bucket. Wedges come from one degree aggregate. Output: 1 row."""
+    e = dedup_ngram_jaccard_capped(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .unionAll(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges")
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+register(
+    "dedup_graph_stats",
+    sql=CAPPED_PAIR_CTES_SQL
+    + f"""
+    , e AS (
+      SELECT doc_a, doc_b
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared), 6)
+            >= {JACCARD_THRESHOLD}
+    ),
+    deg AS (
+      SELECT v, count(*) AS d
+      FROM (SELECT doc_a AS v FROM e UNION ALL SELECT doc_b FROM e)
+      GROUP BY v
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.doc_a = e1.doc_b
+      JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+    ne AS (SELECT count(*) AS n_edges FROM e)
+    SELECT n_edges, n_wedges, n_triangles,
+           round(3.0 * n_triangles / nullif(n_wedges, 0), 6) AS clustering
+    FROM ne, w, tri
+    """,
+)(dedup_graph_stats)

@@ -83,6 +83,7 @@ HEADLINE = [
     "events_merged_sessions",
     "corpus_snapshot_diff",
     "events_zorder_key",
+    "dedup_graph_stats",
 ]
 
 
