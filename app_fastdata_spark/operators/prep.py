@@ -517,3 +517,62 @@ register(
     FROM enc
     """,
 )(bpe_compression)
+
+
+# --- full BPE trainer: driver loop over the merge step ---------------------
+def train_bpe(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> list[tuple[str, str, int]]:
+    """Train n_merges BPE merges: the driver loop whose inner iteration
+    is exactly the oracled step (kmeans precedent — MLlib/UDTF carry
+    the rows-only loop, kmeans_lloyd_step carries the value-hash
+    witness; here bpe_train_merges is the 2-iteration witness and this
+    loop is the production trainer).
+
+    Per iteration: one vocab-frame aggregate (the corpus was reduced to
+    the vocabulary ONCE up front) + a 1-row collect of the argmax pair
+    + a codegen replace to apply the merge. The vocab frame is
+    persisted and lineage-truncated every few merges, so plan depth
+    stays bounded; per-iteration cluster work is vocab-sized regardless
+    of corpus size. Returns [(left, right, pre-merge count), ...]."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.where(F.col("text").isNotNull()).select(
+        F.explode(
+            F.filter(_tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    s = vocab.select(
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), ' '), ' ')"
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for k in range(n_merges):
+        top = (
+            _pair_counts(s)
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged — nothing adjacent left
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((l, r, c))
+        s = s.select(
+            F.expr(
+                f"replace(syms, ' ' || {_sql_str(l)} || ' ' || {_sql_str(r)}"
+                f" || ' ', ' ' || {_sql_str(l)} || {_sql_str(r)} || ' ')"
+            ).alias("syms"),
+            "freq",
+        )
+        if (k + 1) % 4 == 0:
+            s = s.localCheckpoint()
+    return merges
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted literal (symbols come from corpus text)."""
+    return "'" + s.replace("'", "''") + "'"

