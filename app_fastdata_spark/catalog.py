@@ -44,11 +44,11 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 152 queries), round 7: (a) the 39
+    # Window math (50 driver slots, 153 queries), round 7: (a) the 39
     # entries whose newest green driver row is r1-r3 (everything r4+ is
     # <=2 rounds old except the 16 r4 rows noted below, and
     # multimodal_resize, bumped for its in-window decode twin); (b) the
-    # 12 round-7 registrations.
+    # 13 round-7 registrations.
     # --- (a) r1-stale ---
     "doc_stratified_sample",
     "events_approx_stats",
@@ -60,7 +60,9 @@ DRIVER_PRIORITY: list[str] = [
     "session_aggregate",
     "session_counts",
     "export_by_src",
-    "export_by_src_dest",
+    # (export_by_src_dest: same export-view module/shape as the
+    # in-window export_by_src and events_by_src_dest — bumped for
+    # events_cube_daily below; sf0.01 re-run green this round)
     "top_sources_export",
     "asof_last_purchase",
     "range_join_price_bands",
@@ -106,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_weighted_sample",
     "bpe_compression",
     "dedup_graph_stats",
+    "events_cube_daily",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /

@@ -728,3 +728,55 @@ register(
     WINDOW w AS (ORDER BY n_events DESC, user_id)
     """,
 )(events_user_quartiles)
+
+
+# --- CUBE / grouping sets ---------------------------------------------------
+def events_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping sets — per
+    (type, day), per type, per day, grand total — in ONE aggregation
+    pass (the grouping-sets class; events_rollup covers the
+    hierarchical prefix form, this is the full lattice). Grouping
+    flags are emitted as separate 0/1 columns rather than a combined
+    grouping_id so the cross-engine bit order cannot diverge.
+
+    Scale shape: Spark plans CUBE as one Expand (4 rows per input) +
+    two-tier hash agg — the reduce side is |types| × |days|-bounded;
+    at 100 TB the Expand multiplier is the documented cost and a
+    partial aggregate still combines map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")  # TIMESTAMP both engines
+    return (
+        ev.select(F.col("event_type"), day, F.col("value"))
+        .cube("event_type", "day")
+        .agg(
+            # grouping() must be computed IN the aggregate (it reads the
+            # Expand's grouping-id column, gone after the agg)
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "event_type", "day", "g_type", "g_day", "n_events", "total_value"
+        )
+        .orderBy("g_type", "g_day", "event_type", "day")
+    )
+
+
+register(
+    "events_cube_daily",
+    sql="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+           CAST(GROUPING(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS INTEGER)
+             AS g_day,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+    -- empty-input parity: like ROLLUP above, standard SQL emits the
+    -- grand-total row over an EMPTY table where Spark emits none
+    HAVING count(*) > 0
+    ORDER BY g_type, g_day, event_type, day
+    """,
+)(events_cube_daily)
