@@ -549,3 +549,13 @@ def test_snapshot_diff_projects_fingerprints_before_join(spark, sf_dir):
         assert "Project" in lines[i + 1] and "md5(" in lines[i + 1], lines[i + 1]
     assert re.search(r"SortMergeJoin .*FullOuter", plan), plan
     assert "EvalPython" not in plan, plan
+
+
+def test_cube_is_one_expand_two_tier_agg(spark, sf_dir):
+    """CUBE must plan as ONE Expand (4 grouping-set replicas) feeding a
+    partial→final hash aggregate — never one scan per grouping set."""
+    plan = plan_of(spark, sf_dir, "events_cube_daily")
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "EvalPython" not in plan, plan
