@@ -1490,8 +1490,19 @@ def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the edge set is the near-dup PAIR OUTPUT (≪ corpus);
     the two joins key on vertices, and vertex degrees are bounded
     upstream by the stop-shingle cap, so no skewed vertex can explode a
-    join bucket. Wedges come from one degree aggregate. Output: 1 row."""
-    e = dedup_ngram_jaccard_capped(spark, sf_dir).select("doc_a", "doc_b")
+    join bucket. Wedges come from one degree aggregate. Output: 1 row.
+
+    The edge frame is localCheckpoint'ed once (the connected_components
+    precedent): it fans into SIX plan positions (three triangle-join
+    inputs, two degree-union sides, the edge count), and ReuseExchange
+    can't dedup them — they shuffle on different keys — so without the
+    checkpoint the whole capped-Jaccard pipeline would recompute per
+    position."""
+    e = (
+        dedup_ngram_jaccard_capped(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     e3 = e.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))

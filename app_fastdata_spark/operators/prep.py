@@ -234,13 +234,7 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final rank is a TakeOrderedAndProject over ≤ |alphabet|² rows.
     A full training run is a driver loop over this step with the merge
     applied to the vocab frame between iterations (vocab-sized, cheap)."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.where(F.col("text").isNotNull()).select(
-        F.explode(
-            F.filter(_tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))
-        ).alias("w")
-    )
-    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    vocab = _vocab_frame(spark, sf_dir)
     pairs = vocab.where(F.length("w") >= 2).select(
         F.explode(
             F.expr(
@@ -296,6 +290,41 @@ register(
 # non-overlapping string replacement on the space-joined symbol string
 # (the same greedy order a sequential BPE encoder applies; identical
 # scan semantics in both engines, so the oracle is exact).
+# The ONE symbol-string expression (word column `w` → space-joined
+# characters with sentinel spaces) every BPE stage shares — the trainer
+# core, the driver-loop trainer, and the corpus-wide apply must stay in
+# lockstep or train/apply consistency silently breaks.
+SYMS_OF_W_SQL = (
+    "concat(' ', array_join(transform(sequence(1, length(w)),"
+    " i -> substring(w, i, 1)), ' '), ' ')"
+)
+
+# Spark-SQL text form of textops._tokens (lowercase, trim, split on
+# whitespace) with empties dropped — the BPE apply side tokenizes with
+# THIS so it consumes exactly the token stream the vocabulary (and
+# therefore every learned merge) came from.
+TOKS_SQL = r"filter(split(trim(lower(text)), '\\s+'), x -> x <> '')"
+
+
+def _vocab_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, freq): the corpus reduced to its vocabulary — the one
+    corpus-sized aggregate every BPE stage starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.where(F.col("text").isNotNull()).select(
+        F.explode(
+            F.filter(_tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))
+        ).alias("w")
+    )
+    return words.groupBy("w").agg(F.count("*").alias("freq"))
+
+
+def _syms_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(syms, freq): the vocabulary in symbol-string form."""
+    return _vocab_frame(spark, sf_dir).select(
+        F.expr(SYMS_OF_W_SQL).alias("syms"), "freq"
+    )
+
+
 def _pair_counts(df: DataFrame) -> DataFrame:
     """(syms, freq) → per-adjacent-symbol-pair weighted counts."""
     arr = "filter(split(syms, ' '), x -> x <> '')"
@@ -318,20 +347,7 @@ def _two_merges(
     """The unrolled two-iteration trainer core: (m1, m2) as 1-row
     (l, r, c) frames, iteration 2 depending on iteration 1's winner
     through a 1-row broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.where(F.col("text").isNotNull()).select(
-        F.explode(
-            F.filter(_tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))
-        ).alias("w")
-    )
-    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
-    s0 = vocab.select(
-        F.expr(
-            "concat(' ', array_join(transform(sequence(1, length(w)),"
-            " i -> substring(w, i, 1)), ' '), ' ')"
-        ).alias("syms"),
-        "freq",
-    )
+    s0 = _syms_frame(spark, sf_dir)
     m1 = (
         _pair_counts(s0)
         .orderBy(F.desc("c"), "l", "r")
@@ -453,11 +469,11 @@ def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(
         F.broadcast(m2.select(F.col("l").alias("l2"), F.col("r").alias("r2")))
     )
-    toks = r"filter(split(trim(lower(text)), '\\s+'), x -> x <> '')"
+    toks = TOKS_SQL  # MUST mirror textops._tokens — the vocab the merges
+    # were learned from and the tokens they are applied to must be the
+    # same token stream
     sym_string = (
-        "replace(replace("
-        "concat(' ', array_join(transform(sequence(1, length(w)),"
-        " i -> substring(w, i, 1)), ' '), ' '),"
+        f"replace(replace({SYMS_OF_W_SQL},"
         " concat(' ', l1, ' ', r1, ' '), concat(' ', l1, r1, ' ')),"
         " concat(' ', l2, ' ', r2, ' '), concat(' ', l2, r2, ' '))"
     )
@@ -535,20 +551,7 @@ def train_bpe(
     persisted and lineage-truncated every few merges, so plan depth
     stays bounded; per-iteration cluster work is vocab-sized regardless
     of corpus size. Returns [(left, right, pre-merge count), ...]."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.where(F.col("text").isNotNull()).select(
-        F.explode(
-            F.filter(_tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))
-        ).alias("w")
-    )
-    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
-    s = vocab.select(
-        F.expr(
-            "concat(' ', array_join(transform(sequence(1, length(w)),"
-            " i -> substring(w, i, 1)), ' '), ' ')"
-        ).alias("syms"),
-        "freq",
-    ).localCheckpoint()
+    s = _syms_frame(spark, sf_dir).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     for k in range(n_merges):
         top = (
@@ -561,18 +564,17 @@ def train_bpe(
             break  # vocabulary fully merged — nothing adjacent left
         l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((l, r, c))
+        # merge symbols enter as LITERAL COLUMNS, never spliced into SQL
+        # text — corpus tokens can contain quotes/backslashes, and
+        # Spark's string-literal parser would reinterpret them
         s = s.select(
-            F.expr(
-                f"replace(syms, ' ' || {_sql_str(l)} || ' ' || {_sql_str(r)}"
-                f" || ' ', ' ' || {_sql_str(l)} || {_sql_str(r)} || ' ')"
+            F.replace(
+                F.col("syms"),
+                F.lit(f" {l} {r} "),
+                F.lit(f" {l}{r} "),
             ).alias("syms"),
             "freq",
         )
         if (k + 1) % 4 == 0:
             s = s.localCheckpoint()
     return merges
-
-
-def _sql_str(s: str) -> str:
-    """SQL single-quoted literal (symbols come from corpus text)."""
-    return "'" + s.replace("'", "''") + "'"

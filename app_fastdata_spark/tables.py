@@ -244,12 +244,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 _SCAN_MAX_SPLIT = 128 * 1024 * 1024  # maxPartitionBytes default
 _SCAN_OPEN_COST = 4 * 1024 * 1024    # openCostInBytes default
 
+# Every suffix Spark's JavaUtils.byteStringAs accepts — an unknown
+# suffix falling back to the default would silently mis-size the scan
+# estimate, the exact failure the conf-read exists to prevent.
 _BYTE_SUFFIX = {
     "": 1, "b": 1,
     "k": 1 << 10, "kb": 1 << 10,
     "m": 1 << 20, "mb": 1 << 20,
     "g": 1 << 30, "gb": 1 << 30,
     "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
 }
 
 

@@ -914,3 +914,22 @@ def test_train_bpe_loop_matches_unrolled_witness(spark, sf_dir):
         assert c > 0
         assert (l, r) not in seen  # a chosen merge can't repeat: applying
         seen.add((l, r))           # it removed every adjacent (l, r) pair
+
+
+def test_train_bpe_survives_quote_and_backslash_tokens(spark, tmp_path):
+    """Merge symbols enter the plan as literal columns, never spliced
+    into SQL text — a corpus whose hottest pairs involve backslashes
+    and quotes must train cleanly (a SQL-splice would parse the
+    backslash as an escape or break on the quote)."""
+    from app_fastdata_spark.operators.prep import train_bpe
+
+    d = str(tmp_path / "bs")
+    rows = [(i, r"c:\tmp c:\tmp don't don't \\ \\ \a \a", "en", "s", 40)
+            for i in range(6)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    merges = train_bpe(spark, d, n_merges=4)
+    assert len(merges) == 4
+    assert all(c > 0 for _, _, c in merges)
+    assert any("\\" in l or "\\" in r for l, r, _ in merges)

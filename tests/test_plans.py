@@ -427,6 +427,7 @@ def test_scan_partition_estimate_honors_session_confs(tmp_path):
     assert _parse_bytes("128MB", 0) == 128 * 1024 * 1024
     assert _parse_bytes("4m", 0) == 4 * 1024 * 1024
     assert _parse_bytes("1g", 0) == 1 << 30
+    assert _parse_bytes("1pb", 0) == 1 << 50  # Spark's JavaUtils accepts p/pb
     assert _parse_bytes(None, 77) == 77
     assert _parse_bytes("garbage", 77) == 77
 
