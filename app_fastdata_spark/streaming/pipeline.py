@@ -383,6 +383,23 @@ def chunk_stream(docs: DataFrame) -> DataFrame:
     return chunk_frame(docs)
 
 
+def boilerplate_filter_stream(
+    docs: DataFrame, boilerplate_index: DataFrame
+) -> DataFrame:
+    """Streaming boilerplate strip at ingest: chunk the arriving docs
+    (shared chunk_frame) and drop every chunk whose hash is in the
+    OFFLINE-built boilerplate index (doc_boilerplate_chunks) via a
+    stream-static LEFT ANTI join — the fit-offline/apply-at-ingest
+    pattern (same shape as dsir_gate_stream/near_dup_gate_stream).
+    Stateless: the index is a static frame (broadcast when dim-sized),
+    no watermark, no state store; refresh = rebuild the index (ST7)."""
+    from ..operators.prep import chunk_frame
+
+    return chunk_frame(docs).join(
+        boilerplate_index.select("chunk_md5"), "chunk_md5", "left_anti"
+    )
+
+
 def dsir_gate_stream(
     new_docs: DataFrame, lrs: list, min_log_importance: float = 0.0
 ) -> DataFrame:

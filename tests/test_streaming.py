@@ -644,3 +644,33 @@ def test_merged_sessions_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in events_merged_sessions(spark, sf_dir).collect()
     )
     assert g == w and g
+
+
+def test_boilerplate_filter_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming boilerplate strip equals the batch anti-join of
+    doc_chunks against the boilerplate index — and actually removes
+    the index's chunks (the corpus has real >=3-doc repeats)."""
+    import shutil
+
+    from app_fastdata_spark.operators.prep import (
+        doc_boilerplate_chunks,
+        doc_chunks,
+    )
+
+    src = tmp_path / "docs_bp_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "a.parquet")
+    idx = doc_boilerplate_chunks(spark, sf_dir)
+    n_idx = idx.count()
+    assert n_idx > 0
+    stream = P.boilerplate_filter_stream(
+        P.documents_stream(spark, str(src)), idx
+    )
+    got = P.run_to_memory(stream, "bp_filter")
+    want = doc_chunks(spark, sf_dir).join(
+        idx.select("chunk_md5"), "chunk_md5", "left_anti"
+    )
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w and g
+    assert len(g) < doc_chunks(spark, sf_dir).count()  # something stripped
