@@ -44,11 +44,11 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 153 queries), round 7: (a) the 39
-    # entries whose newest green driver row is r1-r3 (everything r4+ is
-    # <=2 rounds old except the 16 r4 rows noted below, and
-    # multimodal_resize, bumped for its in-window decode twin); (b) the
-    # 13 round-7 registrations.
+    # Window math (50 driver slots, 155 queries), round 7: (a) the 35
+    # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
+    # the 16 r4 rows noted at the end; four r3 entries are bumped for
+    # their in-window shape twins, see inline notes); (b) the 15 round-7
+    # registrations.
     # --- (a) r1-stale ---
     "doc_stratified_sample",
     "events_approx_stats",
@@ -71,10 +71,14 @@ DRIVER_PRIORITY: list[str] = [
     "retention_expired_count",
     "retention_survivors_by_src",
     "events_by_src",
-    "events_by_src_dest",
+    # (events_by_src_dest: same views.py module/shape as the in-window
+    # events_by_src — bumped for doc_normalize below; full-registry
+    # sf0.01 oracle run green this round)
     "events_sessions",
     "events_by_second",
-    "dests_by_second",
+    # (dests_by_second: same per-second views.py shape as the in-window
+    # events_by_second — bumped for events_hll_users_by_type below;
+    # full-registry sf0.01 oracle run green this round)
     "top_sources",
     "top_src_dests",
     "sim_topk_cosine",
@@ -109,6 +113,8 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_compression",
     "dedup_graph_stats",
     "events_cube_daily",
+    "doc_normalize",
+    "events_hll_users_by_type",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /

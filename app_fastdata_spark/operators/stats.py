@@ -780,3 +780,41 @@ register(
     ORDER BY g_type, g_day, event_type, day
     """,
 )(events_cube_daily)
+
+
+# --- Mergeable HLL sketch rollup ----------------------------------------------
+# The re-aggregatable distinct-count pattern that makes 100 TB cubes
+# cheap: per-(type, day) HLL sketch binaries are small (~2^12 registers),
+# persistable, and union to ANY coarser grain without rescanning the
+# fact table — the sketch analogue of the reference's partial->final
+# re-agg views (SURVEY.md A7). Here: day-grain sketches, unioned to a
+# per-type global distinct-user estimate. Both tiers are declarative
+# aggregates, so Spark runs partial sketch-merge map-side inside
+# ObjectHashAggregate; nothing touches Python.
+#
+# rows-only by design: the estimate comes from the DataSketches HLL
+# register state, which no other engine reproduces bit-for-bit (and the
+# union estimate is composite, not HIP, so even Spark's own single-pass
+# sketch can legitimately differ by a hair from the day-rollup).
+# Accuracy and mergeability are pytest-gated instead: estimate within
+# 5% of exact countDistinct at lgK=14 (rsd ~0.8%), day-rollup within
+# 1e-6 of the single-pass union.
+HLL_LG_K = 14
+
+
+def events_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_day_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register("events_hll_users_by_type")(events_hll_users_by_type)

@@ -933,3 +933,70 @@ register(
     ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
 )(doc_bm25_search)
+
+
+# --- Unicode normalization ----------------------------------------------------
+# Canonicalization staple of a training-data pipeline: byte-different but
+# canonically-equal texts (NFD vs NFC accents, stray control chars,
+# irregular whitespace) must collide BEFORE any hash-based dedup sees
+# them, or near-identical docs slip every exact/MinHash/SimHash stage.
+# Pipeline (identical order on both engines — order matters because the
+# whitespace collapse must see control chars already gone):
+#   1. Unicode NFC (Python unicodedata / DuckDB nfc_normalize — both
+#      implement UAX #15 canonical composition),
+#   2. strip control chars except \t \n \r,
+#   3. collapse [ \t\r\n]+ runs to one space,
+#   4. trim.
+# Only step 1 needs Python (Spark has no builtin normalizer) — it runs
+# as an Arrow-batched pandas_udf; steps 2-4 are codegen'd JVM regexes.
+# Emits md5(norm) + length + changed-flag, not the text (hash-stable
+# across engines, and the projection is what a 100 TB scrub would
+# persist anyway). Embarrassingly parallel: no shuffle at all.
+_CTRL_RX = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"  # control chars minus \t \n \r
+_WS_RX = r"[ \t\r\n]+"
+
+
+def _py_nfc(s: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return s.map(
+        lambda x: unicodedata.normalize("NFC", x) if isinstance(x, str) else x
+    )
+
+
+def normalize_col(col: Column) -> Column:
+    """trim(collapse_ws(strip_ctrl(nfc(col)))) — shared by the batch query
+    and the streaming ingest gate. The pandas_udf wrap happens here (call
+    time, session live), never at import — module scope has no session."""
+    nfc = F.pandas_udf(_py_nfc, "string")
+    stripped = F.regexp_replace(nfc(col), F.lit(_CTRL_RX), F.lit(""))
+    return F.trim(F.regexp_replace(stripped, F.lit(_WS_RX), F.lit(" ")))
+
+
+def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).alias("n_chars_norm"),
+        (norm != F.col("text")).alias("changed"),
+    ).orderBy("doc_id")
+
+
+register(
+    "doc_normalize",
+    sql=r"""
+    WITH n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                  '[ \t\r\n]+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id, md5(norm) AS norm_hash,
+           CAST(len(norm) AS INTEGER) AS n_chars_norm,
+           norm <> text AS changed
+    FROM n ORDER BY doc_id
+    """,
+)(doc_normalize)

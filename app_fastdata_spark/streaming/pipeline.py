@@ -333,6 +333,30 @@ def pii_scrub_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def normalize_stream(docs: DataFrame) -> DataFrame:
+    """Streaming Unicode canonicalization at ingest: the batch
+    doc_normalize chain (SHARED normalize_col helper — NFC, control
+    strip, whitespace collapse, trim; the order must never fork) applied
+    to the document stream, emitting the NORMALIZED text (the batch
+    query emits md5 for the narrow oracle compare; the ingest gate needs
+    the text itself). n_chars is recomputed so the documents invariant
+    n_chars == length(text) survives the gate. Stateless projection —
+    the only non-codegen piece is the Arrow-batched NFC pandas_udf;
+    scan-bound throughput, the continuous twin of a corpus-rewrite
+    canonicalization pass."""
+    from ..operators.textops import normalize_col
+
+    norm = normalize_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("text"),
+        "lang",
+        "source",
+        F.length(norm).cast("long").alias("n_chars"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
 def classifier_gate_stream(docs: DataFrame) -> DataFrame:
     """Streaming learned-quality gate: the batch classifier_frame
     projection (SHARED helper — same hashed features, same frozen

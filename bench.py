@@ -84,6 +84,8 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "events_zorder_key",
     "dedup_graph_stats",
+    "doc_normalize",
+    "events_hll_users_by_type",
 ]
 
 

@@ -933,3 +933,121 @@ def test_train_bpe_survives_quote_and_backslash_tokens(spark, tmp_path):
     assert len(merges) == 4
     assert all(c > 0 for _, _, c in merges)
     assert any("\\" in l or "\\" in r for l, r, _ in merges)
+
+
+def test_doc_normalize_denormalized_inputs(spark, tmp_path):
+    """doc_normalize on PLANTED denormalized inputs — the sf tables are
+    ASCII-clean (every changed flag is False there), so this is the test
+    that proves the op actually normalizes: NFD accents compose to NFC,
+    control chars vanish, whitespace runs collapse, NULL/empty survive.
+    Spark output must also hash-match the DuckDB oracle on the same
+    planted file (cross-engine UAX #15 agreement)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        # (doc_id, text)                           expectation
+        (0, "Café du Monde"),      # NFD -> NFC "Café", changed
+        (1, "a\x00b\x07c\x7fd"),         # control chars stripped
+        (2, "  a \t\n b\r\n  c  "),      # ws runs -> single spaces, trim
+        (3, None),                        # NULL propagates
+        (4, ""),                          # empty survives
+        (5, "already clean"),             # unchanged
+        (6, "Å vs Å"),          # Å (angstrom sign) -> Å (NFC)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "planted",
+            "n_chars": [len(r[1]) if r[1] is not None else None for r in rows],
+        }
+    )
+    d = tmp_path / "norm_sf"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    got = (
+        entry_mod.queries()["doc_normalize"](spark, str(d))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[0, "changed"] and got.loc[0, "n_chars_norm"] == len(
+        "Café du Monde"
+    )
+    assert got.loc[1, "changed"] and got.loc[1, "n_chars_norm"] == 4  # "abcd"
+    assert got.loc[2, "changed"] and got.loc[2, "n_chars_norm"] == len("a b c")
+    assert pd.isna(got.loc[3, "norm_hash"]) and pd.isna(got.loc[3, "changed"])
+    assert not got.loc[4, "changed"] and got.loc[4, "n_chars_norm"] == 0
+    assert not got.loc[5, "changed"]
+    assert got.loc[6, "changed"]  # U+212B composes to U+00C5
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    want = (
+        con.execute(entry_mod.oracle_sql()["doc_normalize"])
+        .df()
+        .set_index("doc_id")
+    )
+    for c in ["norm_hash", "n_chars_norm", "changed"]:
+        g, w = got[c], want[c]
+        assert ((g == w) | (g.isna() & w.isna())).all(), (c, got, want)
+
+
+def test_hll_rollup_accuracy_and_mergeability(spark, sf_dir):
+    """events_hll_users_by_type: (a) union-of-day-sketches estimate
+    within 5% of exact distinct per type at lgK=14 on a 200k-id set
+    large enough to force dense estimation mode, (b) the day-grain
+    rollup agrees with a single-pass sketch over the same rows (the
+    mergeability contract that makes sketch cubes re-aggregatable),
+    (c) exactness on the tiny sf table (sparse mode)."""
+    from pyspark.sql import functions as F
+
+    from app_fastdata_spark.operators.stats import (
+        HLL_LG_K,
+        events_hll_users_by_type,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    # (c) sf table: sketch should be spot-on in sparse mode
+    got = {
+        r.event_type: r.est_users
+        for r in events_hll_users_by_type(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.x
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("x"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, est in got.items():
+        assert abs(est - exact[t]) / exact[t] <= 0.05, (t, est, exact[t])
+
+    # (a)+(b) dense-mode accuracy and merge parity on 200k distinct ids
+    big = spark.range(200_000).select(
+        F.lit("synth").alias("event_type"),
+        (F.col("id") % 30).cast("int").alias("day"),
+        F.col("id").alias("user_id"),
+    )
+    rolled = (
+        big.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    single = big.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(HLL_LG_K))
+        ).alias("est")
+    ).first()["est"]
+    assert abs(rolled - 200_000) / 200_000 <= 0.05, rolled
+    # union drops the HIP estimator (composite only), so allow a hair
+    assert abs(rolled - single) / single <= 0.02, (rolled, single)

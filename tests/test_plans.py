@@ -560,3 +560,28 @@ def test_cube_is_one_expand_two_tier_agg(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1, plan
     assert "partial_count" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_doc_normalize_single_python_stage(spark, sf_dir):
+    """doc_normalize's only Python is ONE Arrow-batched NFC stage; the
+    control-strip/collapse/trim/md5 chain must stay JVM-side, and the
+    transform itself must not shuffle (the one exchange allowed is the
+    presentation orderBy's range partitioning)."""
+    plan = plan_of(spark, sf_dir, "doc_normalize")
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time UDF
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("rangepartitioning" in l for l in ex), ex
+
+
+def test_hll_rollup_two_tier_partial_merge(spark, sf_dir):
+    """The HLL cube must run BOTH tiers as partial->final object-hash
+    aggregates (map-side sketch building / merging — the property that
+    makes the pattern shuffle-light at 100 TB): sketch build keyed by
+    (type, day), union keyed by type, each with a partial_ twin, and
+    nothing in Python."""
+    plan = plan_of(spark, sf_dir, "events_hll_users_by_type")
+    assert plan.count("ObjectHashAggregate") >= 4, plan  # 2 tiers x partial+final
+    assert "partial_hll_sketch_agg" in plan, plan
+    assert "partial_hll_union_agg" in plan, plan
+    assert "EvalPython" not in plan, plan

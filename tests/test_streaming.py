@@ -674,3 +674,34 @@ def test_boilerplate_filter_stream_matches_batch(spark, sf_dir, tmp_path):
     w = sorted(tuple(r) for r in want.collect())
     assert g == w and g
     assert len(g) < doc_chunks(spark, sf_dir).count()  # something stripped
+
+
+def test_normalize_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming canonicalization gate's normalized text hashes to
+    exactly the batch doc_normalize md5 per doc (shared normalize_col —
+    NFC + control strip + collapse + trim in the same order), and the
+    changed flags agree."""
+    import hashlib
+    import shutil
+
+    from app_fastdata_spark.operators.textops import doc_normalize
+
+    src = tmp_path / "norm_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "a.parquet")
+    stream = P.normalize_stream(P.documents_stream(spark, str(src)))
+    got = P.run_to_memory(stream, "normalize_gate")
+    g = {r.doc_id: (r.text, r.changed, r.n_chars) for r in got.collect()}
+    want = {
+        r.doc_id: (r.norm_hash, r.changed, r.n_chars_norm)
+        for r in doc_normalize(spark, sf_dir).collect()
+    }
+    assert set(g) == set(want) and g
+    for doc_id, (text, changed, n_chars) in g.items():
+        whash, wchanged, wn = want[doc_id]
+        assert changed == wchanged and n_chars == wn
+        assert (
+            text is None
+            and whash is None
+            or hashlib.md5(text.encode()).hexdigest() == whash
+        )
