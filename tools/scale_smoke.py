@@ -77,6 +77,13 @@ QUERIES = [
     # round 7: gaps-and-islands over one user_id exchange — the window
     # chain must scale with per-user event counts, not globally
     "events_merged_sessions",
+    # round 7: one Arrow NFC stage + codegen regex chain, no shuffle —
+    # like doc_pii_scrub, any exponent meaningfully above 1 is a
+    # scan/Arrow-layer regression
+    "doc_normalize",
+    # round 7: two-tier sketch agg — reduce side is (type, day) sketch
+    # binaries, constant-size per group; must stay ~linear in events
+    "events_hll_users_by_type",
 ]
 
 
