@@ -44,10 +44,10 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 155 queries), round 7: (a) the 35
+    # Window math (50 driver slots, 157 queries), round 7: (a) the 33
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
-    # the 16 r4 rows noted at the end; four r3 entries are bumped for
-    # their in-window shape twins, see inline notes); (b) the 15 round-7
+    # the 16 r4 rows noted at the end; six r3 entries are bumped for
+    # their in-window shape twins, see inline notes); (b) the 17 round-7
     # registrations.
     # --- (a) r1-stale ---
     "doc_stratified_sample",
@@ -63,13 +63,18 @@ DRIVER_PRIORITY: list[str] = [
     # (export_by_src_dest: same export-view module/shape as the
     # in-window export_by_src and events_by_src_dest — bumped for
     # events_cube_daily below; sf0.01 re-run green this round)
-    "top_sources_export",
+    # (top_sources_export: same export_views.py module/shape as the
+    # in-window export_by_src — bumped for events_heavy_hitters below;
+    # full-registry sf0.01 oracle run green this round)
     "asof_last_purchase",
     "range_join_price_bands",
     "click_purchase_attribution",
     "retention_nth_ts",
     "retention_expired_count",
-    "retention_survivors_by_src",
+    # (retention_survivors_by_src: same retention.py module/shape as the
+    # two in-window retention entries above — bumped for
+    # events_heavy_hitters_mg below; full-registry sf0.01 oracle run
+    # green this round)
     "events_by_src",
     # (events_by_src_dest: same views.py module/shape as the in-window
     # events_by_src — bumped for doc_normalize below; full-registry
@@ -115,6 +120,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_cube_daily",
     "doc_normalize",
     "events_hll_users_by_type",
+    "events_heavy_hitters",
+    "events_heavy_hitters_mg",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /

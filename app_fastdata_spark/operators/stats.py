@@ -818,3 +818,93 @@ def events_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_hll_users_by_type")(events_hll_users_by_type)
+
+
+# --- Heavy hitters -------------------------------------------------------------
+# Frequent-items telemetry (who dominates the event stream): the exact
+# form is a HAVING-over-scalar-total — one hash agg plus a 1-row
+# broadcast threshold, fine at any scale because the reduce side is
+# |distinct users|. The Misra-Gries twin below is the bounded-memory
+# form for when even the distinct-key space is too big to reduce.
+HH_PHI = 0.005  # frequency threshold: > 0.5% of all events
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    total = ev.agg(F.count("*").alias("n_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n_events") > F.col("n_total") * F.lit(HH_PHI))
+        .select("user_id", "n_events")
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+
+
+register(
+    "events_heavy_hitters",
+    sql=f"""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > (SELECT count(*) FROM events) * {HH_PHI}
+    ORDER BY n_events DESC, user_id
+    """,
+)(events_heavy_hitters)
+
+
+# Misra-Gries mergeable summary (Agarwal et al., "Mergeable Summaries",
+# PODS 2012): each partition keeps at most MG_K weighted counters —
+# batch value_counts merged in, then the (K+1)-th largest weight
+# subtracted from all and non-positives dropped (the batched MG
+# reduction). Per-partition undercount is <= n_p/(MG_K+1); summing
+# summaries across partitions keeps the total undercount <= N/(MG_K+1),
+# so EVERY item with true frequency > N/(MG_K+1) survives the merge —
+# the guarantee the pytest gate asserts. Memory is O(MG_K) per
+# partition and the shuffle carries <= MG_K rows per partition
+# regardless of input size or key-space width: this is the operator
+# you run when the per-key hash agg itself is the bottleneck.
+# rows-only by design (the summary's surviving tail below the
+# guarantee line is arrival-order-dependent); NULL items are dropped
+# (the exact twin keeps the NULL group — documented divergence).
+MG_K = 64
+
+
+def mg_summary_partition(batches):
+    """Per-partition batched Misra-Gries reduction (SHARED by the query
+    and the guarantee test — the bound argument must never fork)."""
+    import pandas as pd
+
+    acc = pd.Series(dtype="float64")
+    for pdf in batches:
+        vc = pdf["item"].dropna().value_counts()
+        if vc.empty:
+            continue
+        acc = acc.add(vc, fill_value=0)
+        if len(acc) > MG_K:
+            cut = acc.nlargest(MG_K + 1).iloc[-1]
+            acc = acc - cut
+            acc = acc[acc > 0]
+    if len(acc):
+        yield pd.DataFrame(
+            {
+                "item": acc.index.astype("int64"),
+                "weight": acc.values.astype("int64"),
+            }
+        )
+
+
+def events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("item")
+    )
+    summ = ev.mapInPandas(mg_summary_partition, "item long, weight long")
+    return (
+        summ.groupBy("item")
+        .agg(F.sum("weight").alias("weight_lb"))
+        .orderBy(F.desc("weight_lb"), F.asc("item"))
+        .limit(MG_K)
+    )
+
+
+register("events_heavy_hitters_mg")(events_heavy_hitters_mg)

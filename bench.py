@@ -86,6 +86,8 @@ HEADLINE = [
     "dedup_graph_stats",
     "doc_normalize",
     "events_hll_users_by_type",
+    "events_heavy_hitters",
+    "events_heavy_hitters_mg",
 ]
 
 

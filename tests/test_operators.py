@@ -1051,3 +1051,59 @@ def test_hll_rollup_accuracy_and_mergeability(spark, sf_dir):
     assert abs(rolled - 200_000) / 200_000 <= 0.05, rolled
     # union drops the HIP estimator (composite only), so allow a hair
     assert abs(rolled - single) / single <= 0.02, (rolled, single)
+
+
+def test_heavy_hitters_mg_guarantee(spark, sf_dir):
+    """Misra-Gries mergeable-summary contract (Agarwal et al. 2012):
+    (a) on the sf events, every EXACT phi=1/(K+1) heavy hitter appears
+    in the MG summary; (b) on a synthetic skewed set with known truth,
+    the heavy items appear AND each surviving weight is a lower bound
+    within N/(K+1) of the true count — the undercount bound that makes
+    summing per-partition summaries valid."""
+    from pyspark.sql import functions as F
+
+    from app_fastdata_spark.operators.stats import (
+        MG_K,
+        events_heavy_hitters_mg,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    # (a) sf table superset check
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    exact_heavy = {
+        r.user_id
+        for r in ev.groupBy("user_id")
+        .count()
+        .filter(F.col("count") > n / (MG_K + 1))
+        .collect()
+        if r.user_id is not None
+    }
+    mg_items = {
+        r.item for r in events_heavy_hitters_mg(spark, sf_dir).collect()
+    }
+    assert exact_heavy <= mg_items, exact_heavy - mg_items
+
+    # (b) synthetic skew: item 0 = 40k rows, item 1 = 20k, uniform tail
+    n_syn = 200_000
+    syn = spark.range(n_syn).select(
+        F.when(F.col("id") < 40_000, F.lit(0))
+        .when(F.col("id") < 60_000, F.lit(1))
+        .otherwise((F.col("id") % 14_000) + 100)
+        .alias("item")
+    )
+
+    from app_fastdata_spark.operators.stats import mg_summary_partition
+
+    got = {
+        r.item: r.weight_lb
+        for r in syn.repartition(16)
+        .mapInPandas(mg_summary_partition, "item long, weight long")
+        .groupBy("item")
+        .agg(F.sum("weight").alias("weight_lb"))
+        .collect()
+    }
+    bound = n_syn / (MG_K + 1)  # ~3077
+    for item, true_n in [(0, 40_000), (1, 20_000)]:
+        assert item in got, (item, sorted(got)[:5])
+        assert true_n - bound <= got[item] <= true_n, (item, got[item])

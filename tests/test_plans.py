@@ -585,3 +585,29 @@ def test_hll_rollup_two_tier_partial_merge(spark, sf_dir):
     assert "partial_hll_sketch_agg" in plan, plan
     assert "partial_hll_union_agg" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_heavy_hitters_threshold_broadcast(spark, sf_dir):
+    """events_heavy_hitters' scalar total must reach the filter as a
+    1-row broadcast (never a shuffle of the counted side), and the
+    top-k ordering must compile to TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "events_heavy_hitters")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" not in plan  # no LIMIT: full sort is the contract
+    assert "EvalPython" not in plan, plan
+
+
+def test_heavy_hitters_mg_bounded_shuffle(spark, sf_dir):
+    """The MG summary must shuffle ONLY the per-partition summaries
+    (<= MG_K rows each): one MapInPandas stage, then the merge agg's
+    exchange, then TakeOrderedAndProject for the final top-k — no
+    full-width exchange of the raw items."""
+    plan = plan_of(spark, sf_dir, "events_heavy_hitters_mg")
+    assert "MapInPandas" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    import re as _re
+
+    # every hash exchange must sit ABOVE the MapInPandas node (i.e. carry
+    # the summary schema item/weight), never the raw events scan
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert m.group(1).startswith("item"), m.group(0)

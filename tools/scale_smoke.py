@@ -84,6 +84,10 @@ QUERIES = [
     # round 7: two-tier sketch agg — reduce side is (type, day) sketch
     # binaries, constant-size per group; must stay ~linear in events
     "events_hll_users_by_type",
+    # round 7: bounded-memory frequent items — the shuffle carries
+    # <= MG_K rows per partition no matter the input, so growth must
+    # track the scan alone
+    "events_heavy_hitters_mg",
 ]
 
 
