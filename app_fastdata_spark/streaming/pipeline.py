@@ -369,6 +369,27 @@ def classifier_gate_stream(docs: DataFrame) -> DataFrame:
     return classifier_frame(docs).filter(F.col("keep"))
 
 
+def heavy_hitters_stream(events: DataFrame) -> DataFrame:
+    """Continuous frequent-items over the event stream: each micro-batch's
+    partitions reduce to Misra-Gries summaries (SHARED
+    mg_summary_partition — at most MG_K weighted counters leave any
+    partition, whatever the batch size), and a running groupBy-sum
+    merges them across batches in complete mode. Merging without
+    re-pruning is exactly what mergeable summaries license (Agarwal et
+    al. 2012): weights stay true-count lower bounds with total
+    undercount <= N/(MG_K+1), so every item with true frequency above
+    that line is guaranteed present in the store at every trigger. The
+    streaming state is the merged summary itself — per-item running
+    sums, NOT per-event state; item cardinality in state is bounded by
+    the union of per-batch summary survivors."""
+    from ..operators.stats import mg_summary_partition
+
+    summ = events.select(F.col("user_id").alias("item")).mapInPandas(
+        mg_summary_partition, "item long, weight long"
+    )
+    return summ.groupBy("item").agg(F.sum("weight").alias("weight_lb"))
+
+
 def merged_sessions_stream(events: DataFrame, retention: str = RETENTION) -> DataFrame:
     """Streaming interval merge: session_window(60 s) IS the streaming
     form of the batch gaps-and-islands operator — the window extends

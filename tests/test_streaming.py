@@ -705,3 +705,38 @@ def test_normalize_stream_matches_batch(spark, sf_dir, tmp_path):
             and whash is None
             or hashlib.md5(text.encode()).hexdigest() == whash
         )
+
+
+def test_heavy_hitters_stream_guarantee(spark, sf_dir):
+    """The streaming MG store must honor the mergeable-summary contract
+    at end-of-stream: every exact phi=1/(K+1) heavy hitter is present,
+    and every stored weight is a true-count lower bound within
+    N/(K+1) (summaries merged across micro-batches without re-pruning
+    only ever keep MORE mass than the batch form)."""
+    from app_fastdata_spark.operators.stats import MG_K
+    from app_fastdata_spark.tables import load_table
+
+    stream = P.heavy_hitters_stream(
+        P.events_stream(spark, sf_dir, max_files_per_trigger=1)
+    )
+    got = {
+        r.item: r.weight_lb
+        for r in P.run_to_memory(
+            stream, "hh_stream", output_mode="complete"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    true_counts = {
+        r.user_id: r["count"]
+        for r in ev.groupBy("user_id").count().collect()
+        if r.user_id is not None
+    }
+    bound = n / (MG_K + 1)
+    heavy = {u for u, c in true_counts.items() if c > bound}
+    assert heavy, "sf events should contain at least one heavy user"
+    assert heavy <= set(got), heavy - set(got)
+    for item, w in got.items():
+        assert w <= true_counts[item], (item, w, true_counts[item])
+        if item in heavy:
+            assert w >= true_counts[item] - bound, (item, w)
