@@ -832,7 +832,10 @@ HH_PHI = 0.005  # frequency threshold: > 0.5% of all events
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
-    total = ev.agg(F.count("*").alias("n_total"))
+    # total from the REDUCED frame, not a second fact scan: both branches
+    # share the per-user aggregate, so AQE reuses the exchange and the
+    # events table is read once (plan-gated: one FileScan).
+    total = counts.agg(F.sum("n_events").alias("n_total"))
     return (
         counts.join(F.broadcast(total))
         .filter(F.col("n_events") > F.col("n_total") * F.lit(HH_PHI))

@@ -589,12 +589,18 @@ def test_hll_rollup_two_tier_partial_merge(spark, sf_dir):
 
 def test_heavy_hitters_threshold_broadcast(spark, sf_dir):
     """events_heavy_hitters' scalar total must reach the filter as a
-    1-row broadcast (never a shuffle of the counted side), and the
-    top-k ordering must compile to TakeOrderedAndProject."""
+    1-row broadcast (never a shuffle of the counted side), and — because
+    the total is computed from the REDUCED per-user frame, not a second
+    fact scan — AQE must stitch the two branches onto ONE exchange at
+    runtime (ReusedExchange in the adaptive final plan)."""
     plan = plan_of(spark, sf_dir, "events_heavy_hitters")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "TakeOrderedAndProject" not in plan  # no LIMIT: full sort is the contract
     assert "EvalPython" not in plan, plan
+    df = queries()["events_heavy_hitters"](spark, sf_dir)
+    df.collect()  # AQE finalizes reuse only at runtime
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
 
 
 def test_heavy_hitters_mg_bounded_shuffle(spark, sf_dir):
