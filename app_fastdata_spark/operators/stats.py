@@ -784,7 +784,7 @@ register(
 
 # --- Mergeable HLL sketch rollup ----------------------------------------------
 # The re-aggregatable distinct-count pattern that makes 100 TB cubes
-# cheap: per-(type, day) HLL sketch binaries are small (~2^12 registers),
+# cheap: per-(type, day) HLL sketch binaries are small (~2^14 registers at the configured lgK),
 # persistable, and union to ANY coarser grain without rescanning the
 # fact table — the sketch analogue of the reference's partial->final
 # re-agg views (SURVEY.md A7). Here: day-grain sketches, unioned to a
@@ -873,9 +873,30 @@ register(
 MG_K = 64
 
 
+def mg_merge(acc, weighted):
+    """One batched MG reduction step (SHARED by the per-partition
+    summarizer, the streaming store merge, and the guarantee test — the
+    bound argument must never fork): add the weighted counts, and if
+    more than MG_K counters survive, subtract the (K+1)-th largest
+    weight from all and drop non-positives. Every subtracted unit of
+    mass is matched by >= MG_K+1 units subtracted simultaneously, so
+    the TOTAL undercount across any sequence of merges stays
+    <= N/(MG_K+1)."""
+    acc = acc.add(weighted, fill_value=0)
+    if len(acc) > MG_K:
+        cut = acc.nlargest(MG_K + 1).iloc[-1]
+        acc = acc - cut
+        acc = acc[acc > 0]
+    return acc
+
+
 def mg_summary_partition(batches):
-    """Per-partition batched Misra-Gries reduction (SHARED by the query
-    and the guarantee test — the bound argument must never fork)."""
+    """Per-partition batched Misra-Gries reduction over an `item` column.
+    Callers MUST pre-filter NULL items Spark-side: a nullable long
+    column reaches pandas as float64, which silently rounds ids beyond
+    2^53 — exactly the hashed-id range this operator targets at scale.
+    The dropna here is only belt-and-braces for the no-NULL batches that
+    arrive as exact int64."""
     import pandas as pd
 
     acc = pd.Series(dtype="float64")
@@ -883,11 +904,7 @@ def mg_summary_partition(batches):
         vc = pdf["item"].dropna().value_counts()
         if vc.empty:
             continue
-        acc = acc.add(vc, fill_value=0)
-        if len(acc) > MG_K:
-            cut = acc.nlargest(MG_K + 1).iloc[-1]
-            acc = acc - cut
-            acc = acc[acc > 0]
+        acc = mg_merge(acc, vc)
     if len(acc):
         yield pd.DataFrame(
             {
@@ -898,8 +915,13 @@ def mg_summary_partition(batches):
 
 
 def events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").alias("item")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("item"))
+        # NULLs dropped HERE, not in pandas: null-free int64 batches
+        # cross Arrow exactly; a single NULL would widen the whole
+        # batch to float64 and corrupt ids >= 2^53
+        .filter(F.col("item").isNotNull())
     )
     summ = ev.mapInPandas(mg_summary_partition, "item long, weight long")
     return (

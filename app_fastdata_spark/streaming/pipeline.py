@@ -370,24 +370,57 @@ def classifier_gate_stream(docs: DataFrame) -> DataFrame:
 
 
 def heavy_hitters_stream(events: DataFrame) -> DataFrame:
-    """Continuous frequent-items over the event stream: each micro-batch's
-    partitions reduce to Misra-Gries summaries (SHARED
-    mg_summary_partition — at most MG_K weighted counters leave any
-    partition, whatever the batch size), and a running groupBy-sum
-    merges them across batches in complete mode. Merging without
-    re-pruning is exactly what mergeable summaries license (Agarwal et
-    al. 2012): weights stay true-count lower bounds with total
-    undercount <= N/(MG_K+1), so every item with true frequency above
-    that line is guaranteed present in the store at every trigger. The
-    streaming state is the merged summary itself — per-item running
-    sums, NOT per-event state; item cardinality in state is bounded by
-    the union of per-batch summary survivors."""
+    """Per-micro-batch Misra-Gries summaries over the event stream: a
+    STATELESS mapInPandas using the SHARED mg_summary_partition — at
+    most MG_K weighted counters leave any partition, whatever the batch
+    size. The cross-batch merge lives in run_heavy_hitters below (a
+    foreachBatch accumulator that RE-PRUNES after every merge), because
+    a complete-mode groupBy-sum would keep one state row per item that
+    ever entered a summary — unbounded under a rotating key space,
+    which is the failure mode this operator family exists to avoid.
+    NULLs are dropped Spark-side so null-free int64 batches cross Arrow
+    exactly (a NULL widens the batch to float64 and corrupts ids >=
+    2^53)."""
     from ..operators.stats import mg_summary_partition
 
-    summ = events.select(F.col("user_id").alias("item")).mapInPandas(
-        mg_summary_partition, "item long, weight long"
+    return (
+        events.select(F.col("user_id").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .mapInPandas(mg_summary_partition, "item long, weight long")
     )
-    return summ.groupBy("item").agg(F.sum("weight").alias("weight_lb"))
+
+
+def run_heavy_hitters(events: DataFrame, name: str = "hh_merge"):
+    """Drive heavy_hitters_stream to end-of-available-data and return the
+    merged MG summary as a {item: weight_lb} dict. The accumulator
+    applies the SHARED mg_merge per micro-batch — add the batch summary,
+    re-prune to MG_K — so driver-held state is O(MG_K) forever, and the
+    Agarwal et al. mass argument still bounds the total undercount at
+    N/(MG_K+1) across any number of merges (each prune's subtracted
+    mass is matched K+1-fold). The store at every trigger is a
+    guaranteed superset of the true > N/(MG_K+1) heavy hitters."""
+    import pandas as pd
+
+    from ..operators.stats import mg_merge
+
+    holder = {"acc": pd.Series(dtype="float64")}
+
+    def _merge(batch_df, _bid) -> None:
+        pdf = batch_df.toPandas()  # <= MG_K rows per input partition
+        if pdf.empty:
+            return
+        weighted = pdf.groupby("item")["weight"].sum()
+        holder["acc"] = mg_merge(holder["acc"], weighted)
+
+    q = (
+        heavy_hitters_stream(events)
+        .writeStream.queryName(name)
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {int(k): int(v) for k, v in holder["acc"].items()}
 
 
 def merged_sessions_stream(events: DataFrame, retention: str = RETENTION) -> DataFrame:
