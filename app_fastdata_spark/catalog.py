@@ -44,17 +44,20 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 157 queries), round 7: (a) the 33
+    # Window math (50 driver slots, 159 queries), round 7: (a) the 31
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
-    # the 16 r4 rows noted at the end; six r3 entries are bumped for
-    # their in-window shape twins, see inline notes); (b) the 17 round-7
+    # the 16 r4 rows noted at the end; eight r1-r3 entries are bumped for
+    # their in-window shape twins, see inline notes); (b) the 19 round-7
     # registrations.
     # --- (a) r1-stale ---
     "doc_stratified_sample",
     "events_approx_stats",
     # --- (a) r2-stale ---
     "kmeans_centers",
-    "kmeans_centers_udtf",
+    # (kmeans_centers_udtf: rows-only like its in-window MLlib twin
+    # kmeans_centers, and its single-group W2 math is determinism-
+    # pytest-gated — bumped for the rows-only embedding_pca_variance
+    # below; full-registry sf0.01 oracle run green this round)
     # --- (a) r3-stale ---
     "dedup_exact",
     "session_aggregate",
@@ -89,7 +92,10 @@ DRIVER_PRIORITY: list[str] = [
     "sim_topk_cosine",
     "sim_ann_lsh",
     "events_distinct_users",
-    "events_rollup",
+    # (events_rollup: same Expand + two-tier agg shape as the in-window
+    # events_cube_daily, whose CUBE lattice is a superset of ROLLUP's —
+    # bumped for embedding_gram_int8 below; full-registry sf0.01 oracle
+    # run green this round)
     "events_pivot_daily",
     "users_cohort_setops",
     "doc_length_percentiles",
@@ -122,6 +128,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_hll_users_by_type",
     "events_heavy_hitters",
     "events_heavy_hitters_mg",
+    "embedding_gram_int8",
+    "embedding_pca_variance",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /

@@ -855,3 +855,118 @@ register(
     FROM d GROUP BY dim ORDER BY dim
     """,
 )(embedding_dim_stats)
+
+
+# --- Distributed Gram matrix (int8-exact) -----------------------------------
+# The linear-algebra reduction under PCA whitening, linear probes, and
+# covariance drift monitors: G = E^T E over the whole corpus. The
+# distributed shape is per-partition GEMM partials (numpy int64, one
+# d x d matrix per partition whatever the row count) summed in a
+# d(d+1)/2-row hash agg — the shuffle carries 2,080 rows per partition
+# at d=64, never the vectors. Quantization is the SHARED _quantize
+# (sim_ann_int8's symmetric int8 scheme), so every sum is an EXACT
+# 64-bit integer reduction: bit-identical across engines and safe at
+# 100 TB row counts (|q| <= 127, so products <= 16,129 and ~1e12 rows
+# stay far under int64). Full value-hash oracle via a positional
+# unnest self-join in DuckDB.
+def embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.select(_quantize(F.col("embedding")).alias("q"))
+
+    def gram_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["q"].to_numpy()).astype("int64")
+            g = E.T @ E
+            G = g if G is None else G + g
+        if G is not None:
+            iu = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "g_partial": G[iu],
+                }
+            )
+
+    part = q.mapInPandas(gram_partition, "i int, j int, g_partial long")
+    return (
+        part.groupBy("i", "j")
+        .agg(F.sum("g_partial").alias("gram"))
+        .orderBy("i", "j")
+    )
+
+
+register(
+    "embedding_gram_int8",
+    sql=f"""
+    WITH qv AS (
+      SELECT vec_id, {_sql_int8_q("embedding")} AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    e AS (
+      SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS x
+      FROM qv
+    )
+    SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+           CAST(sum(a.x * b.x) AS BIGINT) AS gram
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)(embedding_gram_int8)
+
+
+# PCA from ONE distributed pass: the covariance matrix derives from the
+# oracled Gram plus the exact integer column sums (cov = (G - s s^T/n)
+# / (n-1)), both d- or d^2-bounded reductions — so the only driver-side
+# work is an eigh on a 64 x 64 matrix (bounded by DIMENSION, never by
+# corpus size; same legality class as the sqrt(N)-centroid collects).
+# rows-only by design: no SQL engine reproduces LAPACK eigenvalues; the
+# pytest gate recomputes the covariance independently (np.cov over the
+# collected quantized vectors) and pins eigenvalue agreement.
+PCA_TOP = 8
+
+
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.select(_quantize(F.col("embedding")).alias("q"))
+    n = q.count()
+    if n < 2:
+        return spark.createDataFrame(
+            [], "component int, eigenvalue double, explained_ratio double"
+        )
+    sums = q.agg(
+        *[
+            F.sum(F.element_at("q", i)).alias(f"s{i}")
+            for i in range(1, DIM + 1)
+        ]
+    ).first()
+    s = np.array([sums[i] for i in range(DIM)], dtype="float64")
+    G = np.zeros((DIM, DIM), dtype="float64")
+    for r in embedding_gram_int8(spark, sf_dir).collect():
+        G[r.i - 1, r.j - 1] = r.gram
+        G[r.j - 1, r.i - 1] = r.gram
+    cov = (G - np.outer(s, s) / n) / (n - 1)
+    w = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(w.sum())
+    rows = [
+        (k + 1, float(w[k]), round(float(w[k]) / total, 6))
+        for k in range(min(PCA_TOP, DIM))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double"
+    )
+
+
+register("embedding_pca_variance")(embedding_pca_variance)

@@ -88,6 +88,7 @@ HEADLINE = [
     "events_hll_users_by_type",
     "events_heavy_hitters",
     "events_heavy_hitters_mg",
+    "embedding_gram_int8",
 ]
 
 

@@ -1107,3 +1107,50 @@ def test_heavy_hitters_mg_guarantee(spark, sf_dir):
     for item, true_n in [(0, 40_000), (1, 20_000)]:
         assert item in got, (item, sorted(got)[:5])
         assert true_n - bound <= got[item] <= true_n, (item, got[item])
+
+
+def test_embedding_gram_psd_and_pca_parity(spark, sf_dir):
+    """(a) The distributed int8 Gram matrix is symmetric PSD with
+    diagonal = summed per-vector squared norms (invariants of E^T E);
+    (b) embedding_pca_variance's eigenvalues agree with an independent
+    np.cov over the SAME quantized vectors collected locally — the
+    one-pass covariance algebra (G - s s^T / n)/(n-1) must match the
+    textbook two-pass form to float precision."""
+    import numpy as np
+
+    from app_fastdata_spark.operators.similarity import (
+        DIM,
+        _quantize,
+        embedding_gram_int8,
+        embedding_pca_variance,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    G = np.zeros((DIM, DIM))
+    for r in embedding_gram_int8(spark, sf_dir).collect():
+        G[r.i - 1, r.j - 1] = r.gram
+        G[r.j - 1, r.i - 1] = r.gram
+    evs = np.linalg.eigvalsh(G)
+    assert evs.min() >= -1e-6 * max(1.0, evs.max()), evs.min()  # PSD
+
+    qvecs = np.stack(
+        [
+            np.array(r.q, dtype="int64")
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("embedding").isNotNull())
+            .select(_quantize(F.col("embedding")).alias("q"))
+            .collect()
+        ]
+    )
+    assert np.array_equal(np.diag(G), (qvecs**2).sum(axis=0))
+
+    want = np.linalg.eigvalsh(np.cov(qvecs, rowvar=False))[::-1]
+    got = embedding_pca_variance(spark, sf_dir).collect()
+    assert len(got) == 8
+    for row in got:
+        assert abs(row.eigenvalue - want[row.component - 1]) <= 1e-6 * max(
+            1.0, abs(want[row.component - 1])
+        )
+    ratios = [row.explained_ratio for row in got]
+    assert ratios == sorted(ratios, reverse=True)
+    assert all(0 <= x <= 1 for x in ratios)

@@ -617,3 +617,15 @@ def test_heavy_hitters_mg_bounded_shuffle(spark, sf_dir):
     # the summary schema item/weight), never the raw events scan
     for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
         assert m.group(1).startswith("item"), m.group(0)
+
+
+def test_gram_shuffle_carries_only_cells(spark, sf_dir):
+    """embedding_gram_int8's exchange must carry (i, j) cell partials —
+    d(d+1)/2 rows per partition — never the vectors: one MapInPandas
+    stage below, and every hash exchange keyed on the cell coordinates."""
+    plan = plan_of(spark, sf_dir, "embedding_gram_int8")
+    assert "MapInPandas" in plan, plan
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert m.group(1).startswith("i"), m.group(0)
