@@ -369,6 +369,33 @@ def classifier_gate_stream(docs: DataFrame) -> DataFrame:
     return classifier_frame(docs).filter(F.col("keep"))
 
 
+def hll_users_stream(events: DataFrame) -> DataFrame:
+    """Ingest-time sketch building: watermarked per-(day, type) HLL
+    distinct-user sketches over the event stream — the streaming half of
+    the events_hll_users_by_type cube. The sketch buffer IS the
+    streaming state (one ~2^HLL_LG_K-register binary per open window,
+    never per-user state), the watermark bounds how long windows stay
+    open, and the emitted estimates roll up to coarser grains via
+    hll_union exactly like the batch day-sketches. AQE-free stateful
+    agg, nothing in Python."""
+    from ..operators.stats import HLL_LG_K
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(HLL_LG_K))
+            ).alias("est_users")
+        )
+        .select(
+            F.col("w.start").alias("day"), "event_type", "est_users"
+        )
+    )
+
+
 def heavy_hitters_stream(events: DataFrame) -> DataFrame:
     """Per-micro-batch Misra-Gries summaries over the event stream: a
     STATELESS mapInPandas using the SHARED mg_summary_partition — at

@@ -736,3 +736,50 @@ def test_heavy_hitters_stream_guarantee(spark, sf_dir):
         assert w <= true_counts[item], (item, w, true_counts[item])
         if item in heavy:
             assert w >= true_counts[item] - bound, (item, w)
+
+
+def test_hll_users_stream_matches_batch(spark, sf_dir):
+    """The streaming per-(day, type) sketch estimates equal the batch
+    form's AND the exact distinct counts: at this SF every group is far
+    below the sketch's sparse-mode capacity, where DataSketches HLL is
+    exact by construction — so any divergence is a wiring bug (wrong
+    column, wrong window, lost rows), not estimator noise."""
+    from pyspark.sql import functions as F
+
+    from app_fastdata_spark.operators.stats import HLL_LG_K
+    from app_fastdata_spark.tables import load_table
+
+    stream = P.hll_users_stream(
+        P.events_stream(spark, sf_dir, max_files_per_trigger=1)
+    )
+    # complete mode: append would withhold the final day's window (still
+    # open at end-of-stream under the 1 h watermark) — complete emits
+    # every window, so the comparison covers all 150 groups
+    got = {
+        (r.day, r.event_type): r.est_users
+        for r in P.run_to_memory(
+            stream, "hll_stream", output_mode="complete"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.day, r.event_type): r.est
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(HLL_LG_K))
+            ).alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        (r.day, r.event_type): r.x
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("x"))
+        .collect()
+    }
+    assert got and got == batch == exact
