@@ -868,35 +868,58 @@ register(
 # 64-bit integer reduction: bit-identical across engines and safe at
 # 100 TB row counts (|q| <= 127, so products <= 16,129 and ~1e12 rows
 # stay far under int64). Full value-hash oracle via a positional
-# unnest self-join in DuckDB.
-def embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+# unnest self-join in DuckDB. Malformed vectors (NULL, wrong length,
+# NULL elements) are excluded by the SAME predicate on both engines —
+# a ragged array would crash the GEMM stack, and a NULL element would
+# cross Arrow as NaN and garbage the int cast.
+def _vec_ok() -> Column:
+    # built at CALL time, never module scope: Column construction needs
+    # an active SparkContext, and the driver contract imports session-less
+    return (
         F.col("embedding").isNotNull()
+        & (F.size("embedding") == DIM)
+        & ~F.exists("embedding", lambda x: x.isNull())
     )
-    q = emb.select(_quantize(F.col("embedding")).alias("q"))
 
-    def gram_partition(batches):
-        import numpy as np
-        import pandas as pd
 
-        G = None
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            E = np.stack(pdf["q"].to_numpy()).astype("int64")
-            g = E.T @ E
-            G = g if G is None else G + g
-        if G is not None:
-            iu = np.triu_indices(G.shape[0])
-            yield pd.DataFrame(
-                {
-                    "i": (iu[0] + 1).astype("int32"),
-                    "j": (iu[1] + 1).astype("int32"),
-                    "g_partial": G[iu],
-                }
-            )
+_SQL_VEC_OK = (
+    "embedding IS NOT NULL AND len(embedding) = "
+    f"{DIM} AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
 
-    part = q.mapInPandas(gram_partition, "i int, j int, g_partial long")
+
+def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(_vec_ok())
+        .select(_quantize(F.col("embedding")).alias("q"))
+    )
+
+
+def _gram_partition(batches):
+    import numpy as np
+    import pandas as pd
+
+    G = None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        E = np.stack(pdf["q"].to_numpy()).astype("int64")
+        g = E.T @ E
+        G = g if G is None else G + g
+    if G is not None:
+        iu = np.triu_indices(G.shape[0])
+        yield pd.DataFrame(
+            {
+                "i": (iu[0] + 1).astype("int32"),
+                "j": (iu[1] + 1).astype("int32"),
+                "g_partial": G[iu],
+            }
+        )
+
+
+def _gram_from(q: DataFrame) -> DataFrame:
+    part = q.mapInPandas(_gram_partition, "i int, j int, g_partial long")
     return (
         part.groupBy("i", "j")
         .agg(F.sum("g_partial").alias("gram"))
@@ -904,12 +927,16 @@ def embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gram_from(_quantized_vecs(spark, sf_dir))
+
+
 register(
     "embedding_gram_int8",
     sql=f"""
     WITH qv AS (
       SELECT vec_id, {_sql_int8_q("embedding")} AS q
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE {_SQL_VEC_OK}
     ),
     e AS (
       SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS x
@@ -923,45 +950,51 @@ register(
 )(embedding_gram_int8)
 
 
-# PCA from ONE distributed pass: the covariance matrix derives from the
-# oracled Gram plus the exact integer column sums (cov = (G - s s^T/n)
-# / (n-1)), both d- or d^2-bounded reductions — so the only driver-side
-# work is an eigh on a 64 x 64 matrix (bounded by DIMENSION, never by
-# corpus size; same legality class as the sqrt(N)-centroid collects).
-# rows-only by design: no SQL engine reproduces LAPACK eigenvalues; the
-# pytest gate recomputes the covariance independently (np.cov over the
-# collected quantized vectors) and pins eigenvalue agreement.
+# PCA from ONE scan of the corpus: the quantized frame is persisted and
+# drives two bounded reductions — (count + exact integer column sums)
+# in a single agg, and the Gram partials — so the table is read and
+# quantized once; cov = (G - s s^T/n)/(n-1) and the eigh run on the
+# driver over a 64 x 64 matrix (bounded by DIMENSION, never by corpus
+# size; same legality class as the sqrt(N)-centroid collects). The
+# count comes from the SAME filtered frame as the sums and Gram, so n
+# can never disagree with its moments. rows-only by design: no SQL
+# engine reproduces LAPACK eigenvalues; the pytest gate recomputes the
+# covariance independently (np.cov over the collected quantized
+# vectors) and pins eigenvalue agreement.
 PCA_TOP = 8
 
 
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
-    q = emb.select(_quantize(F.col("embedding")).alias("q"))
-    n = q.count()
-    if n < 2:
-        return spark.createDataFrame(
-            [], "component int, eigenvalue double, explained_ratio double"
-        )
-    sums = q.agg(
-        *[
-            F.sum(F.element_at("q", i)).alias(f"s{i}")
-            for i in range(1, DIM + 1)
-        ]
-    ).first()
-    s = np.array([sums[i] for i in range(DIM)], dtype="float64")
-    G = np.zeros((DIM, DIM), dtype="float64")
-    for r in embedding_gram_int8(spark, sf_dir).collect():
-        G[r.i - 1, r.j - 1] = r.gram
-        G[r.j - 1, r.i - 1] = r.gram
+    q = _quantized_vecs(spark, sf_dir).persist()
+    try:
+        stats = q.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("q", i)).alias(f"s{i}")
+                for i in range(1, DIM + 1)
+            ],
+        ).first()
+        n = stats["n"]
+        if n < 2:
+            return spark.createDataFrame(
+                [], "component int, eigenvalue double, explained_ratio double"
+            )
+        s = np.array([stats[i + 1] for i in range(DIM)], dtype="float64")
+        G = np.zeros((DIM, DIM), dtype="float64")
+        for r in _gram_from(q).collect():
+            G[r.i - 1, r.j - 1] = r.gram
+            G[r.j - 1, r.i - 1] = r.gram
+    finally:
+        q.unpersist(blocking=False)
     cov = (G - np.outer(s, s) / n) / (n - 1)
     w = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(w.sum())
     rows = [
-        (k + 1, float(w[k]), round(float(w[k]) / total, 6))
+        # zero-variance corpus (all vectors identical): total == 0 and
+        # every eigenvalue is 0 — report ratio 0.0 rather than crash
+        (k + 1, float(w[k]), round(float(w[k]) / total, 6) if total > 0 else 0.0)
         for k in range(min(PCA_TOP, DIM))
     ]
     return spark.createDataFrame(

@@ -374,10 +374,13 @@ def hll_users_stream(events: DataFrame) -> DataFrame:
     distinct-user sketches over the event stream — the streaming half of
     the events_hll_users_by_type cube. The sketch buffer IS the
     streaming state (one ~2^HLL_LG_K-register binary per open window,
-    never per-user state), the watermark bounds how long windows stay
-    open, and the emitted estimates roll up to coarser grains via
-    hll_union exactly like the batch day-sketches. AQE-free stateful
-    agg, nothing in Python."""
+    never per-user state), and the watermark bounds how long windows
+    stay open. Emits the sketch BINARY itself (plus its estimate for
+    direct serving): only the binary rolls up to coarser grains via
+    hll_union downstream — estimates are NOT mergeable (summing
+    day-estimates double-counts users active on several days), which is
+    the whole reason to persist sketches. AQE-free stateful agg,
+    nothing in Python."""
     from ..operators.stats import HLL_LG_K
 
     return (
@@ -385,13 +388,12 @@ def hll_users_stream(events: DataFrame) -> DataFrame:
         .groupBy(
             F.window("ts", "1 day").alias("w"), "event_type"
         )
-        .agg(
-            F.hll_sketch_estimate(
-                F.hll_sketch_agg("user_id", F.lit(HLL_LG_K))
-            ).alias("est_users")
-        )
+        .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk"))
         .select(
-            F.col("w.start").alias("day"), "event_type", "est_users"
+            F.col("w.start").alias("day"),
+            "event_type",
+            "sk",
+            F.hll_sketch_estimate("sk").alias("est_users"),
         )
     )
 

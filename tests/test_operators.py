@@ -1154,3 +1154,68 @@ def test_embedding_gram_psd_and_pca_parity(spark, sf_dir):
     ratios = [row.explained_ratio for row in got]
     assert ratios == sorted(ratios, reverse=True)
     assert all(0 <= x <= 1 for x in ratios)
+
+
+def test_gram_pca_degenerate_embeddings(spark, tmp_path):
+    """Planted malformed embeddings — NULL vector, empty array, ragged
+    (wrong-length) array, NULL element — must be excluded by the SAME
+    predicate on both engines (Spark result still hash-matches the
+    DuckDB oracle on the planted file), and a zero-variance corpus
+    (all surviving vectors identical) must yield explained_ratio 0.0
+    rather than a ZeroDivisionError."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from app_fastdata_spark.operators.similarity import (
+        DIM,
+        embedding_pca_variance,
+    )
+
+    good = [float(i % 7) - 3.0 for i in range(DIM)]
+    rows = [
+        (0, good, "a"),
+        (1, None, "a"),                      # NULL vector
+        (2, [], "a"),                        # empty
+        (3, good[: DIM - 1], "a"),           # ragged
+        (4, good[:-1] + [None], "a"),        # NULL element
+        (5, good, "a"),                      # identical to 0 -> zero variance
+    ]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    )
+    d = tmp_path / "deg_emb"
+    d.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # float32 elements: the declared table schema is array<float>, and a
+    # pandas default write would produce list<double>
+    table = pa.table(
+        {
+            "vec_id": pa.array(pdf["vec_id"], type=pa.int64()),
+            "embedding": pa.array(
+                pdf["embedding"], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(pdf["label"], type=pa.string()),
+        }
+    )
+    pq.write_table(table, d / "embeddings.parquet")
+
+    got = entry_mod.queries()["embedding_gram_int8"](spark, str(d)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    want = con.execute(entry_mod.oracle_sql()["embedding_gram_int8"]).df()
+    assert len(got) == DIM * (DIM + 1) // 2  # only the 2 valid vectors
+    assert (got.values == want.values).all()
+
+    pca = embedding_pca_variance(spark, str(d)).toPandas()
+    assert len(pca) == 8
+    assert (pca["explained_ratio"] == 0.0).all()  # zero-variance corpus
+    assert (pca["eigenvalue"].abs() < 1e-9).all()

@@ -783,3 +783,25 @@ def test_hll_users_stream_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got and got == batch == exact
+
+    # the emitted BINARIES must roll up: union of the streamed day
+    # sketches per type == the batch per-type global estimate (the
+    # mergeability that justifies persisting sketches, not estimates)
+    rolled = {
+        r.event_type: r.est
+        for r in spark.table("hll_stream")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        .collect()
+    }
+    from app_fastdata_spark.operators.stats import (
+        events_hll_users_by_type,
+    )
+
+    want = {
+        r.event_type: r.est_users
+        for r in events_hll_users_by_type(spark, sf_dir).collect()
+    }
+    assert rolled == want
