@@ -44,10 +44,10 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 159 queries), round 7: (a) the 31
+    # Window math (50 driver slots, 160 queries), round 7: (a) the 30
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
-    # the 16 r4 rows noted at the end; eight r1-r3 entries are bumped for
-    # their in-window shape twins, see inline notes); (b) the 19 round-7
+    # the 16 r4 rows noted at the end; nine r1-r3 entries are bumped for
+    # their in-window shape twins, see inline notes); (b) the 20 round-7
     # registrations.
     # --- (a) r1-stale ---
     "doc_stratified_sample",
@@ -108,7 +108,11 @@ DRIVER_PRIORITY: list[str] = [
     # multimodal_decode — bumped for dedup_graph_stats below; sf0.01
     # re-run green this round)
     "dedup_components_uncapped",
-    "dedup_survivors_uncapped",
+    # (dedup_survivors_uncapped: its uncapped pair source + CC chain is
+    # the in-window dedup_components_uncapped and its survivors tail is
+    # dedup_survivors' (green r6 row) — bumped for the late
+    # embedding_pca_project below; full-registry sf0.01 oracle run green
+    # this round)
     "bucketed_colocated_join",
     # --- (b) new this round ---
     "doc_chunks",
@@ -130,6 +134,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_heavy_hitters_mg",
     "embedding_gram_int8",
     "embedding_pca_variance",
+    "embedding_pca_project",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /

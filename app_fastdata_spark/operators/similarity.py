@@ -1003,3 +1003,76 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("embedding_pca_variance")(embedding_pca_variance)
+
+
+# The apply half of PCA: project every embedding onto the top-PCA_TOP
+# eigenvectors. The projection matrix is dimension-bounded (64 x 8
+# doubles) and broadcasts as a closure constant into an Arrow-batched
+# GEMM — per batch one (B x d) @ (d x k) numpy multiply, the same
+# broadcast-small-matrix shape as the IVF centroid scorer. The corpus
+# never shuffles (orderBy is presentation only). rows-only: eigenvector
+# signs/floats are LAPACK-specific; the pytest gate pins the structural
+# invariants instead (per-component projected variance == eigenvalue,
+# cross-component correlation ~ 0).
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    q = _quantized_vecs(spark, sf_dir).persist()
+    try:
+        stats = q.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("q", i)).alias(f"s{i}")
+                for i in range(1, DIM + 1)
+            ],
+        ).first()
+        n = stats["n"]
+        if n < 2:
+            return spark.createDataFrame(
+                [], "vec_id long, proj array<double>"
+            )
+        s = np.array([stats[i + 1] for i in range(DIM)], dtype="float64")
+        G = np.zeros((DIM, DIM), dtype="float64")
+        for r in _gram_from(q).collect():
+            G[r.i - 1, r.j - 1] = r.gram
+            G[r.j - 1, r.i - 1] = r.gram
+    finally:
+        q.unpersist(blocking=False)
+    mean = s / n
+    cov = (G - np.outer(s, s) / n) / (n - 1)
+    w, v = np.linalg.eigh(cov)
+    # top-k columns, descending eigenvalue; sign fixed so each vector's
+    # largest-|coord| entry is positive (eigh's sign is arbitrary and
+    # this makes the projection deterministic across LAPACK builds)
+    order = np.argsort(w)[::-1][:PCA_TOP]
+    P = v[:, order]
+    for c in range(P.shape[1]):
+        m = np.argmax(np.abs(P[:, c]))
+        if P[m, c] < 0:
+            P[:, c] = -P[:, c]
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["q"].to_numpy()).astype("float64") - mean
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "proj": list(E @ P),
+                }
+            )
+
+    src = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(_vec_ok())
+        .select("vec_id", _quantize(F.col("embedding")).alias("q"))
+    )
+    return src.mapInPandas(
+        project, "vec_id long, proj array<double>"
+    ).orderBy("vec_id")
+
+
+register("embedding_pca_project")(embedding_pca_project)

@@ -1219,3 +1219,37 @@ def test_gram_pca_degenerate_embeddings(spark, tmp_path):
     assert len(pca) == 8
     assert (pca["explained_ratio"] == 0.0).all()  # zero-variance corpus
     assert (pca["eigenvalue"].abs() < 1e-9).all()
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    """The projected corpus must carry PCA's structural guarantees:
+    per-component sample variance equals the corresponding eigenvalue,
+    components are uncorrelated, and component variances descend —
+    invariants independent of LAPACK's sign/ordering conventions."""
+    import numpy as np
+
+    from app_fastdata_spark.operators.similarity import (
+        PCA_TOP,
+        embedding_pca_project,
+        embedding_pca_variance,
+    )
+
+    proj = np.stack(
+        [
+            np.array(r.proj)
+            for r in embedding_pca_project(spark, sf_dir).collect()
+        ]
+    )
+    assert proj.shape[1] == PCA_TOP
+    evs = [r.eigenvalue for r in embedding_pca_variance(spark, sf_dir).collect()]
+    var = proj.var(axis=0, ddof=1)
+    for k in range(PCA_TOP):
+        assert abs(var[k] - evs[k]) <= 1e-6 * max(1.0, abs(evs[k])), (
+            k,
+            var[k],
+            evs[k],
+        )
+    assert all(var[k] >= var[k + 1] - 1e-9 for k in range(PCA_TOP - 1))
+    corr = np.corrcoef(proj, rowvar=False)
+    off = corr - np.diag(np.diag(corr))
+    assert np.abs(off).max() < 1e-6, np.abs(off).max()
