@@ -44,10 +44,10 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 160 queries), round 7: (a) the 30
+    # Window math (50 driver slots, 161 queries), round 7: (a) the 29
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
-    # the 16 r4 rows noted at the end; nine r1-r3 entries are bumped for
-    # their in-window shape twins, see inline notes); (b) the 20 round-7
+    # the 16 r4 rows noted at the end; ten r1-r3 entries are bumped for
+    # their in-window shape twins, see inline notes); (b) the 21 round-7
     # registrations.
     # --- (a) r1-stale ---
     "doc_stratified_sample",
@@ -100,7 +100,11 @@ DRIVER_PRIORITY: list[str] = [
     "users_cohort_setops",
     "doc_length_percentiles",
     "part_cheapest_by_type",
-    "events_daily_moving_avg",
+    # (events_daily_moving_avg: its ROWS-frame window class is evidenced
+    # by events_user_running_stats' green r6 row and by the in-window
+    # RANGE-frame twin added below — bumped for
+    # events_user_trailing_hour; full-registry sf0.01 oracle run green
+    # this round)
     "doc_token_stats",
     "doc_quality",
     "multimodal_decode",
@@ -135,6 +139,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_gram_int8",
     "embedding_pca_variance",
     "embedding_pca_project",
+    "events_user_trailing_hour",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /

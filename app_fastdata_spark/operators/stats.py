@@ -933,3 +933,50 @@ def events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_heavy_hitters_mg")(events_heavy_hitters_mg)
+
+
+# --- Time-based RANGE window frame --------------------------------------------
+# The remaining OVER() frame class: a trailing-INTERVAL window (RANGE
+# BETWEEN 3600s PRECEDING AND CURRENT ROW) — unlike the ROWS frame of
+# events_daily_moving_avg, the frame edge is a VALUE bound, so ties
+# share a frame and gaps shrink it. Both engines order by integer
+# MICROSECOND epoch (Spark unix_micros / DuckDB epoch_us), so the
+# bound arithmetic is exact and identical. One user_id exchange carries
+# the whole query; the running frame is computed in a single pass per
+# partition (no self-join against the trailing hour).
+TRAILING_US = 3_600_000_000  # one hour
+
+
+def events_user_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"))
+        .rangeBetween(-TRAILING_US, 0)
+    )
+    return (
+        events.withColumn("us", F.unix_micros(F.col("ts")))
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_trailing_1h"),
+            F.round(F.sum("value").over(w), 4).alias("value_trailing_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    "events_user_trailing_hour",
+    sql=f"""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_trailing_1h,
+           round(sum(value) OVER w, 4) AS value_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {TRAILING_US} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)(events_user_trailing_hour)

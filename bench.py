@@ -89,6 +89,7 @@ HEADLINE = [
     "events_heavy_hitters",
     "events_heavy_hitters_mg",
     "embedding_gram_int8",
+    "events_user_trailing_hour",
 ]
 
 

@@ -629,3 +629,16 @@ def test_gram_shuffle_carries_only_cells(spark, sf_dir):
 
     for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
         assert m.group(1).startswith("i"), m.group(0)
+
+
+def test_trailing_range_window_single_exchange(spark, sf_dir):
+    """The RANGE-frame trailing-hour window must ride ONE user_id hash
+    exchange (the frame is a single ordered pass per partition — never a
+    self-join against the trailing interval), stay JVM-side, and carry
+    a real Window node with a range frame."""
+    plan = plan_of(spark, sf_dir, "events_user_trailing_hour")
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1 and "user_id" in ex[0], ex
+    assert "RangeFrame" in plan, plan
