@@ -88,6 +88,12 @@ QUERIES = [
     # <= MG_K rows per partition no matter the input, so growth must
     # track the scan alone
     "events_heavy_hitters_mg",
+    # round 7: per-partition GEMM partials, d(d+1)/2-row shuffle —
+    # compute is one int64 matmul per batch, linear in rows
+    "embedding_gram_int8",
+    # round 7: RANGE-frame window over one user_id exchange — scales
+    # with per-user event counts (replicas add users, not depth)
+    "events_user_trailing_hour",
 ]
 
 
