@@ -44,10 +44,10 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 161 queries), round 7: (a) the 29
+    # Window math (50 driver slots, 163 queries), round 7: (a) the 27
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
-    # the 16 r4 rows noted at the end; ten r1-r3 entries are bumped for
-    # their in-window shape twins, see inline notes); (b) the 21 round-7
+    # the 16 r4 rows noted at the end; twelve r1-r3 entries are bumped for
+    # their in-window shape twins, see inline notes); (b) the 23 round-7
     # registrations.
     # --- (a) r1-stale ---
     "doc_stratified_sample",
@@ -105,8 +105,14 @@ DRIVER_PRIORITY: list[str] = [
     # RANGE-frame twin added below — bumped for
     # events_user_trailing_hour; full-registry sf0.01 oracle run green
     # this round)
-    "doc_token_stats",
-    "doc_quality",
+    # (doc_token_stats: its shared _tokens expressions are exercised
+    # in-window by bpe_merge_step / bpe_compression — bumped for
+    # events_quality_report below; full-registry sf0.01 oracle run green
+    # this round)
+    # (doc_quality: its shared quality_frame is exercised in-window by
+    # doc_weighted_sample and stands on dedup_survivors_best_quality's
+    # green r6 row — bumped for doc_quality_report below; full-registry
+    # sf0.01 oracle run green this round)
     "multimodal_decode",
     # (multimodal_resize: same decode/payload path as the in-window
     # multimodal_decode — bumped for dedup_graph_stats below; sf0.01
@@ -140,6 +146,8 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_pca_variance",
     "embedding_pca_project",
     "events_user_trailing_hour",
+    "events_quality_report",
+    "doc_quality_report",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /

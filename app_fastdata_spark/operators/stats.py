@@ -980,3 +980,115 @@ register(
     ORDER BY event_id
     """,
 )(events_user_trailing_hour)
+
+
+# --- Data-quality constraint reports ------------------------------------------
+# The Deequ-style audit-as-a-query: every constraint a pipeline would
+# assert (uniqueness, completeness, domain membership, range, invariant
+# consistency) evaluated in ONE scan as conditional aggregates, emitted
+# as a single report row. At 100 TB this is the operator you run before
+# trusting a new drop of a table — one pass, no shuffle beyond the
+# (Expand-based) distinct count, dim-sized output. Violation COUNTS,
+# not booleans, so the report localizes severity; the runtime assert
+# combinators (functions/asserts.py, U9) can gate on any column of it.
+VALID_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    in_window = (F.col("ts") >= F.lit("2024-01-01").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-02-01").cast("timestamp")
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias(
+            "n_dup_event_ids"
+        ),
+        F.count(F.when(F.col("event_id").isNull(), 1)).alias("n_null_event_id"),
+        F.count(F.when(F.col("ts").isNull(), 1)).alias("n_null_ts"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_null_user"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        # NULL-safe domain check: NULL is a violation (completeness), so
+        # the predicate must not let isin's NULL propagation skip it
+        F.count(
+            F.when(
+                F.col("event_type").isNull()
+                | ~F.col("event_type").isin(EVENT_TYPES),
+                1,
+            )
+        ).alias("n_bad_type"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative_value"),
+        F.count(F.when(F.col("ts").isNotNull() & ~in_window, 1)).alias(
+            "n_ts_out_of_window"
+        ),
+    )
+
+
+register(
+    "events_quality_report",
+    sql=f"""
+    SELECT count(*) AS n_rows,
+           count(*) - count(DISTINCT event_id) AS n_dup_event_ids,
+           count(CASE WHEN event_id IS NULL THEN 1 END) AS n_null_event_id,
+           count(CASE WHEN ts IS NULL THEN 1 END) AS n_null_ts,
+           count(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user,
+           count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value,
+           count(CASE WHEN event_type IS NULL OR event_type NOT IN
+                 ({", ".join(f"'{t}'" for t in EVENT_TYPES)})
+                 THEN 1 END) AS n_bad_type,
+           count(CASE WHEN value < 0 THEN 1 END) AS n_negative_value,
+           count(CASE WHEN ts IS NOT NULL AND NOT
+                 (ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01')
+                 THEN 1 END) AS n_ts_out_of_window
+    FROM events
+    """,
+)(events_quality_report)
+
+
+def doc_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id")).alias("n_dup_doc_ids"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("n_null_text"),
+        F.count(
+            F.when(F.col("text").isNotNull() & (F.length("text") == 0), 1)
+        ).alias("n_empty_text"),
+        # the documents invariant every gate relies on: n_chars must
+        # equal length(text) (NULL-safe: a mismatch only where both sides
+        # are comparable)
+        F.count(
+            F.when(
+                F.col("text").isNotNull()
+                & F.col("n_chars").isNotNull()
+                & (F.col("n_chars") != F.length("text")),
+                1,
+            )
+        ).alias("n_chars_mismatch"),
+        F.count(
+            F.when(
+                F.col("lang").isNull() | ~F.col("lang").isin(VALID_LANGS), 1
+            )
+        ).alias("n_bad_lang"),
+        F.count(F.when(F.col("source").isNull(), 1)).alias("n_null_source"),
+    )
+
+
+register(
+    "doc_quality_report",
+    sql=f"""
+    SELECT count(*) AS n_rows,
+           count(*) - count(DISTINCT doc_id) AS n_dup_doc_ids,
+           count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+           count(CASE WHEN text IS NOT NULL AND len(text) = 0 THEN 1 END)
+             AS n_empty_text,
+           count(CASE WHEN text IS NOT NULL AND n_chars IS NOT NULL
+                       AND n_chars <> len(text) THEN 1 END)
+             AS n_chars_mismatch,
+           count(CASE WHEN lang IS NULL OR lang NOT IN
+                 ({", ".join(f"'{x}'" for x in VALID_LANGS)})
+                 THEN 1 END) AS n_bad_lang,
+           count(CASE WHEN source IS NULL THEN 1 END) AS n_null_source
+    FROM documents
+    """,
+)(doc_quality_report)

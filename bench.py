@@ -90,6 +90,7 @@ HEADLINE = [
     "events_heavy_hitters_mg",
     "embedding_gram_int8",
     "events_user_trailing_hour",
+    "events_quality_report",
 ]
 
 

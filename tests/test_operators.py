@@ -1253,3 +1253,69 @@ def test_pca_projection_invariants(spark, sf_dir):
     corr = np.corrcoef(proj, rowvar=False)
     off = corr - np.diag(np.diag(corr))
     assert np.abs(off).max() < 1e-6, np.abs(off).max()
+
+
+def test_quality_reports_planted_violations(spark, tmp_path):
+    """The Deequ-style constraint reports must count every planted
+    violation identically on both engines — including the NULL-domain
+    case (a NULL event_type/lang IS a violation; Spark's isin would
+    silently skip NULL without the explicit isNull arm)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    d = tmp_path / "qr"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 2, 4], dtype="Int64"),
+            "ts": pd.to_datetime(
+                ["2024-01-05", "2023-12-31", "2024-01-06", "2024-01-07"]
+            ),
+            "user_id": pd.array([1, None, 3, 4], dtype="Int64"),
+            "event_type": ["click", None, "BAD", "view"],
+            "value": [1.0, -2.0, None, 3.0],
+            "props": ["{}", None, "{}", "{}"],
+        }
+    ).to_parquet(d / "events.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 1, 3, 4], dtype="Int64"),
+            "text": ["ok text", None, "", "abc"],
+            "lang": ["en", None, "xx", "fr"],
+            "source": ["s1", None, "s2", "s3"],
+            "n_chars": pd.array([7, None, 0, 99], dtype="Int64"),  # 99 != 3
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    for name, expect in [
+        (
+            "events_quality_report",
+            {
+                "n_dup_event_ids": 1,
+                "n_bad_type": 2,  # NULL + 'BAD'
+                "n_negative_value": 1,
+                "n_ts_out_of_window": 1,
+            },
+        ),
+        (
+            "doc_quality_report",
+            {
+                "n_dup_doc_ids": 1,
+                "n_null_text": 1,
+                "n_empty_text": 1,
+                "n_chars_mismatch": 1,  # only doc 4 (99 != 3)
+                "n_bad_lang": 2,  # NULL + 'xx'
+                "n_null_source": 1,
+            },
+        ),
+    ]:
+        got = entry_mod.queries()[name](spark, str(d)).toPandas()
+        want = con.execute(entry_mod.oracle_sql()[name]).df()
+        assert got.astype("int64").equals(want.astype("int64")), (name, got, want)
+        for col, v in expect.items():
+            assert int(got[col].iloc[0]) == v, (name, col, got)

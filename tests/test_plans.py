@@ -642,3 +642,16 @@ def test_trailing_range_window_single_exchange(spark, sf_dir):
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(ex) == 1 and "user_id" in ex[0], ex
     assert "RangeFrame" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["events_quality_report", "doc_quality_report"]
+)
+def test_quality_reports_single_scan(spark, sf_dir, name):
+    """The constraint report is ONE scan: every conditional count rides
+    the same pass (the only replication is the Expand the multi-distinct
+    uniqueness check needs), output is one row, and nothing is Python."""
+    plan = plan_of(spark, sf_dir, name)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
