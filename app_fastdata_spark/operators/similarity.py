@@ -889,10 +889,16 @@ _SQL_VEC_OK = (
 
 
 def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vec_id IS NOT NULL is load-bearing twice over: (a) the Gram oracle
+    # self-joins on vec_id, where SQL NULL = NULL never matches, so a
+    # NULL-id vector silently vanishes from the DuckDB side — the Spark
+    # side must drop it too; (b) vec_id rides through Arrow batches into
+    # pandas, and one NULL in an int64 column coerces the batch to
+    # float64, corrupting ids >= 2^53
     return (
         load_table(spark, sf_dir, "embeddings")
-        .filter(_vec_ok())
-        .select(_quantize(F.col("embedding")).alias("q"))
+        .filter(F.col("vec_id").isNotNull() & _vec_ok())
+        .select("vec_id", _quantize(F.col("embedding")).alias("q"))
     )
 
 
@@ -919,7 +925,11 @@ def _gram_partition(batches):
 
 
 def _gram_from(q: DataFrame) -> DataFrame:
-    part = q.mapInPandas(_gram_partition, "i int, j int, g_partial long")
+    # project away vec_id before the Arrow transfer: the Gram partials
+    # need only the vectors
+    part = q.select("q").mapInPandas(
+        _gram_partition, "i int, j int, g_partial long"
+    )
     return (
         part.groupBy("i", "j")
         .agg(F.sum("g_partial").alias("gram"))
@@ -936,7 +946,7 @@ register(
     sql=f"""
     WITH qv AS (
       SELECT vec_id, {_sql_int8_q("embedding")} AS q
-      FROM embeddings WHERE {_SQL_VEC_OK}
+      FROM embeddings WHERE vec_id IS NOT NULL AND {_SQL_VEC_OK}
     ),
     e AS (
       SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS x
@@ -964,30 +974,44 @@ register(
 PCA_TOP = 8
 
 
+def _corpus_moments(q: DataFrame):
+    """(n, column-sum vector s, Gram matrix G) of a persisted quantized
+    frame — the single source of the covariance for BOTH the variance
+    report and the projection, so a fix to the math can never
+    desynchronize the eigenvalues one reports from the ones the other
+    projects onto. s/G are None when n < 2 (covariance undefined)."""
+    import numpy as np
+
+    stats = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("q", i)).alias(f"s{i}")
+            for i in range(1, DIM + 1)
+        ],
+    ).first()
+    n = stats["n"]
+    if n < 2:
+        return n, None, None
+    s = np.array([stats[i + 1] for i in range(DIM)], dtype="float64")
+    G = np.zeros((DIM, DIM), dtype="float64")
+    for r in _gram_from(q).collect():
+        G[r.i - 1, r.j - 1] = r.gram
+        G[r.j - 1, r.i - 1] = r.gram
+    return n, s, G
+
+
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     q = _quantized_vecs(spark, sf_dir).persist()
     try:
-        stats = q.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at("q", i)).alias(f"s{i}")
-                for i in range(1, DIM + 1)
-            ],
-        ).first()
-        n = stats["n"]
-        if n < 2:
-            return spark.createDataFrame(
-                [], "component int, eigenvalue double, explained_ratio double"
-            )
-        s = np.array([stats[i + 1] for i in range(DIM)], dtype="float64")
-        G = np.zeros((DIM, DIM), dtype="float64")
-        for r in _gram_from(q).collect():
-            G[r.i - 1, r.j - 1] = r.gram
-            G[r.j - 1, r.i - 1] = r.gram
+        n, s, G = _corpus_moments(q)
     finally:
         q.unpersist(blocking=False)
+    if n < 2:
+        return spark.createDataFrame(
+            [], "component int, eigenvalue double, explained_ratio double"
+        )
     cov = (G - np.outer(s, s) / n) / (n - 1)
     w = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(w.sum())
@@ -1019,25 +1043,14 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = _quantized_vecs(spark, sf_dir).persist()
     try:
-        stats = q.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at("q", i)).alias(f"s{i}")
-                for i in range(1, DIM + 1)
-            ],
-        ).first()
-        n = stats["n"]
-        if n < 2:
-            return spark.createDataFrame(
-                [], "vec_id long, proj array<double>"
-            )
-        s = np.array([stats[i + 1] for i in range(DIM)], dtype="float64")
-        G = np.zeros((DIM, DIM), dtype="float64")
-        for r in _gram_from(q).collect():
-            G[r.i - 1, r.j - 1] = r.gram
-            G[r.j - 1, r.i - 1] = r.gram
+        n, s, G = _corpus_moments(q)
     finally:
+        # the lazy projection below recomputes q's lineage (one extra
+        # scan+quantize at execution time) — the alternative, leaving q
+        # persisted for a consumer we never see finish, leaks cache
         q.unpersist(blocking=False)
+    if n < 2:
+        return spark.createDataFrame([], "vec_id long, proj array<double>")
     mean = s / n
     cov = (G - np.outer(s, s) / n) / (n - 1)
     w, v = np.linalg.eigh(cov)
@@ -1065,12 +1078,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    src = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(_vec_ok())
-        .select("vec_id", _quantize(F.col("embedding")).alias("q"))
-    )
-    return src.mapInPandas(
+    # same frame definition as the moments (vec_id NULL-filtered there —
+    # one NULL in the int64 Arrow batch would coerce ids to float64 and
+    # silently corrupt ids >= 2^53)
+    return q.mapInPandas(
         project, "vec_id long, proj array<double>"
     ).orderBy("vec_id")
 

@@ -1001,7 +1001,10 @@ def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias(
+        # count(col) not count(*): NULL ids are a completeness violation
+        # (n_null_event_id below), not a uniqueness one — count(*) would
+        # double-report every NULL id as a duplicate
+        (F.count("event_id") - F.count_distinct("event_id")).alias(
             "n_dup_event_ids"
         ),
         F.count(F.when(F.col("event_id").isNull(), 1)).alias("n_null_event_id"),
@@ -1028,7 +1031,7 @@ register(
     "events_quality_report",
     sql=f"""
     SELECT count(*) AS n_rows,
-           count(*) - count(DISTINCT event_id) AS n_dup_event_ids,
+           count(event_id) - count(DISTINCT event_id) AS n_dup_event_ids,
            count(CASE WHEN event_id IS NULL THEN 1 END) AS n_null_event_id,
            count(CASE WHEN ts IS NULL THEN 1 END) AS n_null_ts,
            count(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user,
@@ -1049,7 +1052,7 @@ def doc_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - F.count_distinct("doc_id")).alias("n_dup_doc_ids"),
+        (F.count("doc_id") - F.count_distinct("doc_id")).alias("n_dup_doc_ids"),
         F.count(F.when(F.col("text").isNull(), 1)).alias("n_null_text"),
         F.count(
             F.when(F.col("text").isNotNull() & (F.length("text") == 0), 1)
@@ -1078,7 +1081,7 @@ register(
     "doc_quality_report",
     sql=f"""
     SELECT count(*) AS n_rows,
-           count(*) - count(DISTINCT doc_id) AS n_dup_doc_ids,
+           count(doc_id) - count(DISTINCT doc_id) AS n_dup_doc_ids,
            count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
            count(CASE WHEN text IS NOT NULL AND len(text) = 0 THEN 1 END)
              AS n_empty_text,

@@ -1173,6 +1173,7 @@ def test_gram_pca_degenerate_embeddings(spark, tmp_path):
     )
 
     good = [float(i % 7) - 3.0 for i in range(DIM)]
+    big = (1 << 53) + 1  # above float64's exact-integer range
     rows = [
         (0, good, "a"),
         (1, None, "a"),                      # NULL vector
@@ -1180,28 +1181,31 @@ def test_gram_pca_degenerate_embeddings(spark, tmp_path):
         (3, good[: DIM - 1], "a"),           # ragged
         (4, good[:-1] + [None], "a"),        # NULL element
         (5, good, "a"),                      # identical to 0 -> zero variance
+        # NULL vec_id: DuckDB's gram self-join drops it (NULL = NULL never
+        # matches), so the Spark side must exclude it by predicate or the
+        # engines diverge; it must also never reach an Arrow int64 batch,
+        # where one NULL coerces the column to float64 and silently
+        # corrupts ids >= 2^53
+        (None, good, "a"),
+        (big, good, "a"),                    # must round-trip exactly
     ]
-    pdf = pd.DataFrame(
-        {
-            "vec_id": [r[0] for r in rows],
-            "embedding": [r[1] for r in rows],
-            "label": [r[2] for r in rows],
-        }
-    )
     d = tmp_path / "deg_emb"
     d.mkdir()
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # float32 elements: the declared table schema is array<float>, and a
-    # pandas default write would produce list<double>
+    # build the arrays from the raw python lists, NOT via pd.DataFrame:
+    # ints + None in a pandas column coerce to float64, which would
+    # corrupt the 2^53+1 id before it ever reaches parquet. float32
+    # elements: the declared table schema is array<float>, and a pandas
+    # default write would produce list<double>
     table = pa.table(
         {
-            "vec_id": pa.array(pdf["vec_id"], type=pa.int64()),
+            "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
             "embedding": pa.array(
-                pdf["embedding"], type=pa.list_(pa.float32())
+                [r[1] for r in rows], type=pa.list_(pa.float32())
             ),
-            "label": pa.array(pdf["label"], type=pa.string()),
+            "label": pa.array([r[2] for r in rows], type=pa.string()),
         }
     )
     pq.write_table(table, d / "embeddings.parquet")
@@ -1212,13 +1216,18 @@ def test_gram_pca_degenerate_embeddings(spark, tmp_path):
         f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
     )
     want = con.execute(entry_mod.oracle_sql()["embedding_gram_int8"]).df()
-    assert len(got) == DIM * (DIM + 1) // 2  # only the 2 valid vectors
+    assert len(got) == DIM * (DIM + 1) // 2  # 3 valid vectors (0, 5, big)
     assert (got.values == want.values).all()
 
     pca = embedding_pca_variance(spark, str(d)).toPandas()
     assert len(pca) == 8
     assert (pca["explained_ratio"] == 0.0).all()  # zero-variance corpus
     assert (pca["eigenvalue"].abs() < 1e-9).all()
+
+    proj = entry_mod.queries()["embedding_pca_project"](spark, str(d)).toPandas()
+    # NULL-id row dropped; id above 2^53 preserved bit-exactly (a float64
+    # detour would return 9007199254740992 here)
+    assert sorted(proj["vec_id"].tolist()) == [0, 5, big]
 
 
 def test_pca_projection_invariants(spark, sf_dir):
@@ -1269,23 +1278,27 @@ def test_quality_reports_planted_violations(spark, tmp_path):
     d.mkdir()
     pd.DataFrame(
         {
-            "event_id": pd.array([1, 2, 2, 4], dtype="Int64"),
+            # row 5 has a NULL event_id: it must count in n_null_event_id
+            # ONLY — a count(*)-based uniqueness formula would also report
+            # it as a duplicate
+            "event_id": pd.array([1, 2, 2, 4, None], dtype="Int64"),
             "ts": pd.to_datetime(
-                ["2024-01-05", "2023-12-31", "2024-01-06", "2024-01-07"]
+                ["2024-01-05", "2023-12-31", "2024-01-06", "2024-01-07",
+                 "2024-01-08"]
             ),
-            "user_id": pd.array([1, None, 3, 4], dtype="Int64"),
-            "event_type": ["click", None, "BAD", "view"],
-            "value": [1.0, -2.0, None, 3.0],
-            "props": ["{}", None, "{}", "{}"],
+            "user_id": pd.array([1, None, 3, 4, 5], dtype="Int64"),
+            "event_type": ["click", None, "BAD", "view", "click"],
+            "value": [1.0, -2.0, None, 3.0, 4.0],
+            "props": ["{}", None, "{}", "{}", "{}"],
         }
     ).to_parquet(d / "events.parquet")
     pd.DataFrame(
         {
-            "doc_id": pd.array([1, 1, 3, 4], dtype="Int64"),
-            "text": ["ok text", None, "", "abc"],
-            "lang": ["en", None, "xx", "fr"],
-            "source": ["s1", None, "s2", "s3"],
-            "n_chars": pd.array([7, None, 0, 99], dtype="Int64"),  # 99 != 3
+            "doc_id": pd.array([1, 1, 3, 4, None], dtype="Int64"),
+            "text": ["ok text", None, "", "abc", "x"],
+            "lang": ["en", None, "xx", "fr", "en"],
+            "source": ["s1", None, "s2", "s3", "s4"],
+            "n_chars": pd.array([7, None, 0, 99, 1], dtype="Int64"),  # 99 != 3
         }
     ).to_parquet(d / "documents.parquet")
 
@@ -1296,7 +1309,8 @@ def test_quality_reports_planted_violations(spark, tmp_path):
         (
             "events_quality_report",
             {
-                "n_dup_event_ids": 1,
+                "n_dup_event_ids": 1,  # NULL id is NOT a duplicate
+                "n_null_event_id": 1,
                 "n_bad_type": 2,  # NULL + 'BAD'
                 "n_negative_value": 1,
                 "n_ts_out_of_window": 1,
@@ -1305,7 +1319,7 @@ def test_quality_reports_planted_violations(spark, tmp_path):
         (
             "doc_quality_report",
             {
-                "n_dup_doc_ids": 1,
+                "n_dup_doc_ids": 1,  # NULL id is NOT a duplicate
                 "n_null_text": 1,
                 "n_empty_text": 1,
                 "n_chars_mismatch": 1,  # only doc 4 (99 != 3)
