@@ -233,3 +233,118 @@ def _register_fuzzy() -> None:
 
 
 _register_fuzzy()
+
+
+# --- Bloom-pruned semi-join (runtime row-level filtering) -------------------
+# The 100 TB semi-join shape: when the build side is selective but too
+# big to inline as an IN-list, compress its key set into a Bloom filter
+# (here 2^16 bits / 4 hashes, ~1 KB of longs), broadcast the bitmap as a
+# LITERAL array column, and pre-filter the fact scan with pure codegen
+# bit tests BEFORE any shuffle or join — the hand-verifiable analogue of
+# Spark's runtime row-group filtering (InjectRuntimeFilter). Bloom
+# filters have no false negatives, and the exact broadcast semi-join
+# afterwards removes the (measured-tiny) false positives, so the result
+# is EXACTLY the plain semi-join — which is what the DuckDB oracle runs.
+# The bitmap itself is built distributed (per-key bit positions reduced
+# by a 1024-row bit_or agg) and collected bounded: 2^10 words regardless
+# of build-side cardinality — same legality class as the sqrt(N)
+# centroid collects.
+BLOOM_M_BITS = 1 << 16          # 65,536 bits = 1,024 longs
+BLOOM_WORDS = BLOOM_M_BITS // 64
+BLOOM_SEEDS = [11, 23, 47, 89]  # k = 4 independent xxhash64 streams
+
+
+def _bloom_bitmap(keys: DataFrame) -> list:
+    """Distributed Bloom build: keys -> k bit positions -> bit_or per
+    64-bit word -> collect (bounded at BLOOM_WORDS rows)."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("k"), F.lit(seed)),
+                        F.lit(BLOOM_M_BITS),
+                    )
+                    for seed in BLOOM_SEEDS
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * BLOOM_WORDS
+    for r in words:
+        bitmap[r.word] = r.bits
+    return bitmap
+
+
+def _bloom_pruned_events(
+    spark: SparkSession, sf_dir: str, bitmap: list
+) -> DataFrame:
+    """events.user_id rows surviving the Bloom bit tests — pure codegen
+    (literal array + element_at + shifts), no shuffle, no Python."""
+    fact = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("bloom", F.lit(bitmap))
+    )
+    for i, seed in enumerate(BLOOM_SEEDS):
+        fact = fact.withColumn(
+            f"_h{i}",
+            F.pmod(
+                F.xxhash64(F.col("user_id"), F.lit(seed)), F.lit(BLOOM_M_BITS)
+            ),
+        )
+    check = " AND ".join(
+        f"((shiftright(element_at(bloom, CAST(shiftright(_h{i}, 6) + 1 AS INT)),"
+        f" CAST((_h{i} & 63) AS INT)) & 1) = 1)"
+        for i in range(len(BLOOM_SEEDS))
+    )
+    return fact.filter(F.expr(check)).select("user_id")
+
+
+def _bloom_build_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("k"))
+        .filter(F.col("k").isNotNull())
+    )
+
+
+def events_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts for users whose customer record carries a
+    negative balance — fact side Bloom-pre-filtered, then exactly
+    semi-joined. Result is identical to the plain semi-join (oracle)."""
+    build = _bloom_build_side(spark, sf_dir)
+    pruned = _bloom_pruned_events(spark, sf_dir, _bloom_bitmap(build))
+    return (
+        pruned.join(
+            F.broadcast(build), pruned["user_id"] == build["k"], "left_semi"
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+register(
+    "events_bloom_pruned_join",
+    sql="""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)(events_bloom_pruned_join)

@@ -1333,3 +1333,45 @@ def test_quality_reports_planted_violations(spark, tmp_path):
         assert got.astype("int64").equals(want.astype("int64")), (name, got, want)
         for col, v in expect.items():
             assert int(got[col].iloc[0]) == v, (name, col, got)
+
+
+def test_bloom_prefilter_prunes_and_stays_exact(spark, sf_dir):
+    """The Bloom pre-filter must actually prune (survivors well below
+    the full fact) while never dropping a true match (no false
+    negatives); the operator's final result must equal the plain
+    semi-join computed without any Bloom involvement."""
+    from app_fastdata_spark.operators.joins import (
+        _bloom_bitmap,
+        _bloom_build_side,
+        _bloom_pruned_events,
+        events_bloom_pruned_join,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    build = _bloom_build_side(spark, sf_dir)
+    keys = {r.k for r in build.collect()}
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    total = ev.count()
+    exact = ev.filter(F.col("user_id").isin(keys)).count()
+    pruned = _bloom_pruned_events(spark, sf_dir, _bloom_bitmap(build)).count()
+    # no false negatives, and FPs bounded: with ~500 set bits in 2^16
+    # the per-probe FP rate is < 1e-8, so survivors ~= exact matches
+    assert exact <= pruned <= exact + max(2, total // 1000), (
+        exact, pruned, total,
+    )
+    assert pruned < total * 0.5, (pruned, total)
+
+    got = {
+        (r.user_id, r.n_events)
+        for r in events_bloom_pruned_join(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.n_events)
+        for r in ev.filter(F.col("user_id").isin(keys))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == want

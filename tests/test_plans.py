@@ -655,3 +655,22 @@ def test_quality_reports_single_scan(spark, sf_dir, name):
     assert plan.count("FileScan parquet") == 1, plan
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_bloom_pruned_join_shape(spark, sf_dir):
+    """The Bloom pre-filter must sit on the fact side as pure codegen
+    (literal bitmap + element_at/shift bit tests) BEFORE the broadcast
+    semi-join — the fact is never broadcast and never shuffled ahead of
+    the per-user aggregate, and nothing is Python."""
+    plan = plan_of(spark, sf_dir, "events_bloom_pruned_join")
+    assert "EvalPython" not in plan, plan
+    assert re.search(r"BroadcastHashJoin .*LeftSemi, BuildRight", plan), plan
+    join_at = plan.index("LeftSemi")
+    filt_at = plan.index("element_at(")
+    # plan prints top-down: the Filter (deeper) appears after the join
+    # node, on the streamed (fact) input — i.e. the bit tests are inside
+    # the scan stage, not applied post-join
+    assert filt_at > join_at, plan
+    # exactly one exchange pair for the agg + the presentation sort
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1 and "user_id" in ex[0], ex
