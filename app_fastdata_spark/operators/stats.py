@@ -1095,3 +1095,98 @@ register(
     FROM documents
     """,
 )(doc_quality_report)
+
+
+# --- SCD2 change-interval compression -----------------------------------------
+# The slowly-changing-dimension type-2 build: compress a per-day
+# attribute series (each user's dominant event_type per active day) into
+# validity intervals [valid_from, valid_to], valid_to NULL while the
+# run is still current — the history-table shape every warehouse keeps
+# for dimensions that drift. Pure windowing: change rows survive a
+# lag()-inequality, the interval close is lead()-1. Rows with NULL
+# ts/user/type are excluded up front on BOTH engines — their window
+# PEER ORDERING differs between Spark (NULLS FIRST) and DuckDB (NULLS
+# LAST), the classic silent-parity trap. Scale: one (user, day, type)
+# agg exchange then user-keyed window exchanges; state per user is one
+# row lookback, never the whole history.
+def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    # day as a day-truncated TIMESTAMP, the repo's date convention
+    # (DuckDB's pandas bridge has no date dtype, so DATE columns would
+    # come back as datetime64 and hash-mismatch a Spark date)
+    daily = ev.groupBy(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    w_mode = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    mode = (
+        daily.withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "event_type")
+    )
+    w_user = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        mode.withColumn("prev", F.lag("event_type").over(w_user))
+        .filter(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", F.col("day").alias("valid_from"))
+    )
+    w_run = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        (
+            F.lead("valid_from").over(w_run) - F.expr("INTERVAL 1 DAY")
+        ).alias("valid_to"),
+    ).orderBy("user_id", "valid_from")
+
+
+register(
+    "user_type_scd2",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type, count(*) AS n
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    mode AS (
+      SELECT user_id, day, event_type FROM (
+        SELECT user_id, day, event_type,
+               row_number() OVER (
+                 PARTITION BY user_id, day
+                 ORDER BY n DESC, event_type) AS rn
+        FROM daily
+      ) WHERE rn = 1
+    ),
+    runs AS (
+      SELECT user_id, event_type, day AS valid_from
+      FROM (
+        SELECT user_id, day, event_type,
+               lag(event_type) OVER (
+                 PARTITION BY user_id ORDER BY day) AS prev
+        FROM mode
+      )
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from)
+             - INTERVAL 1 DAY AS valid_to
+    FROM runs
+    ORDER BY user_id, valid_from
+    """,
+)(user_type_scd2)

@@ -1375,3 +1375,26 @@ def test_bloom_prefilter_prunes_and_stays_exact(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_scd2_intervals_well_formed(spark, sf_dir):
+    """SCD2 history invariants: per user, exactly one open interval (the
+    last), adjacent intervals carry DIFFERENT types (true change
+    points), and each interval closes exactly one day before the next
+    opens (no gaps, no overlaps)."""
+    from datetime import timedelta
+
+    from app_fastdata_spark.operators.stats import user_type_scd2
+
+    rows = user_type_scd2(spark, sf_dir).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        assert [r.valid_from for r in rs] == sorted(r.valid_from for r in rs)
+        opens = [r for r in rs if r.valid_to is None]
+        assert len(opens) == 1 and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.event_type != b.event_type
+            assert a.valid_to == b.valid_from - timedelta(days=1)
