@@ -1190,3 +1190,83 @@ register(
     ORDER BY user_id, valid_from
     """,
 )(user_type_scd2)
+
+
+# --- Mergeable quantile summary -----------------------------------------------
+# The third mergeable sketch (alongside the HLL distinct rollup and the
+# Misra-Gries heavy hitters): a Manku-style one-level quantile summary.
+# Each partition compresses its sorted values into at most QS_K
+# equally-weighted order statistics (exact passthrough when n_p <= QS_K),
+# so the shuffle carries <= QS_K rows per partition regardless of input
+# size; the merge is a weighted cumulative scan over the union of
+# summaries (<= QS_K * partitions rows — a single-task window over a
+# dim-sized frame, like the centroid collects). Rank guarantee: each
+# partition's compression moves any rank by <= n_p/QS_K, so the summed
+# error is <= N/QS_K and the returned value's true rank lies within
+# q*N +- N/QS_K (+1 for the discrete step) — the bound the pytest gate
+# asserts, and the reason both an 8-way and a 1-partition layout must
+# agree to within it. rows-only by design: which order statistics
+# survive depends on the partition layout, so no SQL oracle reproduces
+# the exact values (the 1-partition layout IS exact and is tested
+# against DuckDB's quantile_disc).
+QS_K = 256
+QS_TARGETS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _qs_summary_partition(batches):
+    """Per-partition quantile summary over a `v` column: sorted values
+    -> QS_K order statistics at ranks (i+0.5)*n/QS_K, each weighted
+    n/QS_K (all values weight 1 when n <= QS_K). Callers pre-filter
+    NULLs Spark-side (Arrow int64/NULL trap)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = []
+    for pdf in batches:
+        if len(pdf):
+            vals.append(pdf["v"].to_numpy())
+    if not vals:
+        return
+    v = np.sort(np.concatenate(vals))
+    n = len(v)
+    if n <= QS_K:
+        yield pd.DataFrame({"v": v.astype("float64"), "w": np.ones(n)})
+        return
+    idx = np.floor((np.arange(QS_K) + 0.5) * n / QS_K).astype("int64")
+    yield pd.DataFrame(
+        {"v": v[idx].astype("float64"), "w": np.full(QS_K, n / QS_K)}
+    )
+
+
+def doc_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("n_chars").cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    summ = src.mapInPandas(_qs_summary_partition, "v double, w double")
+    # the cumulative scan is a GLOBAL window — legal only because the
+    # input is the bounded summary union, never the corpus
+    cum = summ.withColumn(
+        "cum",
+        F.sum("w").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = summ.agg(F.sum("w").alias("n_total"))
+    targets = F.explode(
+        F.array(*[F.lit(q) for q in QS_TARGETS])
+    ).alias("q")
+    return (
+        cum.join(F.broadcast(total))
+        .select("v", "cum", "n_total", targets)
+        .filter(F.col("cum") >= F.col("q") * F.col("n_total"))
+        .groupBy("q")
+        .agg(F.min("v").alias("est_n_chars"))
+        .orderBy("q")
+    )
+
+
+register("doc_length_quantiles_sketch")(doc_length_quantiles_sketch)

@@ -1398,3 +1398,36 @@ def test_scd2_intervals_well_formed(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert a.event_type != b.event_type
             assert a.valid_to == b.valid_from - timedelta(days=1)
+
+
+def test_quantile_sketch_rank_guarantee(spark, sf_dir):
+    """The mergeable quantile summary must return TRUE data values whose
+    rank is within N/QS_K (+1 discrete step) of the target rank — the
+    one-level merge bound the operator's docstring derives."""
+    import bisect
+
+    import duckdb
+
+    from app_fastdata_spark.operators.stats import (
+        QS_K,
+        QS_TARGETS,
+        doc_length_quantiles_sketch,
+    )
+
+    rows = doc_length_quantiles_sketch(spark, sf_dir).collect()
+    assert [r.q for r in rows] == QS_TARGETS
+    con = duckdb.connect()
+    vals = sorted(
+        v
+        for (v,) in con.execute(
+            f"SELECT n_chars FROM '{sf_dir}/documents.parquet'"
+            " WHERE n_chars IS NOT NULL"
+        ).fetchall()
+    )
+    n = len(vals)
+    err = n / QS_K + 1
+    for r in rows:
+        assert r.est_n_chars in set(float(v) for v in vals)  # a real value
+        lt = bisect.bisect_left(vals, r.est_n_chars)
+        le = bisect.bisect_right(vals, r.est_n_chars)
+        assert lt - err <= r.q * n <= le + err, (r.q, r.est_n_chars, lt, le)
