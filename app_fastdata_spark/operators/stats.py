@@ -1213,11 +1213,34 @@ QS_K = 256
 QS_TARGETS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
+def qs_compress(v, w, k: int = QS_K):
+    """One weighted quantile-summary compression (SHARED by the
+    per-partition summarizer and the streaming buffer compaction — the
+    bound argument must never fork): sort by value, then keep the k
+    order statistics at cumulative-weight targets (i+0.5)*W/k, each
+    re-weighted W/k (passthrough when <= k points). Any rank moves by
+    at most W/k per compression — the additive error every caller
+    accounts for. For unit weights this reduces to picking the
+    floor((i+0.5)*n/k)-th sorted values exactly."""
+    import numpy as np
+
+    if len(v) <= k:
+        order = np.argsort(v, kind="stable")
+        return v[order].astype("float64"), w[order].astype("float64")
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    targets = (np.arange(k) + 0.5) * total / k
+    idx = np.searchsorted(cum, targets, side="right")
+    idx = np.minimum(idx, len(v) - 1)
+    return v[idx].astype("float64"), np.full(k, total / k)
+
+
 def _qs_summary_partition(batches):
-    """Per-partition quantile summary over a `v` column: sorted values
-    -> QS_K order statistics at ranks (i+0.5)*n/QS_K, each weighted
-    n/QS_K (all values weight 1 when n <= QS_K). Callers pre-filter
-    NULLs Spark-side (Arrow int64/NULL trap)."""
+    """Per-partition quantile summary over a `v` column via the shared
+    qs_compress (unit weights). Callers pre-filter NULLs Spark-side
+    (Arrow int64/NULL trap)."""
     import numpy as np
     import pandas as pd
 
@@ -1227,15 +1250,9 @@ def _qs_summary_partition(batches):
             vals.append(pdf["v"].to_numpy())
     if not vals:
         return
-    v = np.sort(np.concatenate(vals))
-    n = len(v)
-    if n <= QS_K:
-        yield pd.DataFrame({"v": v.astype("float64"), "w": np.ones(n)})
-        return
-    idx = np.floor((np.arange(QS_K) + 0.5) * n / QS_K).astype("int64")
-    yield pd.DataFrame(
-        {"v": v[idx].astype("float64"), "w": np.full(QS_K, n / QS_K)}
-    )
+    v = np.concatenate(vals)
+    cv, cw = qs_compress(v, np.ones(len(v)))
+    yield pd.DataFrame({"v": cv, "w": cw})
 
 
 def doc_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -293,10 +293,15 @@ def full_ingest_stream(spark: SparkSession, events: DataFrame) -> DataFrame:
     )
 
 
-def documents_stream(spark, src_dir: str) -> DataFrame:
+def documents_stream(
+    spark, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of documents parquet drops (the continuous
     corpus-ingest shape: each arriving file is a scrape shard)."""
-    return spark.readStream.schema(SCHEMAS["documents"]).parquet(src_dir)
+    reader = spark.readStream.schema(SCHEMAS["documents"])
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
 
 
 def quality_gate_stream(docs: DataFrame) -> DataFrame:
@@ -450,6 +455,81 @@ def run_heavy_hitters(events: DataFrame, name: str = "hh_merge"):
     )
     q.awaitTermination()
     return {int(k): int(v) for k, v in holder["acc"].items()}
+
+
+def quantile_sketch_stream(docs: DataFrame) -> DataFrame:
+    """Per-micro-batch quantile summaries over the document stream: a
+    STATELESS mapInPandas using the SHARED _qs_summary_partition — at
+    most QS_K weighted order statistics leave any partition, whatever
+    the batch size. The cross-batch merge lives in run_quantile_sketch
+    below (a foreachBatch buffer with threshold compaction), mirroring
+    the Misra-Gries split: per-batch compression distributed, bounded
+    driver-held state, one shared reduction routine so the error bound
+    never forks."""
+    from ..operators.stats import _qs_summary_partition
+
+    return (
+        docs.select(F.col("n_chars").cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .mapInPandas(_qs_summary_partition, "v double, w double")
+    )
+
+
+# buffer compaction threshold: summaries accumulate raw (adding NO
+# error beyond each batch's n_b/QS_K) until the buffer tops this, then
+# one qs_compress to 4*QS_K points adds W/(4*QS_K) rank error — so the
+# total is N/QS_K (batch summaries) + n_compactions * W/(4*QS_K), and
+# run_quantile_sketch returns the compaction count so callers can gate
+# against the exact bound for their run
+QS_BUFFER_MAX = 64 * 256
+
+
+def run_quantile_sketch(docs: DataFrame, name: str = "qs_merge"):
+    """Drive quantile_sketch_stream to end-of-available-data and return
+    ({target_q: estimate}, n_compactions). Estimates use the same
+    smallest-value-with-cum-weight->=q*W rule as the batch operator."""
+    import numpy as np
+
+    from ..operators.stats import QS_K, QS_TARGETS, qs_compress
+
+    holder = {
+        "v": np.empty(0, dtype="float64"),
+        "w": np.empty(0, dtype="float64"),
+        "compactions": 0,
+    }
+
+    def _merge(batch_df, _bid) -> None:
+        pdf = batch_df.toPandas()  # <= QS_K rows per input partition
+        if pdf.empty:
+            return
+        holder["v"] = np.concatenate([holder["v"], pdf["v"].to_numpy()])
+        holder["w"] = np.concatenate([holder["w"], pdf["w"].to_numpy()])
+        if len(holder["v"]) > QS_BUFFER_MAX:
+            holder["v"], holder["w"] = qs_compress(
+                holder["v"], holder["w"], 4 * QS_K
+            )
+            holder["compactions"] += 1
+
+    q = (
+        quantile_sketch_stream(docs)
+        .writeStream.queryName(name)
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v, w = holder["v"], holder["w"]
+    if not len(v):
+        return {}, holder["compactions"]
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out = {}
+    for t in QS_TARGETS:
+        i = int(np.searchsorted(cum, t * total, side="left"))
+        out[t] = float(v[min(i, len(v) - 1)])
+    return out, holder["compactions"]
 
 
 def merged_sessions_stream(events: DataFrame, retention: str = RETENTION) -> DataFrame:

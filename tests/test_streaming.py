@@ -805,3 +805,53 @@ def test_hll_users_stream_matches_batch(spark, sf_dir):
         for r in events_hll_users_by_type(spark, sf_dir).collect()
     }
     assert rolled == want
+
+
+def test_quantile_sketch_stream_rank_guarantee(spark, sf_dir, tmp_path, monkeypatch):
+    """The streaming quantile store must honor the summary contract at
+    end-of-stream: every target's estimate is a true data value whose
+    rank error stays within N/QS_K (per-batch compressions) plus
+    W/(4*QS_K) per buffer compaction — exercised both on the default
+    buffer (no compaction) and a shrunken one that forces compactions."""
+    import bisect
+
+    import duckdb
+
+    from app_fastdata_spark.operators.stats import QS_K, QS_TARGETS
+    from app_fastdata_spark.tables import load_table
+
+    src = tmp_path / "docs_qs"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(8).write.mode("overwrite").parquet(str(src))
+
+    con = duckdb.connect()
+    vals = sorted(
+        v
+        for (v,) in con.execute(
+            f"SELECT n_chars FROM '{src}/*.parquet' WHERE n_chars IS NOT NULL"
+        ).fetchall()
+    )
+    n = len(vals)
+
+    def check(got, compactions):
+        assert set(got) == set(QS_TARGETS)
+        err = n / QS_K + compactions * n / (4 * QS_K) + 1
+        for q, est in got.items():
+            assert est in set(float(v) for v in vals), (q, est)
+            lt = bisect.bisect_left(vals, est)
+            le = bisect.bisect_right(vals, est)
+            assert lt - err <= q * n <= le + err, (q, est, lt, le, err)
+
+    got, compactions = P.run_quantile_sketch(
+        P.documents_stream(spark, str(src), max_files_per_trigger=1)
+    )
+    check(got, compactions)
+
+    # force the compaction path: a buffer far below batches * QS_K
+    monkeypatch.setattr(P, "QS_BUFFER_MAX", 64)
+    got2, compactions2 = P.run_quantile_sketch(
+        P.documents_stream(spark, str(src), max_files_per_trigger=1),
+        name="qs_merge_small",
+    )
+    assert compactions2 >= 1
+    check(got2, compactions2)
