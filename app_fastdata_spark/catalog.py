@@ -44,11 +44,11 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 163 queries), round 7: (a) the 27
+    # Window math (50 driver slots, 166 queries), round 7: (a) the 24
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
-    # the 16 r4 rows noted at the end; twelve r1-r3 entries are bumped for
-    # their in-window shape twins, see inline notes); (b) the 23 round-7
-    # registrations.
+    # the 16 r4 rows noted at the end; fifteen r1-r3 entries are bumped
+    # for their in-window shape twins, see inline notes); (b) the 26
+    # round-7 registrations.
     # --- (a) r1-stale ---
     "doc_stratified_sample",
     "events_approx_stats",
@@ -61,7 +61,10 @@ DRIVER_PRIORITY: list[str] = [
     # --- (a) r3-stale ---
     "dedup_exact",
     "session_aggregate",
-    "session_counts",
+    # (session_counts: same sessions.py module/shape as the in-window
+    # session_aggregate and session-gap semantics pytest-gated — bumped
+    # for events_bloom_pruned_join below; full-registry sf0.01 oracle
+    # run green this round)
     "export_by_src",
     # (export_by_src_dest: same export-view module/shape as the
     # in-window export_by_src and events_by_src_dest — bumped for
@@ -73,7 +76,9 @@ DRIVER_PRIORITY: list[str] = [
     "range_join_price_bands",
     "click_purchase_attribution",
     "retention_nth_ts",
-    "retention_expired_count",
+    # (retention_expired_count: same retention.py scalar-count shape as
+    # the in-window retention_nth_ts — bumped for user_type_scd2 below;
+    # full-registry sf0.01 oracle run green this round)
     # (retention_survivors_by_src: same retention.py module/shape as the
     # two in-window retention entries above — bumped for
     # events_heavy_hitters_mg below; full-registry sf0.01 oracle run
@@ -96,7 +101,10 @@ DRIVER_PRIORITY: list[str] = [
     # events_cube_daily, whose CUBE lattice is a superset of ROLLUP's —
     # bumped for embedding_gram_int8 below; full-registry sf0.01 oracle
     # run green this round)
-    "events_pivot_daily",
+    # (events_pivot_daily: conditional-agg twin of the in-window
+    # events_distinct_users, same stats.py module — bumped for
+    # doc_length_quantiles_sketch below; full-registry sf0.01 oracle
+    # run green this round)
     "users_cohort_setops",
     "doc_length_percentiles",
     "part_cheapest_by_type",
@@ -148,6 +156,9 @@ DRIVER_PRIORITY: list[str] = [
     "events_user_trailing_hour",
     "events_quality_report",
     "doc_quality_report",
+    "events_bloom_pruned_join",
+    "user_type_scd2",
+    "doc_length_quantiles_sketch",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /

@@ -91,6 +91,9 @@ HEADLINE = [
     "embedding_gram_int8",
     "events_user_trailing_hour",
     "events_quality_report",
+    "events_bloom_pruned_join",
+    "user_type_scd2",
+    "doc_length_quantiles_sketch",
 ]
 
 
