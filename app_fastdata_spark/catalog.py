@@ -11,6 +11,7 @@ def _load_all() -> None:
     # Import for side effects: each module registers its queries.
     from .functions import ip  # noqa: F401
     from .operators import (  # noqa: F401
+        behavior,
         curation,
         dedup,
         enrich,
@@ -44,10 +45,10 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 166 queries), round 7: (a) the 24
+    # Window math (50 driver slots, 169 queries), round 7: (a) the 21
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
-    # the 16 r4 rows noted at the end; fifteen r1-r3 entries are bumped
-    # for their in-window shape twins, see inline notes); (b) the 26
+    # the 16 r4 rows noted at the end; eighteen r1-r3 entries are bumped
+    # for their in-window shape twins, see inline notes); (b) the 29
     # round-7 registrations.
     # --- (a) r1-stale ---
     "doc_stratified_sample",
@@ -87,7 +88,10 @@ DRIVER_PRIORITY: list[str] = [
     # (events_by_src_dest: same views.py module/shape as the in-window
     # events_by_src — bumped for doc_normalize below; full-registry
     # sf0.01 oracle run green this round)
-    "events_sessions",
+    # (events_sessions: same views.py stream-view agg shape as the
+    # in-window events_by_src — its MAX adds one agg function to the
+    # identical plan class; bumped for events_cohort_retention below;
+    # full-registry sf0.01 oracle run green this round)
     "events_by_second",
     # (dests_by_second: same per-second views.py shape as the in-window
     # events_by_second — bumped for events_hll_users_by_type below;
@@ -106,8 +110,15 @@ DRIVER_PRIORITY: list[str] = [
     # doc_length_quantiles_sketch below; full-registry sf0.01 oracle
     # run green this round)
     "users_cohort_setops",
-    "doc_length_percentiles",
-    "part_cheapest_by_type",
+    # (doc_length_percentiles: same exact-percentile aggregate class and
+    # stats.py module as the in-window events_user_quartiles — bumped
+    # for events_type_transitions below; full-registry sf0.01 oracle
+    # run green this round)
+    # (part_cheapest_by_type: same row_number-argmin shape as the
+    # in-window user_type_scd2 mode pick and the new
+    # events_upsert_merge latest-per-key — bumped for
+    # events_upsert_merge below; full-registry sf0.01 oracle run green
+    # this round)
     # (events_daily_moving_avg: its ROWS-frame window class is evidenced
     # by events_user_running_stats' green r6 row and by the in-window
     # RANGE-frame twin added below — bumped for
@@ -159,6 +170,9 @@ DRIVER_PRIORITY: list[str] = [
     "events_bloom_pruned_join",
     "user_type_scd2",
     "doc_length_quantiles_sketch",
+    "events_cohort_retention",
+    "events_type_transitions",
+    "events_upsert_merge",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /

@@ -94,6 +94,9 @@ HEADLINE = [
     "events_bloom_pruned_join",
     "user_type_scd2",
     "doc_length_quantiles_sketch",
+    "events_cohort_retention",
+    "events_type_transitions",
+    "events_upsert_merge",
 ]
 
 

@@ -1431,3 +1431,76 @@ def test_quantile_sketch_rank_guarantee(spark, sf_dir):
         lt = bisect.bisect_left(vals, r.est_n_chars)
         le = bisect.bisect_right(vals, r.est_n_chars)
         assert lt - err <= r.q * n <= le + err, (r.q, r.est_n_chars, lt, le)
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Offset-0 retention is exactly 1.0 (every user is active in their
+    own cohort week), percentages never exceed 1, and cohort sizes sum
+    to the distinct non-NULL user count (cohorts partition the users)."""
+    from app_fastdata_spark.operators.behavior import events_cohort_retention
+    from app_fastdata_spark.tables import load_table
+
+    rows = events_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    zero = [r for r in rows if r.week_offset == 0]
+    assert zero and all(r.retention_pct == 1.0 for r in zero)
+    assert all(0 < r.retention_pct <= 1.0 for r in rows)
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .filter("ts IS NOT NULL AND user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_active for r in zero) == n_users
+
+
+def test_type_transitions_rows_normalize(spark, sf_dir):
+    """Each from_type row of the Markov matrix sums to ~1, and the total
+    transition count is (#seq events - #users-with-events)."""
+    from app_fastdata_spark.operators.behavior import events_type_transitions
+
+    rows = events_type_transitions(spark, sf_dir).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, 0.0)
+        by_from[r.from_type] += r.transition_prob
+    # rounded to 4 dp per cell; <=5 cells per row -> tolerance 5e-4
+    assert all(abs(s - 1.0) < 5e-4 for s in by_from.values()), by_from
+
+
+def test_upsert_merge_actions_partition_users(spark, sf_dir):
+    """Provenance is consistent with the two time windows: inserts are
+    delta-only users, keeps base-only, updates both; every merged user
+    appears exactly once and carries that side's latest timestamp."""
+    from app_fastdata_spark.operators.behavior import (
+        MID_TS,
+        events_upsert_merge,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    merged = {r.user_id: r for r in events_upsert_merge(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").filter(
+        "ts IS NOT NULL AND user_id IS NOT NULL"
+    )
+    mid = F.lit(MID_TS).cast("timestamp")
+    base_users = {
+        r.user_id for r in ev.filter(F.col("ts") < mid).select("user_id").distinct().collect()
+    }
+    delta_users = {
+        r.user_id for r in ev.filter(F.col("ts") >= mid).select("user_id").distinct().collect()
+    }
+    assert set(merged) == base_users | delta_users
+    for uid, r in merged.items():
+        expect = (
+            "update" if uid in base_users and uid in delta_users
+            else "insert" if uid in delta_users else "keep"
+        )
+        assert r.merge_action == expect, (uid, r.merge_action, expect)
+        if uid in delta_users:
+            assert str(r.last_ts) >= MID_TS
+        else:
+            assert str(r.last_ts) < MID_TS
