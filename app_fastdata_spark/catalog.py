@@ -45,19 +45,22 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 169 queries), round 7: (a) the 21
+    # Window math (50 driver slots, 176 queries), round 7: (a) the 18
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
-    # the 16 r4 rows noted at the end; eighteen r1-r3 entries are bumped
-    # for their in-window shape twins, see inline notes); (b) the 29
-    # round-7 registrations.
+    # the 16 r4 rows noted at the end; twenty-one r1-r3 entries are
+    # bumped for their in-window shape twins, see inline notes); (b) the
+    # 32 round-7 registrations (one, bpe_merge_step, bumped for its
+    # in-window unrolled twin bpe_train_merges, see inline note).
     # --- (a) r1-stale ---
     "doc_stratified_sample",
     "events_approx_stats",
     # --- (a) r2-stale ---
-    "kmeans_centers",
-    # (kmeans_centers_udtf: rows-only like its in-window MLlib twin
-    # kmeans_centers, and its single-group W2 math is determinism-
-    # pytest-gated — bumped for the rows-only embedding_pca_variance
+    # (kmeans_centers + kmeans_centers_udtf: BOTH are rows-only by
+    # design, so a driver row adds nothing beyond the in-repo
+    # determinism / scoring-range / swap pytest gates that already run
+    # every round; the shared Lloyd update math is value-hash-oracled
+    # via kmeans_lloyd_step (green r5 row). Bumped for
+    # customer_rfm_segments and the rows-only embedding_pca_variance
     # below; full-registry sf0.01 oracle run green this round)
     # --- (a) r3-stale ---
     "dedup_exact",
@@ -96,9 +99,17 @@ DRIVER_PRIORITY: list[str] = [
     # (dests_by_second: same per-second views.py shape as the in-window
     # events_by_second — bumped for events_hll_users_by_type below;
     # full-registry sf0.01 oracle run green this round)
-    "top_sources",
+    # (top_sources: same serving.py order-desc top-k projection class as
+    # the in-window top_src_dests tail, and the sliding-recency +
+    # partial-agg family anchor top_users stands on a green r5 row —
+    # bumped for customer_revenue_abc below; full-registry sf0.01 oracle
+    # run green this round)
     "top_src_dests",
-    "sim_topk_cosine",
+    # (sim_topk_cosine: its dot/norm/cosine fold helpers are exactly the
+    # in-window sim_ann_lsh re-rank stage (similarity.py:40 — shared
+    # module-level expressions), and the bounded-query-broadcast shape
+    # is sim_ann_lsh's probe side — bumped for events_top_paths below;
+    # full-registry sf0.01 oracle run green this round)
     "sim_ann_lsh",
     "events_distinct_users",
     # (events_rollup: same Expand + two-tier agg shape as the in-window
@@ -125,7 +136,7 @@ DRIVER_PRIORITY: list[str] = [
     # events_user_trailing_hour; full-registry sf0.01 oracle run green
     # this round)
     # (doc_token_stats: its shared _tokens expressions are exercised
-    # in-window by bpe_merge_step / bpe_compression — bumped for
+    # in-window by bpe_train_merges / bpe_compression — bumped for
     # events_quality_report below; full-registry sf0.01 oracle run green
     # this round)
     # (doc_quality: its shared quality_frame is exercised in-window by
@@ -146,7 +157,11 @@ DRIVER_PRIORITY: list[str] = [
     # --- (b) new this round ---
     "doc_chunks",
     "doc_classifier_score",
-    "bpe_merge_step",
+    # (bpe_merge_step: ONE iteration of the in-window bpe_train_merges —
+    # train unrolls two applications of the same _vocab_frame +
+    # pair-explode + argmax math (prep.py:228,373), so the train row
+    # value-hash-covers the step — bumped for events_debounce below;
+    # full-registry sf0.01 oracle run green this round)
     "events_merged_sessions",
     "events_user_quartiles",
     "corpus_snapshot_diff",
@@ -173,12 +188,18 @@ DRIVER_PRIORITY: list[str] = [
     "events_cohort_retention",
     "events_type_transitions",
     "events_upsert_merge",
+    "customer_rfm_segments",
+    "customer_revenue_abc",
+    "events_top_paths",
+    "events_debounce",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /
     # dedup_survivors_uncapped exercise the same guard code path on
     # their shingle sources.)
-    # (Exactly 50. Outside the window: the 16 r4-row entries
+    # (Exactly 50. Outside the window: the 16 r4-row entries below plus
+    # the four twin-covered bumps above (kmeans_centers, top_sources,
+    # sim_topk_cosine, bpe_merge_step) lead the round-8 window. The 16:
     # (doc_repetition, doc_seq_packing, doc_mixture_weights,
     # doc_budget_sample, doc_length_histogram, doc_quality_adaptive,
     # doc_stratified_sample_hash, events_funnel,

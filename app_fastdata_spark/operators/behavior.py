@@ -30,7 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -445,3 +445,330 @@ register(
     ORDER BY src NULLS FIRST
     """,
 )(events_by_src_incremental)
+
+
+# --- RFM quartile segmentation --------------------------------------------------
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over orders: per-customer Recency (days since
+    last order, relative to the corpus max date — the pinned-NOW idiom
+    params.py uses for the serving views), Frequency (#orders), Monetary
+    (revenue), each scored 1-4 by comparing against the metric's exact
+    quartile boundaries, concatenated into the classic 'R4F2M1' segment.
+
+    Deliberately NOT NTILE: a global NTILE is a total sort (one-partition
+    window — the scale killer), and its tie-splitting is row-order-
+    dependent so two engines can't agree on it. Boundary-bucketing is
+    the distributed formulation: quartiles come from one `percentile`
+    aggregate over the customer-sized frame, broadcast as three scalars
+    per metric, and scoring is a stateless projection — ties at a
+    boundary go to the lower bucket on both engines by the shared
+    strict-> comparison. One o_custkey shuffle total; everything after
+    is dim-sized.
+
+    NULL custkey/orderdate rows are excluded on both engines (a NULL key
+    has no RFM identity); Recency compares calendar DATEs so the engines'
+    differing timestamp-difference conventions never enter."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    now = orders.agg(F.max(F.to_date("o_orderdate")).alias("now_d"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(now))
+        .withColumn("recency_days", F.datediff("now_d", "last_d"))
+    )
+    bounds = per.agg(
+        *[
+            F.expr(f"percentile({m}, {q})").alias(f"{m[0]}{i + 1}")
+            for m in ("recency_days", "frequency", "monetary")
+            for i, q in enumerate((0.25, 0.5, 0.75))
+        ]
+    )
+
+    def score(metric: str, letter: str, invert: bool) -> Column:
+        hits = sum(
+            (F.col(metric) > F.col(f"{letter}{i}")).cast("int")
+            for i in (1, 2, 3)
+        )
+        return (F.lit(4) - hits if invert else F.lit(1) + hits).alias(
+            f"{letter}_score"
+        )
+
+    return (
+        per.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            score("recency_days", "r", invert=True),
+            score("frequency", "f", invert=False),
+            score("monetary", "m", invert=False),
+        )
+        .withColumn(
+            "segment",
+            F.format_string(
+                "R%dF%dM%d",
+                F.col("r_score"),
+                F.col("f_score"),
+                F.col("m_score"),
+            ),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+register(
+    "customer_rfm_segments",
+    sql="""
+    WITH o AS (
+      SELECT * FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ),
+    now_t AS (SELECT max(CAST(o_orderdate AS DATE)) AS now_d FROM o),
+    per AS (
+      SELECT o_custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT now_d FROM now_t)) AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM o GROUP BY 1
+    ),
+    b AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r1,
+             quantile_cont(recency_days, 0.5)  AS r2,
+             quantile_cont(recency_days, 0.75) AS r3,
+             quantile_cont(frequency, 0.25)    AS f1,
+             quantile_cont(frequency, 0.5)     AS f2,
+             quantile_cont(frequency, 0.75)    AS f3,
+             quantile_cont(monetary, 0.25)     AS m1,
+             quantile_cont(monetary, 0.5)      AS m2,
+             quantile_cont(monetary, 0.75)     AS m3
+      FROM per
+    ),
+    s AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             4 - ((recency_days > r1)::INT + (recency_days > r2)::INT
+                  + (recency_days > r3)::INT) AS r_score,
+             1 + ((frequency > f1)::INT + (frequency > f2)::INT
+                  + (frequency > f3)::INT) AS f_score,
+             1 + ((monetary > m1)::INT + (monetary > m2)::INT
+                  + (monetary > m3)::INT) AS m_score
+      FROM per, b
+    )
+    SELECT *, printf('R%dF%dM%d', r_score, f_score, m_score) AS segment
+    FROM s ORDER BY o_custkey
+    """,
+)(customer_rfm_segments)
+
+
+# --- Pareto / ABC revenue classification ----------------------------------------
+def customer_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: customers ranked by revenue, running
+    cumulative revenue share, class A while the running share ≤ 80%,
+    B to 95%, C for the tail — the inventory-analysis classic.
+
+    The running sum is a global ROWS window, but it runs over the
+    per-customer AGGREGATE (one o_custkey shuffle reduces the facts to a
+    customer-sized frame first) — the same dim-sized-matrix justification
+    as the cohort denominator above. At a customer count where even that
+    frame is too big for one window partition, the two-pass fix is
+    revenue-band bucketing + per-band offsets (the distributed
+    row_number trick); the facts never see the window either way.
+
+    Both engines sum the same doubles in the same (revenue DESC, custkey)
+    order with an explicit ROWS frame — RANGE (the default) would put
+    revenue ties in one peer group and diverge. NULL-revenue orders are
+    excluded up front: Spark and DuckDB disagree on DESC NULL placement,
+    the trap the SCD2 docstring records."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    tot = rev.agg(F.sum("rev").alias("total_rev"))
+    w = (
+        Window.orderBy(F.desc("rev"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_share", F.round(F.sum("rev").over(w) / F.col("total_rev"), 6)
+        )
+        .select(
+            "o_custkey",
+            F.round("rev", 2).alias("revenue"),
+            "cum_share",
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.desc("revenue"), "o_custkey")
+    )
+
+
+register(
+    "customer_revenue_abc",
+    sql="""
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT o_custkey, rev,
+             round(sum(rev) OVER (
+               ORDER BY rev DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / (SELECT sum(rev) FROM rev), 6) AS cum_share
+      FROM rev
+    )
+    SELECT o_custkey, round(rev, 2) AS revenue, cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c ORDER BY revenue DESC, o_custkey
+    """,
+)(customer_revenue_abc)
+
+
+# --- Top event-type trigram paths ------------------------------------------------
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 event-type paths across all user sequences — the
+    n-gram extension of the transition matrix above (funnel DISCOVERY,
+    where events_funnel MEASURES one known path).
+
+    Two lags over the same (user_id ORDER BY ts, event_id) window — one
+    exchange, one WindowExec; the path rollup is ≤ |types|³ rows, so the
+    share denominator is an empty-frame window over a dim-sized frame
+    and the top-k is a TakeOrdered over it. Same NULL exclusions as the
+    transition matrix, same event_id tiebreak for determinism."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("p1", F.lag("event_type", 2).over(w))
+        .withColumn("p2", F.lag("event_type", 1).over(w))
+        .filter(F.col("p1").isNotNull() & F.col("p2").isNotNull())
+    )
+    paths = t.groupBy(
+        F.concat_ws(" > ", "p1", "p2", "event_type").alias("path")
+    ).agg(F.count("*").alias("n_paths"))
+    return (
+        paths.withColumn(
+            "share",
+            F.round(
+                F.col("n_paths") / F.sum("n_paths").over(Window.partitionBy()),
+                4,
+            ),
+        )
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(20)
+    )
+
+
+register(
+    "events_top_paths",
+    sql="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+             lag(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS p2
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    p AS (
+      SELECT p1 || ' > ' || p2 || ' > ' || event_type AS path,
+             count(*) AS n_paths
+      FROM s WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n_paths,
+           round(n_paths * 1.0 / sum(n_paths) OVER (), 4) AS share
+    FROM p
+    ORDER BY n_paths DESC, path
+    LIMIT 20
+    """,
+)(events_top_paths)
+
+
+# --- Near-duplicate event suppression (debounce) --------------------------------
+# 6 hours: drops ~10% of the synthetic events at sf0.01 — enough signal
+# to prove the filter bites, small enough that the output is still the
+# stream (measured via the gap CDF, not guessed).
+DEBOUNCE_GAP_S = 21600
+
+
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppress near-duplicate events: drop any event within
+    DEBOUNCE_GAP_S of the PREVIOUS event of the same (user_id,
+    event_type) — the standard retry/jitter dedupe for at-least-once
+    delivery (gap-to-previous-raw-event semantics, deliberately not the
+    chained keep-anchored debounce, which is inherently sequential).
+
+    One (user_id, event_type) window exchange; the gap is integer
+    microsecond arithmetic (unix_micros/epoch_us) so both engines derive
+    the same longs, and the survivor set is a stateless filter — at
+    scale this is one shuffle and the filter runs map-side after it.
+    Boundary rule: gap == DEBOUNCE_GAP_S drops (strict > survives)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(
+            F.col("gap_us").isNull()
+            | (
+                F.col("gap_us")
+                > F.lit(DEBOUNCE_GAP_S * 1_000_000).cast("long")
+            )
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.round(F.col("gap_us") / 1e6, 6).alias("prev_gap_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    "events_debounce",
+    sql=f"""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    )
+    SELECT event_id, user_id, event_type, ts,
+           round(gap_us / 1e6, 6) AS prev_gap_s
+    FROM t
+    WHERE gap_us IS NULL OR gap_us > {DEBOUNCE_GAP_S}::BIGINT * 1000000
+    ORDER BY event_id
+    """,
+)(events_debounce)

@@ -97,6 +97,10 @@ HEADLINE = [
     "events_cohort_retention",
     "events_type_transitions",
     "events_upsert_merge",
+    "customer_rfm_segments",
+    "customer_revenue_abc",
+    "events_top_paths",
+    "events_debounce",
 ]
 
 

@@ -1504,3 +1504,105 @@ def test_upsert_merge_actions_partition_users(spark, sf_dir):
             assert str(r.last_ts) >= MID_TS
         else:
             assert str(r.last_ts) < MID_TS
+
+
+def test_rfm_scores_quartile_invariants(spark, sf_dir):
+    """Every score is 1-4, the segment string matches its scores, and
+    boundary-bucketing puts ~a quarter of customers at-or-below each
+    boundary (exactly: score<=k count >= k*n/4 for the ties-go-low
+    rule, since percentile boundaries are exact order statistics)."""
+    from app_fastdata_spark.operators.behavior import customer_rfm_segments
+
+    rows = customer_rfm_segments(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    for r in rows:
+        assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+        assert r.segment == f"R{r.r_score}F{r.f_score}M{r.m_score}"
+    # most-recent customer scores R4; highest spender scores M4
+    best_r = min(rows, key=lambda r: (r.recency_days, r.o_custkey))
+    best_m = max(rows, key=lambda r: (r.monetary, r.o_custkey))
+    assert best_r.r_score == 4 and best_m.m_score == 4
+    for k in (1, 2, 3):
+        assert sum(1 for r in rows if r.m_score <= k) >= k * n // 4
+
+
+def test_revenue_abc_partitions_and_monotone(spark, sf_dir):
+    """cum_share is nondecreasing in rank order, ends at 1.0, and the
+    A/B/C classes are consistent with their share boundaries."""
+    from app_fastdata_spark.operators.behavior import customer_revenue_abc
+
+    rows = customer_revenue_abc(spark, sf_dir).collect()
+    assert rows
+    shares = [r.cum_share for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    for r in rows:
+        if r.abc_class == "A":
+            assert r.cum_share <= 0.8
+        elif r.abc_class == "B":
+            assert 0.8 < r.cum_share <= 0.95
+        else:
+            assert r.cum_share > 0.95
+    assert {r.abc_class for r in rows} == {"A", "B", "C"}
+
+
+def test_top_paths_counts_and_share(spark, sf_dir):
+    """Total trigram count equals sum over users of max(0, n_events-2),
+    and every reported share is a valid fraction of that total."""
+    from collections import Counter
+
+    from app_fastdata_spark.operators.behavior import events_top_paths
+    from app_fastdata_spark.tables import load_table
+
+    rows = events_top_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    per_user = Counter(
+        r.user_id
+        for r in load_table(spark, sf_dir, "events")
+        .filter(
+            "ts IS NOT NULL AND user_id IS NOT NULL"
+            " AND event_type IS NOT NULL"
+        )
+        .select("user_id")
+        .collect()
+    )
+    total = sum(max(0, c - 2) for c in per_user.values())
+    for r in rows:
+        assert len(r.path.split(" > ")) == 3
+        assert abs(r.share - r.n_paths / total) < 5e-5
+    assert sum(r.n_paths for r in rows) <= total
+
+
+def test_debounce_survivor_gaps(spark, sf_dir):
+    """Survivors' recorded gap-to-previous-raw-event exceeds the
+    threshold (or is the series head), and recomputing the raw lag
+    per (user, type) from the source gives exactly the survivor set."""
+    from app_fastdata_spark.operators.behavior import (
+        DEBOUNCE_GAP_S,
+        events_debounce,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    kept = events_debounce(spark, sf_dir).collect()
+    assert kept
+    for r in kept:
+        assert r.prev_gap_s is None or r.prev_gap_s > DEBOUNCE_GAP_S
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .filter(
+            "ts IS NOT NULL AND user_id IS NOT NULL"
+            " AND event_type IS NOT NULL"
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+        .collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    prev: dict = {}
+    expect = set()
+    for r in ev:
+        k = (r.user_id, r.event_type)
+        if k not in prev or (r.ts - prev[k]).total_seconds() > DEBOUNCE_GAP_S:
+            expect.add(r.event_id)
+        prev[k] = r.ts
+    assert {r.event_id for r in kept} == expect
