@@ -45,12 +45,14 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 176 queries), round 7: (a) the 18
+    # Window math (50 driver slots, 178 queries), round 7: (a) the 18
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
     # the 16 r4 rows noted at the end; twenty-one r1-r3 entries are
     # bumped for their in-window shape twins, see inline notes); (b) the
-    # 32 round-7 registrations (one, bpe_merge_step, bumped for its
-    # in-window unrolled twin bpe_train_merges, see inline note).
+    # 34 round-7 registrations (three bumped with inline notes:
+    # bpe_merge_step for its in-window unrolled twin bpe_train_merges,
+    # and the rows-only events_heavy_hitters_mg / embedding_pca_variance
+    # on the run-proof argument).
     # --- (a) r1-stale ---
     "doc_stratified_sample",
     "events_approx_stats",
@@ -175,9 +177,17 @@ DRIVER_PRIORITY: list[str] = [
     "doc_normalize",
     "events_hll_users_by_type",
     "events_heavy_hitters",
-    "events_heavy_hitters_mg",
+    # (events_heavy_hitters_mg: rows-only by design — a driver row
+    # proves only that it runs, which the full-registry sf0.01 run
+    # already does this round; its MG superset/lower-bound invariants
+    # are pytest-gated and its exact twin events_heavy_hitters stays
+    # in-window — bumped for customer_spend_distribution below)
     "embedding_gram_int8",
-    "embedding_pca_variance",
+    # (embedding_pca_variance: rows-only by design — same run-proof
+    # argument as events_heavy_hitters_mg above; its fit invariants are
+    # pytest-gated and the same single-scan Gram/fit path feeds the
+    # in-window embedding_pca_project — bumped for events_value_mad
+    # below)
     "embedding_pca_project",
     "events_user_trailing_hour",
     "events_quality_report",
@@ -192,14 +202,17 @@ DRIVER_PRIORITY: list[str] = [
     "customer_revenue_abc",
     "events_top_paths",
     "events_debounce",
+    "customer_spend_distribution",
+    "events_value_mad",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /
     # dedup_survivors_uncapped exercise the same guard code path on
     # their shingle sources.)
     # (Exactly 50. Outside the window: the 16 r4-row entries below plus
-    # the four twin-covered bumps above (kmeans_centers, top_sources,
-    # sim_topk_cosine, bpe_merge_step) lead the round-8 window. The 16:
+    # the twin-covered bumps above (kmeans_centers, top_sources,
+    # sim_topk_cosine, bpe_merge_step, events_heavy_hitters_mg,
+    # embedding_pca_variance) lead the round-8 window. The 16:
     # (doc_repetition, doc_seq_packing, doc_mixture_weights,
     # doc_budget_sample, doc_length_histogram, doc_quality_adaptive,
     # doc_stratified_sample_hash, events_funnel,

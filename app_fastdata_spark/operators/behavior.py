@@ -772,3 +772,159 @@ register(
     ORDER BY event_id
     """,
 )(events_debounce)
+
+
+# --- Spend distribution (percent_rank / cume_dist) -------------------------------
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's position in the revenue distribution:
+    percent_rank (share of OTHER customers strictly below) and cume_dist
+    (share at-or-below) — the two rank-normalizing window functions the
+    RFM/ABC operators above deliberately avoid for scoring, exposed
+    directly for when the caller wants the raw percentile position.
+
+    Deterministic across engines because the (rev, o_custkey) ordering
+    is unique — no peer groups, so both functions reduce to pure rank
+    arithmetic. Same dim-sized-aggregate window justification as the ABC
+    classifier; same NULL exclusions (DESC NULL placement divergence)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    return rev.select(
+        "o_custkey",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
+    ).orderBy("o_custkey")
+
+
+register(
+    "customer_spend_distribution",
+    sql="""
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT o_custkey, round(rev, 2) AS revenue,
+           round(percent_rank() OVER (ORDER BY rev, o_custkey), 6)
+             AS spend_pct_rank,
+           round(cume_dist() OVER (ORDER BY rev, o_custkey), 6)
+             AS spend_cume_dist
+    FROM rev ORDER BY o_custkey
+    """,
+)(customer_spend_distribution)
+
+
+# --- Robust outlier detection (median / MAD) -------------------------------------
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen on the value column: exact median,
+    MAD (median absolute deviation), and the count of modified-z
+    outliers (|0.6745 * dev / MAD| > 3.5, Iglewicz-Hoaglin) — the screen
+    a training pipeline runs on numeric features where mean/stddev are
+    themselves corrupted by the outliers being hunted.
+
+    Inherently multi-pass (MAD is a median OF deviations FROM a median),
+    but every reduce is dim-sized and broadcast back: pass 1 reduces the
+    facts to one median per type, pass 2 reduces the deviations to one
+    MAD per type, pass 3 counts threshold crossers — three event_type
+    hash-aggs, stateless projections between, nothing but |types|-row
+    frames ever broadcast. The med/mad frames are localCheckpoint'ed
+    (the dedup_graph_stats precedent): each fans into 2+ plan positions
+    and would otherwise re-run its whole upstream fact scan per
+    position — with the checkpoint the plan is exactly three fact
+    scans (gated in test_plans); persisting the deviation frame would
+    make it two. Zero-MAD types (constant
+    or >50% one value) report zero outliers rather than dividing by
+    zero; NULL values are excluded on both engines (no deviation).
+    All arithmetic is double-precision in identical expression order,
+    so the 3.5 threshold comparison is bit-deterministic across
+    engines."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("med"))
+        .localCheckpoint()
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = (
+        dev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.first("med").alias("med"),
+            F.expr("percentile(adev, 0.5)").alias("mad"),
+        )
+        .localCheckpoint()
+    )
+    outl = (
+        dev.join(
+            F.broadcast(mad.select("event_type", "mad")), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (
+                        F.lit(0.6745) * F.col("adev") / F.col("mad")
+                        > F.lit(3.5)
+                    ),
+                    1,
+                )
+                .otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        mad.join(outl, "event_type")
+        .select(
+            "event_type",
+            "n_values",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_value_mad",
+    sql="""
+    WITH ev AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM ev GROUP BY 1
+    ),
+    dev AS (
+      SELECT ev.event_type, ev.value, m.med,
+             abs(ev.value - m.med) AS adev
+      FROM ev JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, count(*) AS n_values, any_value(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, any_value(m.n_values) AS n_values,
+           round(any_value(m.med), 6) AS median_value,
+           round(any_value(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN m.mad > 0
+                          AND 0.6745 * d.adev / m.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)(events_value_mad)

@@ -101,6 +101,8 @@ HEADLINE = [
     "customer_revenue_abc",
     "events_top_paths",
     "events_debounce",
+    "customer_spend_distribution",
+    "events_value_mad",
 ]
 
 

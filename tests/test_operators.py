@@ -1606,3 +1606,56 @@ def test_debounce_survivor_gaps(spark, sf_dir):
             expect.add(r.event_id)
         prev[k] = r.ts
     assert {r.event_id for r in kept} == expect
+
+
+def test_spend_distribution_rank_arithmetic(spark, sf_dir):
+    """With a unique ordering, percent_rank is (rank-1)/(n-1) and
+    cume_dist is rank/n; the min customer is (0, 1/n), the max (1, 1)."""
+    from app_fastdata_spark.operators.behavior import (
+        customer_spend_distribution,
+    )
+
+    rows = customer_spend_distribution(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 1
+    ranked = sorted(rows, key=lambda r: (r.revenue, r.o_custkey))
+    for i, r in enumerate(ranked):
+        assert abs(r.spend_pct_rank - i / (n - 1)) < 5e-7, (i, r)
+        assert abs(r.spend_cume_dist - (i + 1) / n) < 5e-7, (i, r)
+
+
+def test_value_mad_robust_invariants(spark, sf_dir):
+    """MAD is nonnegative and no larger than the max deviation, the
+    outlier count matches a local recompute, and at least half of each
+    type's values lie within one MAD of the median (the defining
+    property of a median of deviations)."""
+    from collections import defaultdict
+
+    from app_fastdata_spark.operators.behavior import events_value_mad
+    from app_fastdata_spark.tables import load_table
+
+    rows = {r.event_type: r for r in events_value_mad(spark, sf_dir).collect()}
+    assert rows
+    vals = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IS NOT NULL AND value IS NOT NULL")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals[r.event_type].append(r.value)
+    assert set(rows) == set(vals)
+    for t, r in rows.items():
+        v = vals[t]
+        assert r.n_values == len(v)
+        devs = sorted(abs(x - r.median_value) for x in v)
+        assert 0 <= r.mad <= devs[-1] + 1e-6
+        within = sum(1 for d in devs if d <= r.mad + 1e-6)
+        assert within * 2 >= len(v)
+        if r.mad > 0:
+            expect = sum(1 for d in devs if 0.6745 * d / r.mad > 3.5)
+            # median rounded to 6dp in the output; recompute can drift
+            # by at most a couple of boundary cases
+            assert abs(r.n_outliers - expect) <= 2, (t, r.n_outliers, expect)
+        else:
+            assert r.n_outliers == 0

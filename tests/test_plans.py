@@ -674,3 +674,70 @@ def test_bloom_pruned_join_shape(spark, sf_dir):
     # exactly one exchange pair for the agg + the presentation sort
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(ex) == 1 and "user_id" in ex[0], ex
+
+
+BEHAVIOR_SINGLE_SCAN = [
+    "events_cohort_retention",
+    "events_type_transitions",
+    "events_top_paths",
+    "events_debounce",
+    "events_value_mad",
+]
+
+
+@pytest.mark.parametrize("name", BEHAVIOR_SINGLE_SCAN)
+def test_behavior_ops_single_fact_scan(spark, sf_dir, name):
+    """Each behavior operator's final plan reads the events table ONCE
+    (cohort retention's single-scan claim, the lag/window family's one
+    exchange, value_mad's checkpointed med/mad frames) and stays fully
+    JVM-side."""
+    plan = plan_of(spark, sf_dir, name)
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 1, (name, scans)
+    assert "Python" not in plan, name
+
+
+def test_rfm_scoring_is_windowless_and_reuses_exchange(spark, sf_dir):
+    """The RFM scorer must contain NO window node (boundary-bucketing
+    against broadcast percentile scalars replaces the global NTILE sort
+    — the whole scale point), and at runtime AQE must reuse the
+    per-customer aggregate's exchange rather than re-scanning orders
+    for the bounds pass."""
+    from app_fastdata_spark.catalog import queries
+
+    df = queries()["customer_rfm_segments"](spark, sf_dir)
+    initial = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in initial
+    assert "BroadcastNestedLoopJoin" in initial  # scalar bounds crossJoin
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_abc_window_runs_over_aggregate_not_facts(spark, sf_dir):
+    """The ABC running-share window is a SinglePartition exchange — but
+    its input must be the per-customer HashAggregate (dim-sized), never
+    the raw orders scan: the Window node sits strictly downstream of
+    the aggregate in the plan tree."""
+    plan = plan_of(spark, sf_dir, "customer_revenue_abc")
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    # the window's subtree (greater indentation below it) must contain
+    # the aggregate before any file scan
+    agg = next(
+        i for i, l in enumerate(lines) if i > win and "HashAggregate" in l
+    )
+    scan = next(i for i, l in enumerate(lines) if i > win and "FileScan" in l)
+    assert agg < scan, plan
+
+
+def test_upsert_merge_plan_shape(spark, sf_dir):
+    """MERGE lowers to: two pruned scans, per-side top-1 WindowGroupLimit
+    pre-filters (Spark's rank-limit pushdown — each side sheds everything
+    but the latest row per key BEFORE the join), and one co-partitioned
+    full-outer sort-merge join."""
+    plan = plan_of(spark, sf_dir, "events_upsert_merge")
+    assert plan.count("SortMergeJoin") == 1
+    assert "FullOuter" in plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert len([l for l in plan.splitlines() if "FileScan" in l]) == 2
