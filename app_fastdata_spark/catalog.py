@@ -45,14 +45,14 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 178 queries), round 7: (a) the 18
+    # Window math (50 driver slots, 179 queries), round 7: (a) the 18
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
     # the 16 r4 rows noted at the end; twenty-one r1-r3 entries are
     # bumped for their in-window shape twins, see inline notes); (b) the
-    # 34 round-7 registrations (three bumped with inline notes:
+    # 35 round-7 registrations (four bumped with inline notes:
     # bpe_merge_step for its in-window unrolled twin bpe_train_merges,
     # and the rows-only events_heavy_hitters_mg / embedding_pca_variance
-    # on the run-proof argument).
+    # / doc_length_quantiles_sketch on the run-proof argument).
     # --- (a) r1-stale ---
     "doc_stratified_sample",
     "events_approx_stats",
@@ -194,7 +194,11 @@ DRIVER_PRIORITY: list[str] = [
     "doc_quality_report",
     "events_bloom_pruned_join",
     "user_type_scd2",
-    "doc_length_quantiles_sketch",
+    # (doc_length_quantiles_sketch: rows-only by design — same run-proof
+    # argument as events_heavy_hitters_mg above; its rank-error and
+    # merge guarantees are pytest-gated — bumped for
+    # events_debounce_stateful below, which puts a THIRD custom stateful
+    # streaming operator under the full value-hash driver gate)
     "events_cohort_retention",
     "events_type_transitions",
     "events_upsert_merge",
@@ -204,6 +208,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_debounce",
     "customer_spend_distribution",
     "events_value_mad",
+    "events_debounce_stateful",
     # (No explicit slot remains for the widen-guard conf-read refactor's
     # riders — it is output-identical under driver-default confs and
     # unit-tested, and the in-window dedup_components_uncapped /
@@ -212,7 +217,8 @@ DRIVER_PRIORITY: list[str] = [
     # (Exactly 50. Outside the window: the 16 r4-row entries below plus
     # the twin-covered bumps above (kmeans_centers, top_sources,
     # sim_topk_cosine, bpe_merge_step, events_heavy_hitters_mg,
-    # embedding_pca_variance) lead the round-8 window. The 16:
+    # embedding_pca_variance, doc_length_quantiles_sketch) lead the
+    # round-8 window. The 16:
     # (doc_repetition, doc_seq_packing, doc_mixture_weights,
     # doc_budget_sample, doc_length_histogram, doc_quality_adaptive,
     # doc_stratified_sample_hash, events_funnel,

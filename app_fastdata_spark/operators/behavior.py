@@ -753,9 +753,11 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "events_debounce",
-    sql=f"""
+# Shared with the streaming stateful twin (streaming/stateful.py), which
+# registers under the SAME oracle — a full value-hash parity check on a
+# custom stateful streaming operator (the session_aggregate_stateful
+# precedent).
+DEBOUNCE_SQL = f"""
     WITH t AS (
       SELECT event_id, user_id, event_type, ts,
              epoch_us(ts) - lag(epoch_us(ts)) OVER (
@@ -770,8 +772,9 @@ register(
     FROM t
     WHERE gap_us IS NULL OR gap_us > {DEBOUNCE_GAP_S}::BIGINT * 1000000
     ORDER BY event_id
-    """,
-)(events_debounce)
+    """
+
+register("events_debounce", sql=DEBOUNCE_SQL)(events_debounce)
 
 
 # --- Spend distribution (percent_rank / cume_dist) -------------------------------

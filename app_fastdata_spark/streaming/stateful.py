@@ -128,3 +128,115 @@ def _register() -> None:
 
 
 _register()
+
+
+# --- Stateful debounce (near-duplicate event suppression) -----------------------
+# state: microseconds of the last RAW event seen per (user_id, event_type)
+DEBOUNCE_STATE_SCHEMA = "last_us long"
+
+DEBOUNCE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("prev_gap_s", T.DoubleType()),
+    ]
+)
+
+
+def _debounce(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        last_us = state.get[0] if state.exists else None
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        keep_ids: list[int] = []
+        keep_ts: list = []
+        keep_gap: list = []
+        for eid, ts in zip(pdf["event_id"], pdf["ts"]):
+            t_us = int(ts.value) // 1_000  # pandas ns → exact µs
+            gap = None if last_us is None else t_us - last_us
+            if gap is None or gap > gap_us:
+                keep_ids.append(int(eid))
+                keep_ts.append(ts)
+                # gap_us/1e6 has <=6 decimal digits exactly, so this IS
+                # the batch side's round(gap_us/1e6, 6) bit-for-bit
+                keep_gap.append(None if gap is None else gap / 1e6)
+            last_us = t_us  # raw-event anchor, kept or not
+        state.update((last_us,))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(keep_ids, dtype="int64"),
+                "user_id": pd.Series(
+                    [user_id] * len(keep_ids), dtype="int64"
+                ),
+                "event_type": [event_type] * len(keep_ids),
+                "ts": pd.Series(keep_ts, dtype="datetime64[ns]"),
+                "prev_gap_s": pd.Series(keep_gap, dtype="float64"),
+            }
+        )
+
+    return fn
+
+
+def stateful_debounce_stream(events: DataFrame, gap_seconds: int) -> DataFrame:
+    """Near-duplicate suppression as a custom stateful streaming operator:
+    per (user_id, event_type), drop events within gap_seconds of the
+    previous RAW event — the at-ingest twin of the batch
+    operators.behavior.events_debounce (same gap-to-previous semantics,
+    NOT keep-anchored), expressed the way an ingest pipeline would run
+    it: state is ONE long per live key, Arrow-batched, one shuffle on
+    the key, no watermark needed because the state never grows with the
+    stream (it overwrites).
+
+    NULL keys/ts are filtered Spark-side BEFORE the stateful op — a NULL
+    in an int64 Arrow batch silently becomes float64 and corrupts ids
+    >= 2^53 (the documented Arrow trap)."""
+    clean = events.filter(
+        "ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL"
+    ).select("event_id", "user_id", "event_type", "ts")
+    return clean.groupBy("user_id", "event_type").applyInPandasWithState(
+        _debounce(gap_seconds),
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def events_debounce_stateful(spark, sf_dir: str) -> DataFrame:
+    """Driver wrapper: run the stateful debounce end-to-end (file-source
+    stream, AvailableNow, memory sink) and register it under the SAME
+    DuckDB oracle as the batch events_debounce — a full value-hash
+    parity check on the streaming operator."""
+    from ..operators.behavior import DEBOUNCE_GAP_S
+    from .pipeline import events_stream, run_to_memory
+
+    _RUN_SEQ[0] += 1
+    out = run_to_memory(
+        stateful_debounce_stream(
+            events_stream(spark, sf_dir), DEBOUNCE_GAP_S
+        ),
+        f"stateful_debounce_{_RUN_SEQ[0]}",
+        output_mode="update",
+    )
+    return out.orderBy("event_id")
+
+
+def _register_debounce() -> None:
+    from ..operators.behavior import DEBOUNCE_SQL
+
+    register("events_debounce_stateful", sql=DEBOUNCE_SQL)(
+        events_debounce_stateful
+    )
+
+
+_register_debounce()

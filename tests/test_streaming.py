@@ -855,3 +855,79 @@ def test_quantile_sketch_stream_rank_guarantee(spark, sf_dir, tmp_path, monkeypa
     )
     assert compactions2 >= 1
     check(got2, compactions2)
+
+
+def test_stateful_debounce_cross_batch_parity(spark, sf_dir, tmp_path):
+    """The debounce state (last raw event per key) must survive across
+    micro-batches: stream the events as TWO time-split files with
+    maxFilesPerTrigger=1 and assert (a) at least two batches ran,
+    (b) the joint survivor set equals the batch operator over the whole
+    table, and (c) state genuinely crossed the boundary — some key's
+    first batch-2 event was suppressed (or gap-stamped) by a batch-1
+    anchor, which per-batch-independent debouncing could never do."""
+    import os
+    import time
+
+    from app_fastdata_spark.operators.behavior import (
+        DEBOUNCE_GAP_S,
+        MID_TS,
+        events_debounce,
+    )
+    from app_fastdata_spark.streaming.stateful import stateful_debounce_stream
+    from app_fastdata_spark.tables import load_table
+
+    d = str(tmp_path / "ev2")
+    os.makedirs(d)
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(f"ts < TIMESTAMP '{MID_TS}'").coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    time.sleep(1.1)  # distinct mtimes: file-source batch order is by mtime
+    ev.filter(f"ts >= TIMESTAMP '{MID_TS}'").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/events.parquet")
+
+    q = (
+        stateful_debounce_stream(
+            P.events_stream(spark, d, max_files_per_trigger=1),
+            DEBOUNCE_GAP_S,
+        )
+        .writeStream.format("memory")
+        .queryName("debounce_xbatch")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, [p["batchId"] for p in q.recentProgress]
+
+    got = {
+        r.event_id: r for r in spark.table("debounce_xbatch").collect()
+    }
+    want = {r.event_id: r for r in events_debounce(spark, d).collect()}
+    assert set(got) == set(want)
+    for eid, r in got.items():
+        w = want[eid]
+        assert (r.prev_gap_s is None) == (w.prev_gap_s is None)
+        if r.prev_gap_s is not None:
+            assert abs(r.prev_gap_s - w.prev_gap_s) < 1e-9
+
+    # (c) witness: per-key FIRST batch-2 event either suppressed or
+    # carrying a gap stamp — both impossible without batch-1 state
+    delta = (
+        ev.filter(
+            f"ts >= TIMESTAMP '{MID_TS}' AND ts IS NOT NULL"
+            " AND user_id IS NOT NULL AND event_type IS NOT NULL"
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+        .collect()
+    )
+    first_delta = {}
+    for r in sorted(delta, key=lambda r: (r.ts, r.event_id)):
+        first_delta.setdefault((r.user_id, r.event_type), r.event_id)
+    crossed = [
+        eid
+        for eid in first_delta.values()
+        if eid not in got or got[eid].prev_gap_s is not None
+    ]
+    assert crossed, "no key's first batch-2 event saw batch-1 state"
