@@ -94,6 +94,20 @@ QUERIES = [
     # round 7: RANGE-frame window over one user_id exchange — scales
     # with per-user event counts (replicas add users, not depth)
     "events_user_trailing_hour",
+    # round 7 late: one bounded collect_set exchange, horizon²-row tail —
+    # a super-linear exponent would mean the per-user week set is not
+    # bounding the shuffle payload
+    "events_cohort_retention",
+    # round 7 late: one (user,type) window exchange + stateless filter —
+    # the no-agg window baseline; replicas add keys, not series depth
+    "events_debounce",
+    # round 7 late: three event_type hash-aggs with CONSTANT reduce side
+    # (replicas share the 5 types) + two dim broadcasts; growth must
+    # track the three scans alone
+    "events_value_mad",
+    # round 7 late: two pruned scans + per-side top-1 WindowGroupLimit +
+    # co-partitioned full-outer SMJ; linear in users by construction
+    "events_upsert_merge",
 ]
 
 
