@@ -214,6 +214,16 @@ DRIVER_PRIORITY: list[str] = [
     # unit-tested, and the in-window dedup_components_uncapped /
     # dedup_survivors_uncapped exercise the same guard code path on
     # their shingle sources.)
+    # (Last three round-7 registrations (events_funnel_windowed,
+    # events_key_skew_gini, events_by_src_sliding_incremental) are
+    # outside the window like events_grouping_sets /
+    # events_time_weighted_avg / events_by_src_incremental before them:
+    # each is covered by this round's full-registry sf0.01 oracle runs,
+    # the degenerate sweeps, invariant tests, and an in-window shape
+    # twin (prefix-frame window family -> events_debounce /
+    # events_type_transitions; rank window over dim-sized aggregate ->
+    # customer_revenue_abc; pruned-scan full-outer aggregate merge ->
+    # events_upsert_merge). They lead the round-8 window with the rest.)
     # (Exactly 50. Outside the window: the 16 r4-row entries below plus
     # the twin-covered bumps above (kmeans_centers, top_sources,
     # sim_topk_cosine, bpe_merge_step, events_heavy_hitters_mg,

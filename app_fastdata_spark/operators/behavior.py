@@ -931,3 +931,84 @@ register(
     ORDER BY 1
     """,
 )(events_value_mad)
+
+
+# --- Sliding-window incremental view (insert + RETRACT maintenance) -------------
+# The 7-day serving window slides one day: [Jan 22, Jan 29) -> [Jan 23, Jan 30).
+SLIDE_NEW_END = "2024-01-30 00:00:00"
+SLIDE_NEW_START = "2024-01-23 00:00:00"
+SLIDE_OLD_START = "2024-01-22 00:00:00"
+SLIDE_OLD_END = "2024-01-29 00:00:00"
+
+
+def events_by_src_sliding_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-window view maintenance with RETRACTIONS:
+    counts[new window] = counts[old window] − expired + arrived, where
+    expired is the day that slid out and arrived the day that slid in —
+    the delta identity behind every sliding dashboard window
+    (events_by_src_incremental above is the insert-only half; TTL
+    retention handles the storage side; this maintains the AGGREGATE).
+
+    The oracle recomputes the new window directly, so the driver hash
+    proves merge-with-retraction == recompute on every run. Scale shape:
+    expired and arrived each aggregate ONE day's partition-pruned scan
+    (the old-window aggregate is state, not a scan, in a real pipeline —
+    here it is recomputed so the identity is checkable end-to-end), the
+    three key-sized frames merge by full-outer joins, and keys whose
+    count reaches zero are RETRACTED (dropped), matching the recompute
+    exactly. NULL ts excluded; NULL src kept via null-safe join keys."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+
+    def counts(lo: str, hi: str) -> DataFrame:
+        return (
+            ev.filter(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy(F.col("user_id").alias("src"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    old = counts(SLIDE_OLD_START, SLIDE_OLD_END).alias("o")
+    exp = counts(SLIDE_OLD_START, SLIDE_NEW_START).alias("e")
+    arr = counts(SLIDE_OLD_END, SLIDE_NEW_END).alias("a")
+    merged = (
+        old.join(exp, F.col("o.src").eqNullSafe(F.col("e.src")), "full_outer")
+        .select(
+            F.coalesce(F.col("o.src"), F.col("e.src")).alias("src"),
+            (
+                F.coalesce(F.col("o.n"), F.lit(0))
+                - F.coalesce(F.col("e.n"), F.lit(0))
+            ).alias("n_kept"),
+        )
+        .alias("m")
+    )
+    return (
+        merged.join(
+            arr, F.col("m.src").eqNullSafe(F.col("a.src")), "full_outer"
+        )
+        .select(
+            F.coalesce(F.col("m.src"), F.col("a.src")).alias("src"),
+            (
+                F.coalesce(F.col("m.n_kept"), F.lit(0))
+                + F.coalesce(F.col("a.n"), F.lit(0))
+            ).alias("window_visits"),
+        )
+        .filter(F.col("window_visits") > 0)  # retraction: zero rows drop out
+        .orderBy(F.col("src").asc_nulls_first())
+    )
+
+
+register(
+    "events_by_src_sliding_incremental",
+    sql=f"""
+    SELECT user_id AS src, count(*) AS window_visits
+    FROM events
+    WHERE ts >= TIMESTAMP '{SLIDE_NEW_START}'
+      AND ts < TIMESTAMP '{SLIDE_NEW_END}'
+    GROUP BY user_id
+    ORDER BY src NULLS FIRST
+    """,
+)(events_by_src_sliding_incremental)

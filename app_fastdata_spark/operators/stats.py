@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1287,3 +1287,205 @@ def doc_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("doc_length_quantiles_sketch")(doc_length_quantiles_sketch)
+
+
+# Conversion windows: 24 h view->click, 7 d click->purchase.
+FUNNEL_CLICK_WINDOW_US = 24 * 3600 * 1_000_000
+FUNNEL_PURCHASE_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED funnel (events_funnel above is the lifetime
+    form): a click converts only within 24 h of the user's first view,
+    a purchase only within 7 d of that first qualifying click.
+
+    One user_id exchange serves everything: the "first view so far" and
+    "first qualifying click so far" are prefix-frame conditional mins
+    over the SAME (ts, event_id) sort — Spark plans both window
+    functions in one WindowExec, no second shuffle, no self-join back to
+    the facts (the naive formulation joins events to per-user firsts
+    twice). Timestamps compare as integer microseconds (strict >, so a
+    click sharing its ts with the view does not convert), the per-user
+    rollup rides the existing partitioning, and the final frame is one
+    row. NULL ts/user/type rows are excluded on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t_us = F.unix_micros("ts")
+    view_so_far = F.min(
+        F.when(F.col("event_type") == "view", t_us)
+    ).over(w)
+    click_ok = F.when(
+        (F.col("event_type") == "click")
+        & view_so_far.isNotNull()
+        & (t_us > view_so_far)
+        & (t_us <= view_so_far + F.lit(FUNNEL_CLICK_WINDOW_US)),
+        t_us,
+    )
+    click_so_far = F.min(click_ok).over(w)
+    purchase_ok = F.when(
+        (F.col("event_type") == "purchase")
+        & click_so_far.isNotNull()
+        & (t_us > click_so_far)
+        & (t_us <= click_so_far + F.lit(FUNNEL_PURCHASE_WINDOW_US)),
+        t_us,
+    )
+    per_user = (
+        ev.select(
+            "user_id",
+            view_so_far.alias("v"),
+            click_ok.alias("c"),
+            purchase_ok.alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("v").alias("t_view"),
+            F.min("c").alias("t_click"),
+            F.min("p").alias("t_purchase"),
+        )
+    )
+    # rates are NULL when the denominator step has no users — ANSI
+    # division by zero on an empty corpus, caught by the empty-table
+    # parity sweep (the explicit CASE keeps both engines identical)
+    return per_user.agg(
+        F.count(F.col("t_view")).alias("n_view_users"),
+        F.count(F.col("t_click")).alias("n_click_24h"),
+        F.count(F.col("t_purchase")).alias("n_purchase_7d"),
+        F.when(
+            F.count(F.col("t_view")) > 0,
+            F.round(F.count(F.col("t_click")) / F.count(F.col("t_view")), 4),
+        ).alias("click_rate"),
+        F.when(
+            F.count(F.col("t_click")) > 0,
+            F.round(
+                F.count(F.col("t_purchase")) / F.count(F.col("t_click")), 4
+            ),
+        ).alias("purchase_rate"),
+    )
+
+
+register(
+    "events_funnel_windowed",
+    sql=f"""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER w AS v
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s2 AS (
+      SELECT user_id, event_id, event_type, t_us, v,
+             CASE WHEN event_type = 'click' AND v IS NOT NULL
+                   AND t_us > v AND t_us <= v + {FUNNEL_CLICK_WINDOW_US}
+                  THEN t_us END AS c_ok
+      FROM s
+    ),
+    s3 AS (
+      SELECT user_id, event_type, t_us, v, c_ok,
+             min(c_ok) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM s2
+    ),
+    per_user AS (
+      SELECT user_id,
+             min(v) AS t_view,
+             min(c_ok) AS t_click,
+             min(CASE WHEN event_type = 'purchase' AND c IS NOT NULL
+                       AND t_us > c
+                       AND t_us <= c + {FUNNEL_PURCHASE_WINDOW_US}
+                      THEN t_us END) AS t_purchase
+      FROM s3 GROUP BY 1
+    )
+    SELECT count(t_view) AS n_view_users,
+           count(t_click) AS n_click_24h,
+           count(t_purchase) AS n_purchase_7d,
+           CASE WHEN count(t_view) > 0 THEN
+             round(count(t_click) * 1.0 / count(t_view), 4) END
+             AS click_rate,
+           CASE WHEN count(t_click) > 0 THEN
+             round(count(t_purchase) * 1.0 / count(t_click), 4) END
+             AS purchase_rate
+    FROM per_user
+    """,
+)(events_funnel_windowed)
+
+
+def events_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew telemetry over the user_id distribution: Gini
+    coefficient plus top-1/top-10 key shares — the diagnostic that says
+    whether a user-keyed shuffle needs salting (top_users_salted is the
+    cure; this is the thermometer).
+
+    Gini from the standard rank identity over counts sorted ascending:
+    G = 2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n. The rank product sum is exact
+    integer arithmetic (BIGINT on both engines) so the only float is
+    the final division. One user_id hash-agg reduces the facts; the
+    rank window runs over the key-sized aggregate (the dim-sized-frame
+    justification, same as the ABC classifier — at a key count too big
+    for one window partition, the two-pass band-bucketing fix applies).
+    NULL user_id is excluded (it is not a shuffle key)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    w = Window.orderBy("c", "user_id")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.round(
+            (F.lit(2) * F.sum(F.col("i") * F.col("c")))
+            / (F.count("*") * F.sum("c"))
+            - (F.count("*") + F.lit(1)) / F.count("*"),
+            6,
+        ).alias("gini"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top1_share"),
+        F.round(
+            F.sum(
+                F.when(F.col("i") > F.col("n") - 10, F.col("c")).otherwise(0)
+            )
+            / F.sum("c"),
+            6,
+        ).alias("top10_share"),
+    )
+
+
+register(
+    "events_key_skew_gini",
+    sql="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS c
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS i,
+             count(*) OVER () AS n
+      FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           round(2.0 * CAST(sum(i * c) AS BIGINT)
+                   / (count(*) * CAST(sum(c) AS BIGINT))
+                 - (count(*) + 1.0) / count(*), 6) AS gini,
+           round(max(c) * 1.0 / CAST(sum(c) AS BIGINT), 6) AS top1_share,
+           round(CAST(sum(CASE WHEN i > n - 10 THEN c ELSE 0 END) AS BIGINT)
+                   * 1.0 / CAST(sum(c) AS BIGINT), 6) AS top10_share
+    FROM ranked
+    """,
+)(events_key_skew_gini)

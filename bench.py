@@ -103,6 +103,9 @@ HEADLINE = [
     "events_debounce",
     "customer_spend_distribution",
     "events_value_mad",
+    "events_funnel_windowed",
+    "events_key_skew_gini",
+    "events_by_src_sliding_incremental",
 ]
 
 

@@ -1659,3 +1659,97 @@ def test_value_mad_robust_invariants(spark, sf_dir):
             assert abs(r.n_outliers - expect) <= 2, (t, r.n_outliers, expect)
         else:
             assert r.n_outliers == 0
+
+
+def test_funnel_windowed_tightens_lifetime_funnel(spark, sf_dir):
+    """The windowed funnel's converters are a subset of the lifetime
+    funnel's at each step (time constraints only remove conversions),
+    counts are monotone down the funnel, and rates are consistent."""
+    from app_fastdata_spark.operators.stats import (
+        events_funnel,
+        events_funnel_windowed,
+    )
+
+    wrow = events_funnel_windowed(spark, sf_dir).collect()[0]
+    assert wrow.n_view_users >= wrow.n_click_24h >= wrow.n_purchase_7d
+    lrow = events_funnel(spark, sf_dir).collect()[0]
+    assert wrow.n_view_users == lrow.viewed
+    assert wrow.n_click_24h <= lrow.clicked_after_view
+    assert abs(wrow.click_rate - round(wrow.n_click_24h / wrow.n_view_users, 4)) < 5e-5
+
+
+def test_key_skew_gini_bounds_and_uniform_case(spark, sf_dir):
+    """Gini is in [0, 1), shares are consistent, and a locally computed
+    Gini over the same counts matches to 1e-6."""
+    from collections import Counter
+
+    from app_fastdata_spark.operators.stats import events_key_skew_gini
+    from app_fastdata_spark.tables import load_table
+
+    r = events_key_skew_gini(spark, sf_dir).collect()[0]
+    assert 0 <= r.gini < 1
+    assert 0 < r.top1_share <= r.top10_share <= 1
+    counts = sorted(
+        Counter(
+            row.user_id
+            for row in load_table(spark, sf_dir, "events")
+            .filter("user_id IS NOT NULL")
+            .select("user_id")
+            .collect()
+        ).values()
+    )
+    n, tot = len(counts), sum(counts)
+    gini = 2 * sum((i + 1) * c for i, c in enumerate(counts)) / (n * tot) - (
+        n + 1
+    ) / n
+    assert abs(r.gini - gini) < 1e-6
+    assert r.n_keys == n and r.n_rows == tot
+
+
+def test_sliding_incremental_identity_and_retraction(spark, sf_dir):
+    """merge-with-retraction == direct recompute of the new window, and
+    at least one key present in the old window is absent from the new
+    one (the retraction actually fired)."""
+    from app_fastdata_spark.operators.behavior import (
+        SLIDE_NEW_END,
+        SLIDE_NEW_START,
+        SLIDE_OLD_END,
+        SLIDE_OLD_START,
+        events_by_src_sliding_incremental,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    got = {
+        r.src: r.window_visits
+        for r in events_by_src_sliding_incremental(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter("ts IS NOT NULL")
+    want = {
+        r.src: r.n
+        for r in ev.filter(
+            f"ts >= TIMESTAMP '{SLIDE_NEW_START}'"
+            f" AND ts < TIMESTAMP '{SLIDE_NEW_END}'"
+        )
+        .groupBy(ev.user_id.alias("src"))
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got == want
+    old_counts = {
+        r.src: r.n
+        for r in ev.filter(
+            f"ts >= TIMESTAMP '{SLIDE_OLD_START}'"
+            f" AND ts < TIMESTAMP '{SLIDE_OLD_END}'"
+        )
+        .groupBy(ev.user_id.alias("src"))
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    # the slide must have processed real deltas: some key's count
+    # changed (expired/arrived days are non-empty in the testdata span);
+    # a full key retraction additionally shows up at small SF
+    assert any(old_counts.get(k) != v for k, v in got.items()) or (
+        set(old_counts) - set(got)
+    ), "the slide changed nothing"
