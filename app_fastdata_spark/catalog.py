@@ -45,7 +45,7 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 179 queries), round 7: (a) the 18
+    # Window math (50 driver slots, 182 queries), round 7: (a) the 18
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
     # the 16 r4 rows noted at the end; twenty-one r1-r3 entries are
     # bumped for their in-window shape twins, see inline notes); (b) the

@@ -37,9 +37,11 @@ from ..registry import register
 from ..tables import load_table
 
 # Testdata events span Jan 2024; the midpoint splits base/delta for the
-# merge (same constant as stats.MID_TS — kept literal so the oracle SQL
-# string and the Spark predicate can't drift apart).
-MID_TS = "2024-01-16 00:00:00"
+# merge. Imported from stats so a midpoint change there moves this
+# module's upsert-merge/incremental-view split with it (each module is
+# internally drift-safe either way — the f-string oracles and Spark
+# predicates both read this name — but the corpus midpoint is ONE fact).
+from .stats import MID_TS  # noqa: E402
 
 
 # --- Weekly cohort retention ---------------------------------------------------
@@ -465,11 +467,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict-> comparison. One o_custkey shuffle total; everything after
     is dim-sized.
 
-    NULL custkey/orderdate rows are excluded on both engines (a NULL key
-    has no RFM identity); Recency compares calendar DATEs so the engines'
+    NULL custkey/orderdate/totalprice rows are excluded on both engines
+    (a NULL key has no RFM identity; a NULL price would make monetary
+    NULL, and Spark's format_string renders a NULL segment component as
+    the TEXT 'null' while DuckDB's printf propagates NULL — a value-hash
+    parity break found by review, now also covered by the orders
+    degenerate sweep); Recency compares calendar DATEs so the engines'
     differing timestamp-difference conventions never enter."""
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
     )
     now = orders.agg(F.max(F.to_date("o_orderdate")).alias("now_d"))
     per = (
@@ -529,6 +537,7 @@ register(
     WITH o AS (
       SELECT * FROM orders
       WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_totalprice IS NOT NULL
     ),
     now_t AS (SELECT max(CAST(o_orderdate AS DATE)) AS now_d FROM o),
     per AS (

@@ -1459,9 +1459,23 @@ def test_type_transitions_rows_normalize(spark, sf_dir):
     """Each from_type row of the Markov matrix sums to ~1, and the total
     transition count is (#seq events - #users-with-events)."""
     from app_fastdata_spark.operators.behavior import events_type_transitions
+    from app_fastdata_spark.tables import load_table
 
     rows = events_type_transitions(spark, sf_dir).collect()
     assert rows
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            "ts IS NOT NULL AND user_id IS NOT NULL"
+            " AND event_type IS NOT NULL"
+        )
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    assert sum(r.n_transitions for r in rows) == sum(
+        u["count"] - 1 for u in seq
+    )
     by_from = {}
     for r in rows:
         by_from.setdefault(r.from_type, 0.0)

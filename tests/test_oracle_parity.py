@@ -246,3 +246,83 @@ def test_empty_tables_parity_all_oracles(spark, sf_dir, tmp_path):
         except Exception as e:  # noqa: BLE001 — collect all failures
             failures.append(f"{n} (rows-only): {type(e).__name__}: {str(e)[:120]}")
     assert not failures, failures
+
+
+def test_degenerate_orders_parity_all_order_oracles(spark, sf_dir, tmp_path):
+    """Every orders-table oracle must agree across engines on a corpus
+    with the degenerate rows the schema allows — NULL custkey, NULL
+    orderdate, NULL totalprice, NULL status/priority, a zero price, and
+    a customer whose EVERY order has a NULL price. Added after review
+    found the RFM segment diverging on exactly that last shape (Spark
+    format_string renders a NULL component as the text 'null'; DuckDB
+    printf propagates NULL) — the documents/events sweeps could never
+    see it because no sweep planted degenerate ORDERS rows."""
+    import os as _os
+    import shutil as _sh
+
+    import duckdb as _ddb
+
+    from app_fastdata_spark.tables import load_table
+
+    d = str(tmp_path / "degen_ord")
+    _os.makedirs(d)
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    base = load_table(spark, sf_dir, "orders").select(*cols).limit(200)
+    extra = spark.createDataFrame(
+        [
+            # new customer whose every order has NULL price: monetary is
+            # NULL end-to-end (the review-found RFM parity shape)
+            (900_001, 777_777, "O", None, "2024-01-10", "1-URGENT"),
+            (900_002, 777_777, "F", None, "2024-01-12", None),
+            (900_003, None, "O", 123.45, "2024-01-11", "2-HIGH"),
+            (900_004, 1, "F", 234.56, None, "3-MEDIUM"),
+            (900_005, 2, None, 0.0, "2024-01-13", "4-NOT SPECIFIED"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    # INT96 like the events sweep: a Spark µs-UTC write reads back as
+    # TIMESTAMPTZ in DuckDB (tz-aware vs naive mismatch on every row);
+    # the legacy layout is naive on both engines AND extends INT96
+    # coverage to the orders read path
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        base.unionByName(extra).coalesce(1).write.parquet(
+            f"{d}/orders.parquet"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    for t in TABLE_NAMES:
+        if t != "orders" and _os.path.exists(f"{sf_dir}/{t}.parquet"):
+            _sh.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    con = _ddb.connect()
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'"
+    )
+    for t in TABLE_NAMES:
+        if t != "orders" and _os.path.exists(f"{d}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    os_ = oracles()
+    ord_qs = [n for n, sql in os_.items() if "orders" in sql]
+    assert len(ord_qs) >= 15
+    failures = _parity_failures(spark, con, d, ord_qs)
+    assert not failures, failures
