@@ -45,7 +45,7 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 182 queries), round 7: (a) the 18
+    # Window math (50 driver slots, 183 queries), round 7: (a) the 18
     # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
     # the 16 r4 rows noted at the end; twenty-one r1-r3 entries are
     # bumped for their in-window shape twins, see inline notes); (b) the
@@ -214,8 +214,11 @@ DRIVER_PRIORITY: list[str] = [
     # unit-tested, and the in-window dedup_components_uncapped /
     # dedup_survivors_uncapped exercise the same guard code path on
     # their shingle sources.)
-    # (Last three round-7 registrations (events_funnel_windowed,
-    # events_key_skew_gini, events_by_src_sliding_incremental) are
+    # (Last four round-7 registrations (events_funnel_windowed,
+    # events_key_skew_gini, events_by_src_sliding_incremental,
+    # events_sliding_distinct_users — the last's bounded-explode shape
+    # twins the in-window events_hll_users_by_type sketch path and the
+    # Expand-distinct class of events_distinct_users) are
     # outside the window like events_grouping_sets /
     # events_time_weighted_avg / events_by_src_incremental before them:
     # each is covered by this round's full-registry sf0.01 oracle runs,

@@ -1301,10 +1301,11 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One user_id exchange serves everything: the "first view so far" and
     "first qualifying click so far" are prefix-frame conditional mins
-    over the SAME (ts, event_id) sort — Spark plans both window
-    functions in one WindowExec, no second shuffle, no self-join back to
-    the facts (the naive formulation joins events to per-user firsts
-    twice). Timestamps compare as integer microseconds (strict >, so a
+    over the SAME (ts, event_id) sort — Spark plans them as two chained
+    WindowExec on the one exchange (the second depends on the first's
+    output, but the partitioning/sort carries through, so there is no
+    second shuffle and no self-join back to the facts; the naive
+    formulation joins events to per-user firsts twice). Timestamps compare as integer microseconds (strict >, so a
     click sharing its ts with the view does not convert), the per-user
     rollup rides the existing partitioning, and the final frame is one
     row. NULL ts/user/type rows are excluded on both engines."""
@@ -1489,3 +1490,70 @@ register(
     FROM ranked
     """,
 )(events_key_skew_gini)
+
+
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the EXACT form of the
+    sliding-distinct problem (a distinct count cannot be merged across
+    sliding windows without a sketch; events_hll_users_by_type is the
+    mergeable-sketch path, this is its exact twin at a bounded factor).
+
+    Shape: dedup to (user, day) pairs FIRST (one exchange, output
+    bounded by active pairs, not events), then each pair contributes to
+    exactly the 7 window anchors that include it — a bounded explode —
+    and the per-anchor distinct is a standard two-tier Expand agg.
+    Anchors outside the corpus day span are clipped by a 1-row
+    broadcast of the bounds, so partial windows at the leading edge are
+    reported (they exist in production too) and no phantom trailing
+    anchors appear. At 100 TB the explode factor stays 7 regardless of
+    volume; the distinct agg is the only shuffle that grows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    bounds = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    x = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("anchor"),
+    )
+    return (
+        x.crossJoin(F.broadcast(bounds))
+        .filter(F.col("anchor").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("anchor").alias("day"))
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .orderBy("day")
+    )
+
+
+register(
+    "events_sliding_distinct_users",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+    x AS (
+      SELECT user_id,
+             unnest(generate_series(
+               day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS anchor
+      FROM ud
+    )
+    SELECT anchor AS day, count(DISTINCT user_id) AS users_7d
+    FROM x, b
+    WHERE anchor BETWEEN lo AND hi
+    GROUP BY 1 ORDER BY 1
+    """,
+)(events_sliding_distinct_users)

@@ -106,6 +106,7 @@ HEADLINE = [
     "events_funnel_windowed",
     "events_key_skew_gini",
     "events_by_src_sliding_incremental",
+    "events_sliding_distinct_users",
 ]
 
 

@@ -1767,3 +1767,39 @@ def test_sliding_incremental_identity_and_retraction(spark, sf_dir):
     assert any(old_counts.get(k) != v for k, v in got.items()) or (
         set(old_counts) - set(got)
     ), "the slide changed nothing"
+
+
+def test_sliding_distinct_users_window_semantics(spark, sf_dir):
+    """Each day's 7-day distinct count matches a local recompute over
+    the trailing window, is >= that day's plain distinct count, and is
+    monotone vs the 1-day count summed bound."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from app_fastdata_spark.operators.stats import (
+        events_sliding_distinct_users,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    got = {
+        r.day: r.users_7d
+        for r in events_sliding_distinct_users(spark, sf_dir).collect()
+    }
+    assert got
+    by_day = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter("ts IS NOT NULL AND user_id IS NOT NULL")
+        .select("user_id", "ts")
+        .collect()
+    ):
+        by_day[r.ts.replace(hour=0, minute=0, second=0, microsecond=0)].add(
+            r.user_id
+        )
+    assert set(got) == set(by_day)
+    for day, n in got.items():
+        window_users = set()
+        for k in range(7):
+            window_users |= by_day.get(day - dt.timedelta(days=k), set())
+        assert n == len(window_users), (day, n, len(window_users))
+        assert n >= len(by_day[day])

@@ -741,3 +741,53 @@ def test_upsert_merge_plan_shape(spark, sf_dir):
     assert "FullOuter" in plan
     assert plan.count("WindowGroupLimit") >= 2
     assert len([l for l in plan.splitlines() if "FileScan" in l]) == 2
+
+
+def test_funnel_windowed_one_exchange_one_scan(spark, sf_dir):
+    """The windowed funnel reads the facts once and shuffles once — the
+    two prefix-frame window passes chain on the same user_id exchange
+    (no re-shuffle between them, no self-join back to the facts)."""
+    plan = plan_of(spark, sf_dir, "events_funnel_windowed")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_key_skew_gini_single_scan(spark, sf_dir):
+    """Gini reduces the facts with ONE user_id hash-agg; every window
+    runs over the key-sized aggregate."""
+    plan = plan_of(spark, sf_dir, "events_key_skew_gini")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_sliding_incremental_three_pruned_scans(spark, sf_dir):
+    """The slide maintenance reads exactly three time-pruned scans (old
+    window, expired day, arrived day) and merges the key-sized
+    aggregates with two full-outer joins — the facts never join."""
+    plan = plan_of(spark, sf_dir, "events_by_src_sliding_incremental")
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 3
+    # each scan carries its window's ts predicate down to the reader
+    # (raw-long ns comparison or pushed timestamp filter)
+    import re as _re
+
+    assert all(
+        _re.search(r"ts#\d+L? [<>]", s) or "GreaterThanOrEqual(ts" in s
+        for s in scans
+    ), scans
+    assert plan.count("FullOuter") == 2
+    assert "Python" not in plan
+
+
+def test_sliding_distinct_bounded_explode_then_distinct(spark, sf_dir):
+    """Sliding distinct = (user, day) dedup, bounded 7-way explode,
+    two-tier distinct agg — no window functions, no joins beyond the
+    1-row bounds broadcast."""
+    plan = plan_of(spark, sf_dir, "events_sliding_distinct_users")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("FileScan") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
