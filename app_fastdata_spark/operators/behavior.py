@@ -339,29 +339,60 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the user's next event, lead() - ts), the standard treatment
     for sensor/price series where plain AVG over-counts bursts.
 
-    Weights come from integer microsecond arithmetic (unix_micros /
-    epoch_us) so both engines derive bit-identical doubles; the last
-    event of each user has no holding period and is excluded, as are
-    single-event users (zero total weight). One user_id window exchange,
-    then a per-user rollup on the already-partitioned frame."""
+    EVERYTHING sums in exact integers — weights as microseconds
+    (unix_micros/epoch_us) and values as cents (the column is 2-dp
+    money-like; round(value*100) is integral) — because float summation
+    order is engine- and partition-dependent: at sf0.1 one user's
+    plain_avg landed exactly on a 4-dp round boundary and the two
+    engines' last bits disagreed (caught by the cross-scale gate; the
+    sf0.01 driver gate never hit a boundary). Integer sums are exact on
+    both engines (Spark long, DuckDB HUGEINT) and the final divisions
+    convert the SAME integers, so the doubles match bit-for-bit.
+    Even the 4-dp ROUNDING is integer: round(x, 4) on a double is not
+    engine-portable at half-way points (Spark rounds the shortest
+    decimal rendering via BigDecimal.valueOf — 44.94875 → 44.9488 —
+    where DuckDB rounds the binary value → 44.9487; user 212 at sf0.1
+    IS such a half-way case), so both engines compute
+    q = (200·Σ + d) div (2·d) — explicit half-up in exact integers —
+    and only then divide by 1e4. Overflow headroom:
+    Σ(cents·dt_us) ≤ max_cents · observed_span_us — bounded by the
+    series SPAN, not the interval count (≈3.4e16 for $13k values over
+    30 days; ×200 still inside int64). The last event of
+    each user has no holding period and is excluded, as are
+    single-event users (zero total weight). One user_id window
+    exchange, then a per-user rollup on the already-partitioned
+    frame."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
         & F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = ev.withColumn("t_us", F.unix_micros("ts")).withColumn(
-        "dt_s",
-        (F.lead("t_us").over(w) - F.col("t_us")) / F.lit(1e6),
-    ).filter(F.col("dt_s").isNotNull())
+    t = (
+        ev.withColumn("t_us", F.unix_micros("ts"))
+        .withColumn(
+            "cents", F.round(F.col("value") * 100).cast("long")
+        )
+        .withColumn("dt_us", F.lead("t_us").over(w) - F.col("t_us"))
+        .filter(F.col("dt_us").isNotNull())
+    )
     return (
         t.groupBy("user_id")
         .agg(
             F.count("*").alias("n_intervals"),
-            F.round(F.sum("dt_s"), 6).alias("observed_sec"),
-            F.round(F.avg("value"), 4).alias("plain_avg"),
-            F.round(
-                F.sum(F.col("value") * F.col("dt_s")) / F.sum("dt_s"), 4
+            F.round(F.sum("dt_us") / F.lit(1e6), 6).alias("observed_sec"),
+            (
+                F.expr(
+                    "(200 * sum(cents) + count(*)) div (2 * count(*))"
+                )
+                / F.lit(1e4)
+            ).alias("plain_avg"),
+            (
+                F.expr(
+                    "(200 * sum(cents * dt_us) + sum(dt_us))"
+                    " div (2 * sum(dt_us))"
+                )
+                / F.lit(1e4)
             ).alias("time_weighted_avg"),
         )
         .orderBy("user_id")
@@ -372,20 +403,24 @@ register(
     "events_time_weighted_avg",
     sql="""
     WITH t AS (
-      SELECT user_id, value,
-             (lead(epoch_us(ts)) OVER (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lead(epoch_us(ts)) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id)
-              - epoch_us(ts)) / 1e6 AS dt_s
+              - epoch_us(ts) AS dt_us
       FROM events
       WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
     )
     SELECT user_id,
            count(*) AS n_intervals,
-           round(sum(dt_s), 6) AS observed_sec,
-           round(avg(value), 4) AS plain_avg,
-           round(sum(value * dt_s) / sum(dt_s), 4) AS time_weighted_avg
+           round(CAST(sum(dt_us) AS BIGINT) / 1e6, 6) AS observed_sec,
+           CAST((200 * sum(cents) + count(*))
+                  // (2 * count(*)) AS BIGINT) / 1e4 AS plain_avg,
+           CAST((200 * sum(cents * dt_us) + sum(dt_us))
+                  // (2 * sum(dt_us)) AS BIGINT) / 1e4
+             AS time_weighted_avg
     FROM t
-    WHERE dt_s IS NOT NULL
+    WHERE dt_us IS NOT NULL
     GROUP BY user_id
     ORDER BY user_id
     """,

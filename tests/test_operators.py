@@ -1803,3 +1803,39 @@ def test_sliding_distinct_users_window_semantics(spark, sf_dir):
             window_users |= by_day.get(day - dt.timedelta(days=k), set())
         assert n == len(window_users), (day, n, len(window_users))
         assert n >= len(by_day[day])
+
+
+def test_time_weighted_avg_integer_rounding(spark, sf_dir):
+    """plain_avg matches a local exact-integer half-up recompute (the
+    cross-engine contract: cents sums + explicit (200s+n) div (2n)
+    rounding), and the weighted mean lies within the user's value
+    range."""
+    from collections import defaultdict
+
+    from app_fastdata_spark.operators.behavior import (
+        events_time_weighted_avg,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    rows = {
+        r.user_id: r for r in events_time_weighted_avg(spark, sf_dir).collect()
+    }
+    assert rows
+    per_user = defaultdict(list)
+    for r in sorted(
+        load_table(spark, sf_dir, "events")
+        .filter(
+            "ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL"
+        )
+        .select("user_id", "ts", "value")
+        .collect(),
+        key=lambda r: r.ts,
+    ):
+        per_user[r.user_id].append(r.value)
+    for uid, r in rows.items():
+        vals = per_user[uid][:-1]  # last event has no holding period
+        assert r.n_intervals == len(vals)
+        cents = sum(round(v * 100) for v in vals)
+        n = len(vals)
+        assert r.plain_avg == ((200 * cents + n) // (2 * n)) / 1e4
+        assert min(vals) - 1e-9 <= r.time_weighted_avg <= max(vals) + 1e-9
