@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_ratio, sql_round_ratio
 from ..registry import register
 from ..tables import load_table
 
@@ -79,12 +80,14 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("cohort_week").orderBy("week_offset")
     return (
-        mat.withColumn(
+        mat.withColumn("first_n", F.first("n_active").over(w))
+        .withColumn(
+            # integer half-up identity: round(a/b, k) on doubles is not
+            # engine-portable at half-way points (functions/rounding.py)
             "retention_pct",
-            F.round(
-                F.col("n_active") / F.first("n_active").over(w), 4
-            ),
+            round_ratio("n_active", "first_n", 4),
         )
+        .drop("first_n")
         .orderBy("cohort_week", "week_offset")
     )
 
@@ -109,13 +112,17 @@ register(
       SELECT cohort_week, week_offset, count(*) AS n_active
       FROM act GROUP BY 1, 2
     )
+    , m2 AS (
+      SELECT cohort_week, week_offset, n_active,
+             first_value(n_active) OVER (
+               PARTITION BY cohort_week ORDER BY week_offset) AS first_n
+      FROM mat
+    )
     SELECT cohort_week, week_offset, n_active,
-           round(n_active * 1.0 / first_value(n_active) OVER (
-             PARTITION BY cohort_week ORDER BY week_offset), 4)
-             AS retention_pct
-    FROM mat
+           {rr} AS retention_pct
+    FROM m2
     ORDER BY cohort_week, week_offset
-    """,
+    """.format(rr=sql_round_ratio("n_active", "first_n", 4)),
 )(events_cohort_retention)
 
 
@@ -148,12 +155,12 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_transitions"))
     wp = Window.partitionBy("from_type")
     return (
-        c.withColumn(
+        c.withColumn("row_total", F.sum("n_transitions").over(wp))
+        .withColumn(
             "transition_prob",
-            F.round(
-                F.col("n_transitions") / F.sum("n_transitions").over(wp), 4
-            ),
+            round_ratio("n_transitions", "row_total", 4),
         )
+        .drop("row_total")
         .orderBy("from_type", "to_type")
     )
 
@@ -174,12 +181,16 @@ register(
       FROM seq WHERE from_type IS NOT NULL
       GROUP BY 1, 2
     )
+    , c2 AS (
+      SELECT from_type, to_type, n_transitions,
+             sum(n_transitions) OVER (PARTITION BY from_type) AS row_total
+      FROM c
+    )
     SELECT from_type, to_type, n_transitions,
-           round(n_transitions * 1.0 / sum(n_transitions) OVER (
-             PARTITION BY from_type), 4) AS transition_prob
-    FROM c
+           {rr} AS transition_prob
+    FROM c2
     ORDER BY from_type, to_type
-    """,
+    """.format(rr=sql_round_ratio("n_transitions", "row_total", 4)),
 )(events_type_transitions)
 
 
@@ -520,7 +531,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.to_date("o_orderdate")).alias("last_d"),
             F.count("*").alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            # exact cents, one final double division — round(sum, 2)
+            # on a double is the half-way trap (functions/rounding.py)
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).cast("double")
+                / 100
+            ).alias("monetary"),
         )
         .crossJoin(F.broadcast(now))
         .withColumn("recency_days", F.datediff("now_d", "last_d"))
@@ -580,7 +598,8 @@ register(
              date_diff('day', max(CAST(o_orderdate AS DATE)),
                        (SELECT now_d FROM now_t)) AS recency_days,
              count(*) AS frequency,
-             round(sum(o_totalprice), 2) AS monetary
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 AS monetary
       FROM o GROUP BY 1
     ),
     b AS (
@@ -625,30 +644,36 @@ def customer_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue-band bucketing + per-band offsets (the distributed
     row_number trick); the facts never see the window either way.
 
-    Both engines sum the same doubles in the same (revenue DESC, custkey)
-    order with an explicit ROWS frame — RANGE (the default) would put
-    revenue ties in one peer group and diverge. NULL-revenue orders are
-    excluded up front: Spark and DuckDB disagree on DESC NULL placement,
-    the trap the SCD2 docstring records."""
+    All arithmetic is exact-integer CENTS (o_totalprice is 2-dp): the
+    running sum, the total, and the 6-dp share rounding (the integer
+    half-up identity, functions/rounding.py — round() on a double
+    diverges across engines at half-way points). The explicit ROWS
+    frame stays — RANGE (the default) would put revenue ties in one
+    peer group and diverge. NULL-revenue orders are excluded up front:
+    Spark and DuckDB disagree on DESC NULL placement, the trap the SCD2
+    docstring records."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
     )
     rev = orders.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("rev")
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("rev_cents")
     )
-    tot = rev.agg(F.sum("rev").alias("total_rev"))
+    tot = rev.agg(F.sum("rev_cents").alias("total_cents"))
     w = (
-        Window.orderBy(F.desc("rev"), "o_custkey")
+        Window.orderBy(F.desc("rev_cents"), "o_custkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         rev.crossJoin(F.broadcast(tot))
+        .withColumn("cum_cents", F.sum("rev_cents").over(w))
         .withColumn(
-            "cum_share", F.round(F.sum("rev").over(w) / F.col("total_rev"), 6)
+            "cum_share", round_ratio("cum_cents", "total_cents", 6)
         )
         .select(
             "o_custkey",
-            F.round("rev", 2).alias("revenue"),
+            (F.col("rev_cents").cast("double") / 100).alias("revenue"),
             "cum_share",
             F.when(F.col("cum_share") <= 0.8, "A")
             .when(F.col("cum_share") <= 0.95, "B")
@@ -663,25 +688,32 @@ register(
     "customer_revenue_abc",
     sql="""
     WITH rev AS (
-      SELECT o_custkey, sum(o_totalprice) AS rev
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
       FROM orders
       WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
       GROUP BY 1
     ),
     c AS (
-      SELECT o_custkey, rev,
-             round(sum(rev) OVER (
-               ORDER BY rev DESC, o_custkey
+      SELECT o_custkey, rev_cents,
+             sum(rev_cents) OVER (
+               ORDER BY rev_cents DESC, o_custkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               / (SELECT sum(rev) FROM rev), 6) AS cum_share
+               AS cum_cents,
+             (SELECT sum(rev_cents) FROM rev) AS total_cents
       FROM rev
+    ),
+    s AS (
+      SELECT o_custkey, CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+             {rr} AS cum_share
+      FROM c
     )
-    SELECT o_custkey, round(rev, 2) AS revenue, cum_share,
+    SELECT o_custkey, revenue, cum_share,
            CASE WHEN cum_share <= 0.8 THEN 'A'
                 WHEN cum_share <= 0.95 THEN 'B'
                 ELSE 'C' END AS abc_class
-    FROM c ORDER BY revenue DESC, o_custkey
-    """,
+    FROM s ORDER BY revenue DESC, o_custkey
+    """.format(rr=sql_round_ratio("cum_cents", "total_cents", 6)),
 )(customer_revenue_abc)
 
 
@@ -712,12 +744,10 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_paths"))
     return (
         paths.withColumn(
-            "share",
-            F.round(
-                F.col("n_paths") / F.sum("n_paths").over(Window.partitionBy()),
-                4,
-            ),
+            "total", F.sum("n_paths").over(Window.partitionBy())
         )
+        .withColumn("share", round_ratio("n_paths", "total", 4))
+        .drop("total")
         .orderBy(F.desc("n_paths"), "path")
         .limit(20)
     )
@@ -742,12 +772,14 @@ register(
       FROM s WHERE p1 IS NOT NULL AND p2 IS NOT NULL
       GROUP BY 1
     )
-    SELECT path, n_paths,
-           round(n_paths * 1.0 / sum(n_paths) OVER (), 4) AS share
-    FROM p
+    , p2 AS (
+      SELECT path, n_paths, sum(n_paths) OVER () AS total FROM p
+    )
+    SELECT path, n_paths, {rr} AS share
+    FROM p2
     ORDER BY n_paths DESC, path
     LIMIT 20
-    """,
+    """.format(rr=sql_round_ratio("n_paths", "total", 4)),
 )(events_top_paths)
 
 
@@ -829,22 +861,38 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     RFM/ABC operators above deliberately avoid for scoring, exposed
     directly for when the caller wants the raw percentile position.
 
-    Deterministic across engines because the (rev, o_custkey) ordering
-    is unique — no peer groups, so both functions reduce to pure rank
-    arithmetic. Same dim-sized-aggregate window justification as the ABC
-    classifier; same NULL exclusions (DESC NULL placement divergence)."""
+    Deterministic across engines because the (rev_cents, o_custkey)
+    ordering is unique — no peer groups, so both functions reduce to
+    pure rank arithmetic, computed here explicitly as exact-integer
+    ratios ((i-1)/(n-1) and i/n through the half-up identity in
+    functions/rounding.py) rather than the builtins, whose double
+    rounding diverges at half-way points. Revenue sums as exact cents.
+    Same dim-sized-aggregate window justification as the ABC
+    classifier; same NULL exclusions (DESC NULL placement divergence).
+    A single-customer frame defines pct_rank = 0 (the builtins' n=1
+    convention), guarding the (n-1) denominator."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
     )
     rev = orders.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("rev")
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("rev_cents")
     )
-    w = Window.orderBy("rev", "o_custkey")
-    return rev.select(
+    w = Window.orderBy("rev_cents", "o_custkey")
+    ranked = rev.select(
         "o_custkey",
-        F.round("rev", 2).alias("revenue"),
-        F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
+        "rev_cents",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.select(
+        "o_custkey",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        F.when(F.col("n") > 1, round_ratio("i - 1", "n - 1", 6))
+        .otherwise(F.lit(0.0))
+        .alias("spend_pct_rank"),
+        round_ratio("i", "n", 6).alias("spend_cume_dist"),
     ).orderBy("o_custkey")
 
 
@@ -852,18 +900,26 @@ register(
     "customer_spend_distribution",
     sql="""
     WITH rev AS (
-      SELECT o_custkey, sum(o_totalprice) AS rev
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
       FROM orders
       WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
       GROUP BY 1
+    ),
+    ranked AS (
+      SELECT o_custkey, rev_cents,
+             row_number() OVER (ORDER BY rev_cents, o_custkey) AS i,
+             count(*) OVER () AS n
+      FROM rev
     )
-    SELECT o_custkey, round(rev, 2) AS revenue,
-           round(percent_rank() OVER (ORDER BY rev, o_custkey), 6)
-             AS spend_pct_rank,
-           round(cume_dist() OVER (ORDER BY rev, o_custkey), 6)
-             AS spend_cume_dist
-    FROM rev ORDER BY o_custkey
-    """,
+    SELECT o_custkey, CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+           CASE WHEN n > 1 THEN {pr} ELSE 0.0 END AS spend_pct_rank,
+           {cd} AS spend_cume_dist
+    FROM ranked ORDER BY o_custkey
+    """.format(
+        pr=sql_round_ratio("i - 1", "n - 1", 6),
+        cd=sql_round_ratio("i", "n", 6),
+    ),
 )(customer_spend_distribution)
 
 

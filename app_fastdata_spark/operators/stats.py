@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_ratio, sql_round_ratio
 from ..registry import register
 from ..tables import load_table
 
@@ -1354,20 +1355,25 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rates are NULL when the denominator step has no users — ANSI
     # division by zero on an empty corpus, caught by the empty-table
-    # parity sweep (the explicit CASE keeps both engines identical)
-    return per_user.agg(
+    # parity sweep; the 4-dp rounding is the exact integer half-up
+    # identity (functions/rounding.py), portable at half-way inputs
+    # like 1 click / 32 views
+    agg = per_user.agg(
         F.count(F.col("t_view")).alias("n_view_users"),
         F.count(F.col("t_click")).alias("n_click_24h"),
         F.count(F.col("t_purchase")).alias("n_purchase_7d"),
+    )
+    return agg.select(
+        "n_view_users",
+        "n_click_24h",
+        "n_purchase_7d",
         F.when(
-            F.count(F.col("t_view")) > 0,
-            F.round(F.count(F.col("t_click")) / F.count(F.col("t_view")), 4),
+            F.col("n_view_users") > 0,
+            round_ratio("n_click_24h", "n_view_users", 4),
         ).alias("click_rate"),
         F.when(
-            F.count(F.col("t_click")) > 0,
-            F.round(
-                F.count(F.col("t_purchase")) / F.count(F.col("t_click")), 4
-            ),
+            F.col("n_click_24h") > 0,
+            round_ratio("n_purchase_7d", "n_click_24h", 4),
         ).alias("purchase_rate"),
     )
 
@@ -1408,16 +1414,20 @@ register(
                       THEN t_us END) AS t_purchase
       FROM s3 GROUP BY 1
     )
-    SELECT count(t_view) AS n_view_users,
-           count(t_click) AS n_click_24h,
-           count(t_purchase) AS n_purchase_7d,
-           CASE WHEN count(t_view) > 0 THEN
-             round(count(t_click) * 1.0 / count(t_view), 4) END
-             AS click_rate,
-           CASE WHEN count(t_click) > 0 THEN
-             round(count(t_purchase) * 1.0 / count(t_click), 4) END
-             AS purchase_rate
-    FROM per_user
+    , f AS (
+      SELECT count(t_view) AS n_view_users,
+             count(t_click) AS n_click_24h,
+             count(t_purchase) AS n_purchase_7d
+      FROM per_user
+    )
+    SELECT n_view_users, n_click_24h, n_purchase_7d,
+           CASE WHEN n_view_users > 0
+                THEN {sql_round_ratio("n_click_24h", "n_view_users", 4)}
+           END AS click_rate,
+           CASE WHEN n_click_24h > 0
+                THEN {sql_round_ratio("n_purchase_7d", "n_click_24h", 4)}
+           END AS purchase_rate
+    FROM f
     """,
 )(events_funnel_windowed)
 
@@ -1446,23 +1456,26 @@ def events_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("i"),
         F.count("*").over(Window.partitionBy()).alias("n"),
     )
-    return ranked.agg(
-        F.count("*").alias("n_keys"),
-        F.sum("c").alias("n_rows"),
-        F.round(
-            (F.lit(2) * F.sum(F.col("i") * F.col("c")))
-            / (F.count("*") * F.sum("c"))
-            - (F.count("*") + F.lit(1)) / F.count("*"),
-            6,
-        ).alias("gini"),
-        F.round(F.max("c") / F.sum("c"), 6).alias("top1_share"),
-        F.round(
-            F.sum(
-                F.when(F.col("i") > F.col("n") - 10, F.col("c")).otherwise(0)
-            )
-            / F.sum("c"),
-            6,
-        ).alias("top10_share"),
+    # single-ratio form of the rank identity: G = (2S - (n+1)T)/(nT),
+    # nonnegative by the Chebyshev sum inequality on ascending counts —
+    # rounded via the exact integer half-up identity
+    # (functions/rounding.py; round() on a double diverges across
+    # engines at half-way points)
+    g = ranked.agg(
+        F.count("*").alias("nk"),
+        F.sum("c").alias("t"),
+        F.sum(F.col("i") * F.col("c")).alias("s"),
+        F.max("c").alias("maxc"),
+        F.sum(
+            F.when(F.col("i") > F.col("n") - 10, F.col("c")).otherwise(0)
+        ).alias("s10"),
+    )
+    return g.select(
+        F.col("nk").alias("n_keys"),
+        F.col("t").alias("n_rows"),
+        round_ratio("2 * s - (nk + 1) * t", "nk * t", 6).alias("gini"),
+        round_ratio("maxc", "t", 6).alias("top1_share"),
+        round_ratio("s10", "t", 6).alias("top10_share"),
     )
 
 
@@ -1479,16 +1492,25 @@ register(
              count(*) OVER () AS n
       FROM counts
     )
-    SELECT CAST(count(*) AS BIGINT) AS n_keys,
-           CAST(sum(c) AS BIGINT) AS n_rows,
-           round(2.0 * CAST(sum(i * c) AS BIGINT)
-                   / (count(*) * CAST(sum(c) AS BIGINT))
-                 - (count(*) + 1.0) / count(*), 6) AS gini,
-           round(max(c) * 1.0 / CAST(sum(c) AS BIGINT), 6) AS top1_share,
-           round(CAST(sum(CASE WHEN i > n - 10 THEN c ELSE 0 END) AS BIGINT)
-                   * 1.0 / CAST(sum(c) AS BIGINT), 6) AS top10_share
-    FROM ranked
-    """,
+    , g AS (
+      SELECT CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(c) AS BIGINT) AS t,
+             CAST(sum(i * c) AS BIGINT) AS s,
+             max(c) AS maxc,
+             CAST(sum(CASE WHEN i > n - 10 THEN c ELSE 0 END) AS BIGINT)
+               AS s10
+      FROM ranked
+    )
+    SELECT nk AS n_keys, t AS n_rows,
+           {gini} AS gini,
+           {t1} AS top1_share,
+           {t10} AS top10_share
+    FROM g
+    """.format(
+        gini=sql_round_ratio("2 * s - (nk + 1) * t", "nk * t", 6),
+        t1=sql_round_ratio("maxc", "t", 6),
+        t10=sql_round_ratio("s10", "t", 6),
+    ),
 )(events_key_skew_gini)
 
 

@@ -174,6 +174,25 @@ def test_degenerate_events_parity_all_event_oracles(spark, sf_dir, tmp_path):
             # the argmin, so cluster views must drop it in BOTH engines
             # (NULLS-LAST rn would crown cluster 0 in the oracle)
             (888_887, "2024-01-30 23:59:07", None, "view", 6.0, '{"k": 3}'),
+        ]
+        + [
+            # crafted round-boundary user: 32 transitions out of 'click'
+            # with EXACTLY one going to 'view' -> probability 1/32 =
+            # 0.03125, a half-way point at 4 dp (binary-EXACT, so both
+            # engines' builtin round happens to agree here — the
+            # binary-INEXACT divergent case, 3/20000, is pinned by
+            # tests/test_rounding.py; every ratio oracle uses the
+            # integer half-up identity in functions/rounding.py so
+            # both flavors land on the same value)
+            (
+                888_900 + i,
+                f"2024-01-05 00:{i:02d}:00",
+                888_950,
+                "click" if i < 32 else "view",
+                None,
+                None,
+            )
+            for i in range(33)
         ],
         "event_id long, ts string, user_id long, event_type string, value double, props string",
     ).select(
