@@ -364,13 +364,20 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal rendering via BigDecimal.valueOf — 44.94875 → 44.9488 —
     where DuckDB rounds the binary value → 44.9487; user 212 at sf0.1
     IS such a half-way case), so both engines compute
-    q = (200·Σ + d) div (2·d) — explicit half-up in exact integers —
-    and only then divide by 1e4. Overflow headroom:
-    Σ(cents·dt_us) ≤ max_cents · observed_span_us — bounded by the
-    series SPAN, not the interval count (≈3.4e16 for $13k values over
-    30 days; ×200 still inside int64). The last event of
-    each user has no holding period and is excluded, as are
-    single-event users (zero total weight). One user_id window
+    the identity in functions/rounding.py — explicit half-up in exact
+    integers, one final double division.
+
+    WEIGHTS are millisecond-quantized (dt_us div 1000) for the weighted
+    mean — the weight RATIO is what matters and ms quantization bounds
+    the numerator: 2·10^4 · max_cents · span_ms stays inside int64 for
+    $13k values over a full YEAR (≈8.1e18 < 9.2e18); µs weights would
+    overflow at ~$460 average over a month (review-measured headroom at
+    sf0.001 was only 2.8×). observed_sec still reports exact µs.
+    plain_avg's numerator bound is 2·10^4 · max_cents · n_intervals —
+    ~3.5e8 max-value events per user before overflow; Spark runs under
+    ANSI so an exceeded bound ERRORS rather than silently wrapping.
+    The last event of each user has no holding period and is excluded,
+    as are single-event users (zero total weight). One user_id window
     exchange, then a per-user rollup on the already-partitioned
     frame."""
     ev = load_table(spark, sf_dir, "events").filter(
@@ -386,28 +393,24 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dt_us", F.lead("t_us").over(w) - F.col("t_us"))
         .filter(F.col("dt_us").isNotNull())
+        .withColumn("dt_ms", F.expr("dt_us div 1000"))
     )
-    return (
-        t.groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_intervals"),
-            F.round(F.sum("dt_us") / F.lit(1e6), 6).alias("observed_sec"),
-            (
-                F.expr(
-                    "(200 * sum(cents) + count(*)) div (2 * count(*))"
-                )
-                / F.lit(1e4)
-            ).alias("plain_avg"),
-            (
-                F.expr(
-                    "(200 * sum(cents * dt_us) + sum(dt_us))"
-                    " div (2 * sum(dt_us))"
-                )
-                / F.lit(1e4)
-            ).alias("time_weighted_avg"),
-        )
-        .orderBy("user_id")
+    g = t.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dt_us").alias("w_us"),
+        F.sum("dt_ms").alias("w_ms"),
+        F.sum("cents").alias("s_cents"),
+        F.sum(F.col("cents") * F.col("dt_ms")).alias("swc_ms"),
     )
+    return g.select(
+        "user_id",
+        "n_intervals",
+        F.round(F.col("w_us") / F.lit(1e6), 6).alias("observed_sec"),
+        round_ratio("s_cents", "100 * n_intervals", 4).alias("plain_avg"),
+        round_ratio("swc_ms", "100 * w_ms", 4).alias(
+            "time_weighted_avg"
+        ),
+    ).orderBy("user_id")
 
 
 register(
@@ -421,20 +424,28 @@ register(
               - epoch_us(ts) AS dt_us
       FROM events
       WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id,
+             count(*) AS n_intervals,
+             CAST(sum(dt_us) AS BIGINT) AS w_us,
+             CAST(sum(dt_us // 1000) AS BIGINT) AS w_ms,
+             CAST(sum(cents) AS BIGINT) AS s_cents,
+             CAST(sum(cents * (dt_us // 1000)) AS BIGINT) AS swc_ms
+      FROM t
+      WHERE dt_us IS NOT NULL
+      GROUP BY user_id
     )
-    SELECT user_id,
-           count(*) AS n_intervals,
-           round(CAST(sum(dt_us) AS BIGINT) / 1e6, 6) AS observed_sec,
-           CAST((200 * sum(cents) + count(*))
-                  // (2 * count(*)) AS BIGINT) / 1e4 AS plain_avg,
-           CAST((200 * sum(cents * dt_us) + sum(dt_us))
-                  // (2 * sum(dt_us)) AS BIGINT) / 1e4
-             AS time_weighted_avg
-    FROM t
-    WHERE dt_us IS NOT NULL
-    GROUP BY user_id
+    SELECT user_id, n_intervals,
+           round(w_us / 1e6, 6) AS observed_sec,
+           {pa} AS plain_avg,
+           {twa} AS time_weighted_avg
+    FROM g
     ORDER BY user_id
-    """,
+    """.format(
+        pa=sql_round_ratio("s_cents", "100 * n_intervals", 4),
+        twa=sql_round_ratio("swc_ms", "100 * w_ms", 4),
+    ),
 )(events_time_weighted_avg)
 
 
@@ -518,7 +529,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL, and Spark's format_string renders a NULL segment component as
     the TEXT 'null' while DuckDB's printf propagates NULL — a value-hash
     parity break found by review, now also covered by the orders
-    degenerate sweep); Recency compares calendar DATEs so the engines'
+    degenerate sweep). Deliberate semantics: ALL THREE letters score
+    over the same priced-order set — the alternative (count NULL-price
+    orders for R/F but not M) scores the letters over different order
+    populations, which is the more surprising contract; Recency compares calendar DATEs so the engines'
     differing timestamp-difference conventions never enter."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull()
@@ -647,7 +661,13 @@ def customer_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic is exact-integer CENTS (o_totalprice is 2-dp): the
     running sum, the total, and the 6-dp share rounding (the integer
     half-up identity, functions/rounding.py — round() on a double
-    diverges across engines at half-way points). The explicit ROWS
+    diverges across engines at half-way points). The share RATIO is
+    taken over whole DOLLARS (cents div 100 on both operands): the
+    identity multiplies the numerator by 2e6, so the dollar scale
+    bounds the corpus at ~$4.6e12 total revenue before int64 overflow
+    (cents would cap it at $46B — review-measured headroom of only ~2×
+    at 10× driver scale); Spark runs under ANSI, so an exceeded bound
+    errors loudly rather than wrapping. The explicit ROWS
     frame stays — RANGE (the default) would put revenue ties in one
     peer group and diverge. NULL-revenue orders are excluded up front:
     Spark and DuckDB disagree on DESC NULL placement, the trap the SCD2
@@ -669,7 +689,8 @@ def customer_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.crossJoin(F.broadcast(tot))
         .withColumn("cum_cents", F.sum("rev_cents").over(w))
         .withColumn(
-            "cum_share", round_ratio("cum_cents", "total_cents", 6)
+            "cum_share",
+            round_ratio("cum_cents div 100", "total_cents div 100", 6),
         )
         .select(
             "o_custkey",
@@ -713,7 +734,11 @@ register(
                 WHEN cum_share <= 0.95 THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM s ORDER BY revenue DESC, o_custkey
-    """.format(rr=sql_round_ratio("cum_cents", "total_cents", 6)),
+    """.format(
+        rr=sql_round_ratio(
+            "cum_cents // 100", "total_cents // 100", 6
+        )
+    ),
 )(customer_revenue_abc)
 
 

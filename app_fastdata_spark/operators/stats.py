@@ -1460,7 +1460,11 @@ def events_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nonnegative by the Chebyshev sum inequality on ascending counts —
     # rounded via the exact integer half-up identity
     # (functions/rounding.py; round() on a double diverges across
-    # engines at half-way points)
+    # engines at half-way points). Spark-side int64 bound: the identity
+    # multiplies S = Σ i·cᵢ ≤ n_keys·n_rows by 2e6, so n_keys·n_rows
+    # must stay < ~4.6e12 (ANSI errors loudly beyond); for a corpus
+    # past that, split the identity two-stage (whole + remainder) —
+    # the DuckDB oracle side is HUGEINT-exact regardless
     g = ranked.agg(
         F.count("*").alias("nk"),
         F.sum("c").alias("t"),
@@ -1493,15 +1497,17 @@ register(
       FROM counts
     )
     , g AS (
-      SELECT CAST(count(*) AS BIGINT) AS nk,
-             CAST(sum(c) AS BIGINT) AS t,
-             CAST(sum(i * c) AS BIGINT) AS s,
+      -- sums stay un-downcast (HUGEINT) so the 2e6 multiply inside the
+      -- half-up identity cannot overflow on the oracle side; only the
+      -- OUTPUT columns cast to BIGINT for type parity with Spark
+      SELECT count(*) AS nk,
+             sum(c) AS t,
+             sum(i * c) AS s,
              max(c) AS maxc,
-             CAST(sum(CASE WHEN i > n - 10 THEN c ELSE 0 END) AS BIGINT)
-               AS s10
+             sum(CASE WHEN i > n - 10 THEN c ELSE 0 END) AS s10
       FROM ranked
     )
-    SELECT nk AS n_keys, t AS n_rows,
+    SELECT CAST(nk AS BIGINT) AS n_keys, CAST(t AS BIGINT) AS n_rows,
            {gini} AS gini,
            {t1} AS top1_share,
            {t10} AS top10_share

@@ -1796,13 +1796,23 @@ def test_sliding_distinct_users_window_semantics(spark, sf_dir):
         by_day[r.ts.replace(hour=0, minute=0, second=0, microsecond=0)].add(
             r.user_id
         )
-    assert set(got) == set(by_day)
-    for day, n in got.items():
+    # expected anchors: every day in [lo, hi] whose trailing window is
+    # non-empty (gap days inside the span still emit an anchor if a
+    # preceding day contributes — the operator's clip is on the span,
+    # not on event presence)
+    lo, hi = min(by_day), max(by_day)
+    expect = {}
+    d = lo
+    while d <= hi:
         window_users = set()
         for k in range(7):
-            window_users |= by_day.get(day - dt.timedelta(days=k), set())
-        assert n == len(window_users), (day, n, len(window_users))
-        assert n >= len(by_day[day])
+            window_users |= by_day.get(d - dt.timedelta(days=k), set())
+        if window_users:
+            expect[d] = len(window_users)
+        d += dt.timedelta(days=1)
+    assert got == expect
+    for day, n in got.items():
+        assert n >= len(by_day.get(day, set()))
 
 
 def test_time_weighted_avg_integer_rounding(spark, sf_dir):
@@ -1827,9 +1837,9 @@ def test_time_weighted_avg_integer_rounding(spark, sf_dir):
         .filter(
             "ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL"
         )
-        .select("user_id", "ts", "value")
+        .select("user_id", "ts", "event_id", "value")
         .collect(),
-        key=lambda r: r.ts,
+        key=lambda r: (r.ts, r.event_id),  # the operator's exact order
     ):
         per_user[r.user_id].append(r.value)
     for uid, r in rows.items():

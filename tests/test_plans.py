@@ -787,7 +787,7 @@ def test_sliding_distinct_bounded_explode_then_distinct(spark, sf_dir):
     two-tier distinct agg — no window functions, no joins beyond the
     1-row bounds broadcast."""
     plan = plan_of(spark, sf_dir, "events_sliding_distinct_users")
-    assert "Generate explode" in plan or "Generate" in plan
+    assert "Generate explode" in plan
     assert plan.count("FileScan") <= 2
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
