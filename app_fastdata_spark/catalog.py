@@ -45,202 +45,110 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 183 queries), round 7: (a) the 18
-    # r1-r3-stale entries below (everything r4+ is <=2 rounds old except
-    # the 16 r4 rows noted at the end; twenty-one r1-r3 entries are
-    # bumped for their in-window shape twins, see inline notes); (b) the
-    # 35 round-7 registrations (four bumped with inline notes:
-    # bpe_merge_step for its in-window unrolled twin bpe_train_merges,
-    # and the rows-only events_heavy_hitters_mg / embedding_pca_variance
-    # / doc_length_quantiles_sketch on the run-proof argument).
-    # --- (a) r1-stale ---
-    "doc_stratified_sample",
-    "events_approx_stats",
-    # --- (a) r2-stale ---
-    # (kmeans_centers + kmeans_centers_udtf: BOTH are rows-only by
-    # design, so a driver row adds nothing beyond the in-repo
-    # determinism / scoring-range / swap pytest gates that already run
-    # every round; the shared Lloyd update math is value-hash-oracled
-    # via kmeans_lloyd_step (green r5 row). Bumped for
-    # customer_rfm_segments and the rows-only embedding_pca_variance
-    # below; full-registry sf0.01 oracle run green this round)
-    # --- (a) r3-stale ---
-    "dedup_exact",
-    "session_aggregate",
-    # (session_counts: same sessions.py module/shape as the in-window
-    # session_aggregate and session-gap semantics pytest-gated — bumped
-    # for events_bloom_pruned_join below; full-registry sf0.01 oracle
-    # run green this round)
-    "export_by_src",
-    # (export_by_src_dest: same export-view module/shape as the
-    # in-window export_by_src and events_by_src_dest — bumped for
-    # events_cube_daily below; sf0.01 re-run green this round)
-    # (top_sources_export: same export_views.py module/shape as the
-    # in-window export_by_src — bumped for events_heavy_hitters below;
-    # full-registry sf0.01 oracle run green this round)
-    "asof_last_purchase",
-    "range_join_price_bands",
-    "click_purchase_attribution",
-    "retention_nth_ts",
-    # (retention_expired_count: same retention.py scalar-count shape as
-    # the in-window retention_nth_ts — bumped for user_type_scd2 below;
-    # full-registry sf0.01 oracle run green this round)
-    # (retention_survivors_by_src: same retention.py module/shape as the
-    # two in-window retention entries above — bumped for
-    # events_heavy_hitters_mg below; full-registry sf0.01 oracle run
+    # Window math (50 driver slots, 184 queries), round 8. Standing
+    # policy (r7 verdict): rows-only queries NEVER take a slot — a
+    # driver row for them can only report `no_oracle`, while the
+    # full-registry sf0.01/sf0.001 runs already prove they execute.
+    # The 50 = (a) the 16 r4-row entries at the 3-rounds-stale boundary
+    # (the r7 verdict's planned rotation, verbatim) + (b) the 8 oracled
+    # queries that have never had a driver row + (c) the 15 queries
+    # whose impl or oracle text changed this round (NULL-ts exclusions,
+    # zero-denominator guards, rank-arithmetic rounding, survivor
+    # size-gate, the new exact approx-twin) — their old green rows no
+    # longer describe the shipped code — + (d) 11 of the 19 r3-row
+    # entries (the oldest remaining evidence); the other 6 r3 entries
+    # are bumped with the inline twin notes below and lead round 9
+    # together with the 35 r5-row entries.
+    # --- (a) r4-stale: the verdict's planned rotation ---
+    "doc_repetition",
+    "doc_seq_packing",
+    "doc_mixture_weights",
+    "doc_budget_sample",
+    "doc_length_histogram",
+    "doc_quality_adaptive",
+    "doc_stratified_sample_hash",
+    "events_funnel",
+    "dedup_components_embedding",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q20_promo_shippers",
+    # --- (b) oracled but never driver-checked ---
+    "bpe_merge_step",
+    "events_by_src_incremental",
+    "events_by_src_sliding_incremental",
+    "events_funnel_windowed",
+    "events_grouping_sets",
+    "events_key_skew_gini",
+    "events_sliding_distinct_users",
+    "events_time_weighted_avg",  # also (c): w_ms=0 guard added r8
+    # --- (c) impl/oracle changed round 8 ---
+    "events_merged_sessions",  # NULL-ts exclusion (r8 advice)
+    "events_user_quartiles",  # integer rank arithmetic (r8 advice)
+    "customer_revenue_abc",  # zero-dollar-total guard (r8 advice)
+    "asof_last_purchase",  # NULL-ts exclusion (r8 sweep find)
+    "events_rate_anomaly",  # NULL-ts exclusion (r8 sweep find)
+    "events_user_running_stats",  # NULL-ts exclusion (r8 sweep find)
+    "retention_nth_ts",  # NULL-ts exclusion (r8 sweep find)
+    "session_aggregate",  # NULL-ts exclusion (r8 sweep find)
+    "session_aggregate_stateful",  # shares the fixed oracle
+    "session_starts",  # NULL-ts exclusion via session_starts_df
+    "session_counts",  # NULL-ts exclusion via session_starts_df
+    "dedup_survivors",  # broadcast size-gate (r7 verdict #5)
+    "dedup_survivors_best_quality",  # broadcast size-gate
+    "dedup_survivors_uncapped",  # r3-stale AND inherits the gate
+    "events_approx_stats_exact",  # NEW: hash twin of the sketch report
+    "export_by_src",  # export CTE inherits the session NULL-ts fix
+    # --- (d) r3-stale (oldest remaining rows) ---
+    "doc_token_stats",
+    "events_by_src_dest",
+    "events_pivot_daily",
+    "events_rollup",
+    "export_by_src_dest",
+    "multimodal_resize",
+    "part_cheapest_by_type",
+    "sim_topk_cosine",
+    "top_sources",
+    "top_sources_export",
+    # --- bumped r3 entries (lead round 9 with the r5 cohort) ---
+    # (dests_by_second: same per-second views.py shape as
+    # events_by_second, which stands on a fresh r7 row, and the
+    # in-window events_by_src_dest covers the module; bumped for
+    # export_by_src, whose oracle text changed this round; sf0.01
     # green this round)
-    "events_by_src",
-    # (events_by_src_dest: same views.py module/shape as the in-window
-    # events_by_src — bumped for doc_normalize below; full-registry
-    # sf0.01 oracle run green this round)
-    # (events_sessions: same views.py stream-view agg shape as the
-    # in-window events_by_src — its MAX adds one agg function to the
-    # identical plan class; bumped for events_cohort_retention below;
+    # (doc_quality: its quality_frame is exercised value-hash-deep by
+    # the in-window dedup_survivors_best_quality ttr ranking;
     # full-registry sf0.01 oracle run green this round)
-    "events_by_second",
-    # (dests_by_second: same per-second views.py shape as the in-window
-    # events_by_second — bumped for events_hll_users_by_type below;
+    # (doc_length_percentiles: same exact-percentile aggregate class
+    # and stats.py module as the in-window events_approx_stats_exact;
     # full-registry sf0.01 oracle run green this round)
-    # (top_sources: same serving.py order-desc top-k projection class as
-    # the in-window top_src_dests tail, and the sliding-recency +
-    # partial-agg family anchor top_users stands on a green r5 row —
-    # bumped for customer_revenue_abc below; full-registry sf0.01 oracle
-    # run green this round)
-    "top_src_dests",
-    # (sim_topk_cosine: its dot/norm/cosine fold helpers are exactly the
-    # in-window sim_ann_lsh re-rank stage (similarity.py:40 — shared
-    # module-level expressions), and the bounded-query-broadcast shape
-    # is sim_ann_lsh's probe side — bumped for events_top_paths below;
-    # full-registry sf0.01 oracle run green this round)
-    "sim_ann_lsh",
-    "events_distinct_users",
-    # (events_rollup: same Expand + two-tier agg shape as the in-window
-    # events_cube_daily, whose CUBE lattice is a superset of ROLLUP's —
-    # bumped for embedding_gram_int8 below; full-registry sf0.01 oracle
-    # run green this round)
-    # (events_pivot_daily: conditional-agg twin of the in-window
-    # events_distinct_users, same stats.py module — bumped for
-    # doc_length_quantiles_sketch below; full-registry sf0.01 oracle
-    # run green this round)
-    "users_cohort_setops",
-    # (doc_length_percentiles: same exact-percentile aggregate class and
-    # stats.py module as the in-window events_user_quartiles — bumped
-    # for events_type_transitions below; full-registry sf0.01 oracle
-    # run green this round)
-    # (part_cheapest_by_type: same row_number-argmin shape as the
-    # in-window user_type_scd2 mode pick and the new
-    # events_upsert_merge latest-per-key — bumped for
-    # events_upsert_merge below; full-registry sf0.01 oracle run green
-    # this round)
-    # (events_daily_moving_avg: its ROWS-frame window class is evidenced
-    # by events_user_running_stats' green r6 row and by the in-window
-    # RANGE-frame twin added below — bumped for
-    # events_user_trailing_hour; full-registry sf0.01 oracle run green
-    # this round)
-    # (doc_token_stats: its shared _tokens expressions are exercised
-    # in-window by bpe_train_merges / bpe_compression — bumped for
-    # events_quality_report below; full-registry sf0.01 oracle run green
-    # this round)
-    # (doc_quality: its shared quality_frame is exercised in-window by
-    # doc_weighted_sample and stands on dedup_survivors_best_quality's
-    # green r6 row — bumped for doc_quality_report below; full-registry
-    # sf0.01 oracle run green this round)
-    "multimodal_decode",
-    # (multimodal_resize: same decode/payload path as the in-window
-    # multimodal_decode — bumped for dedup_graph_stats below; sf0.01
-    # re-run green this round)
-    "dedup_components_uncapped",
-    # (dedup_survivors_uncapped: its uncapped pair source + CC chain is
-    # the in-window dedup_components_uncapped and its survivors tail is
-    # dedup_survivors' (green r6 row) — bumped for the late
-    # embedding_pca_project below; full-registry sf0.01 oracle run green
-    # this round)
-    "bucketed_colocated_join",
-    # --- (b) new this round ---
-    "doc_chunks",
-    "doc_classifier_score",
-    # (bpe_merge_step: ONE iteration of the in-window bpe_train_merges —
-    # train unrolls two applications of the same _vocab_frame +
-    # pair-explode + argmax math (prep.py:228,373), so the train row
-    # value-hash-covers the step — bumped for events_debounce below;
-    # full-registry sf0.01 oracle run green this round)
-    "events_merged_sessions",
-    "events_user_quartiles",
-    "corpus_snapshot_diff",
-    "events_zorder_key",
-    "doc_boilerplate_chunks",
-    "bpe_train_merges",
-    "doc_weighted_sample",
-    "bpe_compression",
-    "dedup_graph_stats",
-    "events_cube_daily",
-    "doc_normalize",
-    "events_hll_users_by_type",
-    "events_heavy_hitters",
-    # (events_heavy_hitters_mg: rows-only by design — a driver row
-    # proves only that it runs, which the full-registry sf0.01 run
-    # already does this round; its MG superset/lower-bound invariants
-    # are pytest-gated and its exact twin events_heavy_hitters stays
-    # in-window — bumped for customer_spend_distribution below)
-    "embedding_gram_int8",
-    # (embedding_pca_variance: rows-only by design — same run-proof
-    # argument as events_heavy_hitters_mg above; its fit invariants are
-    # pytest-gated and the same single-scan Gram/fit path feeds the
-    # in-window embedding_pca_project — bumped for events_value_mad
-    # below)
-    "embedding_pca_project",
-    "events_user_trailing_hour",
-    "events_quality_report",
-    "doc_quality_report",
-    "events_bloom_pruned_join",
-    "user_type_scd2",
-    # (doc_length_quantiles_sketch: rows-only by design — same run-proof
-    # argument as events_heavy_hitters_mg above; its rank-error and
-    # merge guarantees are pytest-gated — bumped for
-    # events_debounce_stateful below, which puts a THIRD custom stateful
-    # streaming operator under the full value-hash driver gate)
-    "events_cohort_retention",
-    "events_type_transitions",
-    "events_upsert_merge",
-    "customer_rfm_segments",
-    "customer_revenue_abc",
-    "events_top_paths",
-    "events_debounce",
-    "customer_spend_distribution",
-    "events_value_mad",
-    "events_debounce_stateful",
-    # (No explicit slot remains for the widen-guard conf-read refactor's
-    # riders — it is output-identical under driver-default confs and
-    # unit-tested, and the in-window dedup_components_uncapped /
-    # dedup_survivors_uncapped exercise the same guard code path on
-    # their shingle sources.)
-    # (Last four round-7 registrations (events_funnel_windowed,
-    # events_key_skew_gini, events_by_src_sliding_incremental,
-    # events_sliding_distinct_users — the last's bounded-explode shape
-    # twins the in-window events_hll_users_by_type sketch path and the
-    # Expand-distinct class of events_distinct_users) are
-    # outside the window like events_grouping_sets /
-    # events_time_weighted_avg / events_by_src_incremental before them:
-    # each is covered by this round's full-registry sf0.01 oracle runs,
-    # the degenerate sweeps, invariant tests, and an in-window shape
-    # twin (prefix-frame window family -> events_debounce /
-    # events_type_transitions; rank window over dim-sized aggregate ->
-    # customer_revenue_abc; pruned-scan full-outer aggregate merge ->
-    # events_upsert_merge). They lead the round-8 window with the rest.)
-    # (Exactly 50. Outside the window: the 16 r4-row entries below plus
-    # the twin-covered bumps above (kmeans_centers, top_sources,
-    # sim_topk_cosine, bpe_merge_step, events_heavy_hitters_mg,
-    # embedding_pca_variance, doc_length_quantiles_sketch) lead the
-    # round-8 window. The 16:
-    # (doc_repetition, doc_seq_packing, doc_mixture_weights,
-    # doc_budget_sample, doc_length_histogram, doc_quality_adaptive,
-    # doc_stratified_sample_hash, events_funnel,
-    # dedup_components_embedding, tpch_q2/q7/q8/q9/q10/q11/q20) hit the
-    # 3-rounds-stale boundary at r7 and MUST lead the round-8 window;
-    # everything else stands on a green r5/r6 row. The full registry is
+    # (events_daily_moving_avg: ROWS-frame window over a reduced
+    # series — the in-window events_rate_anomaly is the same reduced-
+    # series frame shape with a harder guard; sf0.01 green this round)
+    # (retention_expired_count / retention_survivors_by_src: same
+    # retention.py module as the in-window retention_nth_ts, and their
+    # P5 range-predicate shape is exercised by the in-window
+    # events_by_src_incremental's pruned scans; sf0.01 green this round)
+    # (events_sessions: views.py count+MAX stream-view agg — the
+    # in-window events_by_src_incremental covers the per-src agg class
+    # and events_by_src stands on a fresh r7 row; sf0.01 green this
+    # round)
+    # (Exactly 50. The 7 r7 twin-covered bumps recorded last round
+    # (kmeans_centers, top_sources, sim_topk_cosine, bpe_merge_step,
+    # events_heavy_hitters_mg, embedding_pca_variance,
+    # doc_length_quantiles_sketch): the three oracled ones are back
+    # in-window above; the rows-only ones stay out permanently per the
+    # standing policy. embedding_pca_project (rows-only) was flattened
+    # to scalar proj_1..proj_8 columns this round — the r7 canonicalizer
+    # crash class is gone and pytest gates the no-array-output contract;
+    # it stays out of the window as rows-only. The full registry is
     # re-verified every round by tests/test_oracle_parity.py at sf0.001
-    # and via tools/check_oracle.py at sf0.01 after round-7 changes.)
+    # and via tools/check_oracle.py at sf0.01 after round-8 changes.)
 ]
+
 
 
 def _ordered(d: dict) -> dict:

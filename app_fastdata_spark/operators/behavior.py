@@ -407,9 +407,15 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_intervals",
         F.round(F.col("w_us") / F.lit(1e6), 6).alias("observed_sec"),
         round_ratio("s_cents", "100 * n_intervals", 4).alias("plain_avg"),
-        round_ratio("swc_ms", "100 * w_ms", 4).alias(
-            "time_weighted_avg"
-        ),
+        # w_ms is 0 when EVERY inter-event gap is under 1 ms (duplicate
+        # timestamps are legal input — the event_id tiebreak exists for
+        # them): the time-weighted mean is undefined there, and an
+        # unguarded ratio ABORTS the whole query under ANSI
+        # (DIVIDE_BY_ZERO) where DuckDB's // 0 returns NULL — report
+        # NULL on both engines instead.
+        F.when(
+            F.col("w_ms") > 0, round_ratio("swc_ms", "100 * w_ms", 4)
+        ).alias("time_weighted_avg"),
     ).orderBy("user_id")
 
 
@@ -439,7 +445,7 @@ register(
     SELECT user_id, n_intervals,
            round(w_us / 1e6, 6) AS observed_sec,
            {pa} AS plain_avg,
-           {twa} AS time_weighted_avg
+           CASE WHEN w_ms > 0 THEN {twa} END AS time_weighted_avg
     FROM g
     ORDER BY user_id
     """.format(
@@ -690,7 +696,15 @@ def customer_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_cents", F.sum("rev_cents").over(w))
         .withColumn(
             "cum_share",
-            round_ratio("cum_cents div 100", "total_cents div 100", 6),
+            # total under one whole dollar (every order 0-priced, say)
+            # makes the dollar-scale denominator 0 — legal input that
+            # would ABORT under ANSI where DuckDB's // 0 yields NULL;
+            # report NULL share (class falls through to 'C', both
+            # engines' CASE treats NULL the same way)
+            F.when(
+                F.expr("total_cents div 100") > 0,
+                round_ratio("cum_cents div 100", "total_cents div 100", 6),
+            ),
         )
         .select(
             "o_custkey",
@@ -726,7 +740,7 @@ register(
     ),
     s AS (
       SELECT o_custkey, CAST(rev_cents AS DOUBLE) / 100 AS revenue,
-             {rr} AS cum_share
+             CASE WHEN total_cents // 100 > 0 THEN {rr} END AS cum_share
       FROM c
     )
     SELECT o_custkey, revenue, cum_share,

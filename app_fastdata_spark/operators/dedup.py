@@ -906,15 +906,43 @@ register(
 
 # The keep-one-per-cluster stage: corpus minus non-representative members
 # of each near-dup component. Composition: components (iterative) →
-# non-representatives (component != doc_id) → broadcast anti-join against
-# the corpus. At 100 TB the removal set is |near-dup docs| ≪ |corpus| and
-# broadcasts; the corpus side never shuffles.
-def dedup_survivors(spark: SparkSession, sf_dir: str, pair_source=None) -> DataFrame:
+# non-representatives (component != doc_id) → anti-join against the
+# corpus. The anti-join (and best_quality's member semi-join) is
+# broadcast only when the membership is provably small: on a CLEAN
+# corpus |near-dup docs| ≪ |corpus| and the broadcast keeps the corpus
+# side shuffle-free, but a dirty 100 TB crawl can put 30-50% of docs in
+# dup families — a multi-GB broadcast that kills the job. The gate is
+# FREE: connected_components materializes the pair count anyway
+# (stats_out["edges"]), and component membership is bounded by 2·edges,
+# so edges ≤ max ⇒ the broadcast side is bounded without an extra job.
+# Above the gate the join falls back to a shuffle semi/anti-join on
+# doc_id — the scalable shape (and AQE may still re-broadcast at
+# runtime if the actual build side turns out small).
+SURVIVOR_BROADCAST_MAX_EDGES = 2_000_000
+
+
+def _gated_broadcast(df: DataFrame, n_edges: int, max_edges: int) -> DataFrame:
+    return F.broadcast(df) if n_edges <= max_edges else df
+
+
+def dedup_survivors(
+    spark: SparkSession,
+    sf_dir: str,
+    pair_source=None,
+    broadcast_max_edges: int = SURVIVOR_BROADCAST_MAX_EDGES,
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    comp = dedup_components(spark, sf_dir, pair_source=pair_source)
+    stats: dict = {}
+    comp = dedup_components(
+        spark, sf_dir, pair_source=pair_source, stats_out=stats
+    )
     losers = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
     return (
-        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        docs.join(
+            _gated_broadcast(losers, stats["edges"], broadcast_max_edges),
+            "doc_id",
+            "left_anti",
+        )
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
@@ -953,26 +981,38 @@ register(
 # type-token ratio already oracled by doc_quality, so the ranking key is
 # bit-identical across engines.
 def dedup_survivors_best_quality(
-    spark: SparkSession, sf_dir: str, pair_source=None
+    spark: SparkSession,
+    sf_dir: str,
+    pair_source=None,
+    broadcast_max_edges: int = SURVIVOR_BROADCAST_MAX_EDGES,
 ) -> DataFrame:
     """Keep the highest-quality doc per near-dup component.
 
-    Scale shape: component membership is |near-dup docs| ≪ |corpus|, so
-    the quality scoring runs only on members (broadcast semi-join prunes
-    the corpus scan), the per-component argmax windows over that small
-    frame, and the loser set broadcasts into a corpus anti-join — the
-    corpus side never shuffles, same as dedup_survivors."""
+    Scale shape: quality scoring runs only on component members (the
+    semi-join prunes the corpus scan), the per-component argmax windows
+    over that member frame, and the loser set anti-joins the corpus.
+    All three joins take the edge-count gate above: below it they
+    broadcast (corpus never shuffles); above it — the dirty-crawl case
+    where membership rivals the corpus — they fall back to shuffle
+    joins on doc_id."""
     from pyspark.sql import Window
 
     from .textops import quality_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = dedup_components(spark, sf_dir, pair_source=pair_source)
-    members = docs.join(F.broadcast(comp.select("doc_id")), "doc_id").select(
-        "doc_id", "text"
+    stats: dict = {}
+    comp = dedup_components(
+        spark, sf_dir, pair_source=pair_source, stats_out=stats
     )
+    n_edges = stats["edges"]
+    members = docs.join(
+        _gated_broadcast(
+            comp.select("doc_id"), n_edges, broadcast_max_edges
+        ),
+        "doc_id",
+    ).select("doc_id", "text")
     scored = quality_frame(members).select("doc_id", "ttr").join(
-        F.broadcast(comp), "doc_id"
+        _gated_broadcast(comp, n_edges, broadcast_max_edges), "doc_id"
     )
     w = Window.partitionBy("component").orderBy(
         F.desc("ttr"), F.asc("doc_id")
@@ -983,7 +1023,11 @@ def dedup_survivors_best_quality(
         .select("doc_id")
     )
     return (
-        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        docs.join(
+            _gated_broadcast(losers, n_edges, broadcast_max_edges),
+            "doc_id",
+            "left_anti",
+        )
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )

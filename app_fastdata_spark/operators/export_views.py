@@ -27,6 +27,7 @@ _EXPORT_CTE = f"""
              epoch_us(ts) - epoch_us(lag(ts) OVER (
                PARTITION BY user_id, event_type ORDER BY ts)) AS prev_gap
       FROM events
+      WHERE ts IS NOT NULL
     ),
     exported AS (
       SELECT user_id, event_type FROM g

@@ -32,8 +32,12 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     user, plus the running purchase count. Both sides come from the same
     stream, so the tagged-union degenerates to a conditional column; the
     default RANGE window frame includes ts-peers, matching the oracle's
-    `p.ts <= e.ts` exactly even on timestamp ties."""
-    ev = load_table(spark, sf_dir, "events")
+    `p.ts <= e.ts` exactly even on timestamp ties. NULL-ts events are
+    excluded on BOTH engines: an as-of position without a timestamp is
+    undefined, and the RANGE frame of a NULL-ts row is the NULL peer
+    group in Spark (NULLS FIRST) but the whole partition in DuckDB
+    (NULLS LAST) — the planted-NULL sweep caught exactly that."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
     w = Window.partitionBy("user_id").orderBy("ts")
     return ev.select(
@@ -54,6 +58,7 @@ register(
            count(CASE WHEN event_type = 'purchase' THEN ts END)
              OVER (PARTITION BY user_id ORDER BY ts) AS purchases_so_far
     FROM events
+    WHERE ts IS NOT NULL
     """,
 )(asof_last_purchase)
 

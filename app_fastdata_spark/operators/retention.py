@@ -22,15 +22,19 @@ from ..registry import register
 from ..tables import load_table
 
 
-# T5 — Nth-oldest timestamp (chunk boundary pick).
+# T5 — Nth-oldest timestamp (chunk boundary pick). NULL-ts rows have no
+# age and are excluded on BOTH engines (Spark sorts NULLs FIRST, DuckDB
+# LAST — either way the Nth element would shift; an age-based delete
+# can't target them anyway).
 def retention_nth_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return ev.select("ts").orderBy("ts").offset(NTH_OLDEST).limit(1)
 
 
 register(
     "retention_nth_ts",
-    sql=f"SELECT ts FROM events ORDER BY ts OFFSET {NTH_OLDEST} LIMIT 1",
+    sql=f"SELECT ts FROM events WHERE ts IS NOT NULL"
+    f" ORDER BY ts OFFSET {NTH_OLDEST} LIMIT 1",
 )(retention_nth_ts)
 
 

@@ -28,6 +28,11 @@ def session_starts_df(ev: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> 
     # Gap math in integer microseconds (unix_micros / epoch_us) so Spark and
     # the DuckDB oracle agree exactly at the boundary — `unix_timestamp`
     # truncates subseconds while DuckDB's epoch() keeps them.
+    # NULL-ts events cannot be sessionized (no position under the gap
+    # rule) and are excluded on BOTH engines — window ORDER BY ts places
+    # NULLs differently (Spark FIRST, DuckDB LAST), so an unfiltered
+    # NULL row silently shifts its neighbors' gaps on one engine.
+    ev = ev.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id", "event_type").orderBy("ts")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     return (
@@ -57,7 +62,7 @@ register(
       SELECT event_id, user_id AS src, event_type AS dest, ts, value,
              epoch_us(ts) - epoch_us(lag(ts) OVER (
                PARTITION BY user_id, event_type ORDER BY ts)) AS prev_gap
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT event_id, src, dest, ts, value
     FROM g WHERE prev_gap IS NULL OR prev_gap > {SESSION_GAP_SECONDS} * 1000000
@@ -79,7 +84,8 @@ def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cumulative-sum session ids → per-session start + event count. This is
 # what the streaming layer's session_start_stream must reproduce.
 def session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # same NULL-ts exclusion as session_starts_df (and the stateful twin)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id", "event_type").orderBy("ts")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     is_start = (
@@ -108,7 +114,7 @@ SESSION_AGGREGATE_SQL = f"""
                   OR lag(ts) OVER (
                     PARTITION BY user_id, event_type ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS is_start
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     s AS (
       SELECT user_id, event_type, ts,
@@ -131,7 +137,7 @@ register(
       SELECT user_id, event_type,
              epoch_us(ts) - epoch_us(lag(ts) OVER (
                PARTITION BY user_id, event_type ORDER BY ts)) AS prev_gap
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id AS src, event_type AS dest, count(*) AS n_sessions
     FROM g WHERE prev_gap IS NULL OR prev_gap > {SESSION_GAP_SECONDS} * 1000000

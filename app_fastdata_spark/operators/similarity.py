@@ -1037,8 +1037,15 @@ register("embedding_pca_variance")(embedding_pca_variance)
 # never shuffles (orderBy is presentation only). rows-only: eigenvector
 # signs/floats are LAPACK-specific; the pytest gate pins the structural
 # invariants instead (per-component projected variance == eigenvalue,
-# cross-component correlation ~ 0).
-def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+# cross-component correlation ~ 0). Output is PCA_TOP SCALAR double
+# columns proj_1..proj_k — never an array column: the driver's pandas
+# canonicalizer factorizes cell values and dies on list cells (the r7
+# `err` row), and flat columns are the shape a downstream table wants
+# anyway. The array form stays available via `as_array=True` for
+# internal consumers.
+def embedding_pca_project(
+    spark: SparkSession, sf_dir: str, as_array: bool = False
+) -> DataFrame:
     import numpy as np
 
     q = _quantized_vecs(spark, sf_dir).persist()
@@ -1049,15 +1056,21 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan+quantize at execution time) — the alternative, leaving q
         # persisted for a consumer we never see finish, leaks cache
         q.unpersist(blocking=False)
+    k = min(PCA_TOP, DIM)
+    flat_schema = "vec_id long, " + ", ".join(
+        f"proj_{i} double" for i in range(1, k + 1)
+    )
     if n < 2:
-        return spark.createDataFrame([], "vec_id long, proj array<double>")
+        if as_array:
+            return spark.createDataFrame([], "vec_id long, proj array<double>")
+        return spark.createDataFrame([], flat_schema)
     mean = s / n
     cov = (G - np.outer(s, s) / n) / (n - 1)
     w, v = np.linalg.eigh(cov)
     # top-k columns, descending eigenvalue; sign fixed so each vector's
     # largest-|coord| entry is positive (eigh's sign is arbitrary and
     # this makes the projection deterministic across LAPACK builds)
-    order = np.argsort(w)[::-1][:PCA_TOP]
+    order = np.argsort(w)[::-1][:k]
     P = v[:, order]
     for c in range(P.shape[1]):
         m = np.argmax(np.abs(P[:, c]))
@@ -1071,19 +1084,22 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             E = np.stack(pdf["q"].to_numpy()).astype("float64") - mean
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "proj": list(E @ P),
-                }
-            )
+            proj = E @ P
+            if as_array:
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "proj": list(proj)}
+                )
+            else:
+                out = {"vec_id": pdf["vec_id"]}
+                for i in range(k):
+                    out[f"proj_{i + 1}"] = proj[:, i]
+                yield pd.DataFrame(out)
 
     # same frame definition as the moments (vec_id NULL-filtered there —
     # one NULL in the int64 Arrow batch would coerce ids to float64 and
     # silently corrupt ids >= 2^53)
-    return q.mapInPandas(
-        project, "vec_id long, proj array<double>"
-    ).orderBy("vec_id")
+    schema = "vec_id long, proj array<double>" if as_array else flat_schema
+    return q.mapInPandas(project, schema).orderBy("vec_id")
 
 
 register("embedding_pca_project")(embedding_pca_project)

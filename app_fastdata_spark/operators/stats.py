@@ -365,6 +365,38 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("events_approx_stats")(events_approx_stats)
 
 
+# The hash-checkable twin of events_approx_stats: the SAME report shape
+# (per-type distinct users + value percentiles) computed exactly, so the
+# approx family contributes a full value-hash driver row while the
+# sketch columns stay rows-only-gated. The error-bound link between the
+# two (|approx - exact| within rsd/accuracy) is asserted in tests.
+def events_approx_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_value"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_approx_stats_exact",
+    sql="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           round(quantile_cont(value, 0.5), 6) AS p50_value,
+           round(quantile_cont(value, 0.99), 6) AS p99_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)(events_approx_stats_exact)
+
+
 # Semi-structured metadata extraction (the props column carries JSON):
 # schema-enforced from_json parse → typed field → bucketed aggregate.
 # A training pipeline filters on exactly this kind of sidecar metadata.
@@ -503,10 +535,15 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-aggregated per-hour series (O(buckets), not O(events)) —
     the same reduced-series shape as events_daily_moving_avg.
     z is computed from 6-dp-rounded mean/sd on both engines so the flag
-    boundary cannot straddle a cross-engine rounding difference."""
+    boundary cannot straddle a cross-engine rounding difference.
+    NULL-ts events have no hour bucket and are excluded on BOTH engines
+    (a NULL bucket row would sort FIRST in Spark's series window but
+    LAST in DuckDB's, shifting every trailing frame by one)."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     per_h = (
         events.withColumn("hour_ts", F.date_trunc("hour", "ts"))
         .groupBy("hour_ts")
@@ -535,7 +572,7 @@ register(
     WITH per_h AS (
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
              count(*) AS c, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS s
-      FROM events GROUP BY 1, 3
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 3
     ),
     scored AS (
       SELECT hour_ts, c,
@@ -564,11 +601,14 @@ def events_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cumulative frames, LAG). Window order is (ts, event_id) so the
     running-sum FOLD ORDER is identical on both engines (float parity
     by construction, 6-dp rounding as belt); the gap compares integer
-    microseconds. One shuffle on user_id, sort within partitions —
+    microseconds. NULL-ts events have no position in the stream and are
+    excluded on BOTH engines (Spark sorts window NULLs FIRST, DuckDB
+    LAST — every cumulative value after the NULL would diverge).
+    One shuffle on user_id, sort within partitions —
     exactly the scale shape of a sessionizing pass."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = F.unix_micros("ts")
@@ -589,6 +629,7 @@ register(
            round(sum(value) OVER cum, 6) AS running_sum,
            epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
            cum AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -608,13 +649,19 @@ def events_merged_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't express and the reference's sessionizer special-cases.
 
     All timestamp math is integer microseconds (cross-engine exact).
+    NULL-ts events are excluded on BOTH engines — an interval needs a
+    start, and window ORDER BY ts places NULLs differently across
+    engines (Spark NULLS FIRST vs DuckDB NULLS LAST), so an unfiltered
+    NULL row yields a phantom NULL-bounded session on one engine and
+    silently inflates the last session's n_events on the other (the
+    same exclusion every sibling windowed events operator applies).
     Scale shape: ONE hash exchange on user_id feeds both window passes
     AND the final group-by (same key → Spark reuses the partitioning);
     per-user data sorts once within partitions. Skewed users are bounded
     by their own event counts — no global sort anywhere."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     s = F.unix_micros("ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_end = F.max(F.col("e")).over(
@@ -655,6 +702,7 @@ register(
       SELECT user_id, ts, event_id, epoch_us(ts) AS s,
              epoch_us(ts) + {MERGE_GAP_US} AS e
       FROM events
+      WHERE ts IS NOT NULL
     ),
     marked AS (
       SELECT user_id, s, e,
@@ -689,7 +737,15 @@ def events_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity ranked into quartiles with the full
     rank-distribution window family (NTILE, PERCENT_RANK, CUME_DIST) —
     the remaining OVER() classes beyond ROW_NUMBER/frames/LAG. Total
-    order (cnt DESC, user_id) makes every rank deterministic.
+    order (cnt DESC, user_id) makes every rank deterministic — no peer
+    groups, so percent_rank/cume_dist reduce to pure rank arithmetic,
+    computed explicitly as exact-integer ratios ((i-1)/(n-1), i/n)
+    through the half-up identity in functions/rounding.py rather than
+    the builtins, whose double rounding diverges across engines at
+    binary-inexact 6-dp half-way points (the
+    customer_spend_distribution precedent). A single-user frame defines
+    pct_rank = 0 (the builtins' n=1 convention), guarding the (n-1)
+    denominator.
 
     Scale note: the global-ORDER window runs over the POST-AGGREGATE
     frame (one row per user — dim-sized, ~1e6 rows at 100 TB, one
@@ -705,12 +761,21 @@ def events_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
-    return per_user.select(
+    ranked = per_user.select(
         "user_id",
         "n_events",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.select(
+        "user_id",
+        "n_events",
+        "quartile",
+        F.when(F.col("n") > 1, round_ratio("i - 1", "n - 1", 6))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        round_ratio("i", "n", 6).alias("cume"),
     )
 
 
@@ -720,14 +785,23 @@ register(
     WITH per_user AS (
       SELECT user_id, count(*) AS n_events
       FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, n_events,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             row_number() OVER w AS i,
+             count(*) OVER () AS n
+      FROM per_user
+      WINDOW w AS (ORDER BY n_events DESC, user_id)
     )
-    SELECT user_id, n_events,
-           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
-    FROM per_user
-    WINDOW w AS (ORDER BY n_events DESC, user_id)
-    """,
+    SELECT user_id, n_events, quartile,
+           CASE WHEN n > 1 THEN {pr} ELSE 0.0 END AS pct_rank,
+           {cd} AS cume
+    FROM ranked
+    """.format(
+        pr=sql_round_ratio("i - 1", "n - 1", 6),
+        cd=sql_round_ratio("i", "n", 6),
+    ),
 )(events_user_quartiles)
 
 

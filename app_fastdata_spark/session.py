@@ -34,6 +34,12 @@ def get_spark(app_name: str = "app_fastdata_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The repo's overflow-bound docstrings (functions/rounding.py,
+        # events_time_weighted_avg, customer_revenue_abc, ...) promise
+        # that an exceeded int64 bound ERRORS rather than silently
+        # wrapping. That is only the DEFAULT on Spark 4.x — pin it so
+        # the contract holds on a 3.x deployment too.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
         # Fail a runaway collect loudly instead of starving the sandbox.

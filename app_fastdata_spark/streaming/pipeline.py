@@ -152,9 +152,12 @@ def session_start_stream(
     no event arrives for `gap_seconds`; each closed session emits one row
     whose session_start is the window start — exactly the rows the
     reference inserts into events_export (first event per gap-session,
-    NewEvent.java:70-75)."""
+    NewEvent.java:70-75). NULL-ts events are excluded explicitly — the
+    batch twin (session_starts_df) excludes them, and a session window
+    cannot be assigned without an event time."""
     return (
-        events.withWatermark("ts", retention)
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", retention)
         .groupBy(
             F.session_window("ts", f"{gap_seconds} seconds").alias("w"),
             F.col("user_id").alias("src"),
@@ -538,12 +541,14 @@ def merged_sessions_stream(events: DataFrame, retention: str = RETENTION) -> Dat
     while events keep arriving within the gap and closes at
     last_event + gap, exactly the batch operator's [min(s), max(e))
     session. State is bounded by the watermark. Emits one row per
-    closed session keyed by user."""
+    closed session keyed by user. NULL-ts events are excluded — the
+    batch twin's documented exclusion."""
     from ..operators.stats import MERGE_GAP_US
 
     gap_s = MERGE_GAP_US // 1_000_000
     return (
-        events.withWatermark("ts", retention)
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", retention)
         .groupBy(
             F.session_window("ts", f"{gap_s} seconds").alias("w"),
             F.col("user_id"),

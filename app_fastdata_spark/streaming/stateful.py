@@ -25,6 +25,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -86,9 +87,13 @@ def _sessionize(gap_seconds: int):
 def stateful_session_stream(
     events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
 ) -> DataFrame:
-    """ST2 as a custom stateful operator over a STREAMING events frame."""
+    """ST2 as a custom stateful operator over a STREAMING events frame.
+    NULL-ts events are dropped Spark-side BEFORE the Python stage (the
+    batch twin's exclusion, and a NaT would astype to int64-min inside
+    the sessionizer)."""
     return (
         events.select("user_id", "event_type", "ts")
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id", "event_type")
         .applyInPandasWithState(
             _sessionize(gap_seconds),

@@ -203,6 +203,13 @@ def main() -> None:
         rate_events_stream,
     )
 
+    # Silence the JVM logger for the stream's whole lifecycle: q.stop()
+    # cancels in-flight tasks and the resulting TaskKilled WARN lines are
+    # flushed ASYNCHRONOUSLY by the JVM — in round 7 they landed AFTER the
+    # JSON print and pushed the line out of the driver's output tail
+    # (BENCH_r07 parsed:null). FATAL before start() guarantees the spam is
+    # never emitted at all.
+    spark.sparkContext.setLogLevel("FATAL")
     q = (
         full_ingest_stream(spark, rate_events_stream(spark, rows_per_second=50000))
         .writeStream.format("noop")
@@ -218,6 +225,10 @@ def main() -> None:
         ]
     finally:
         q.stop()
+        try:
+            q.awaitTermination(30)
+        except Exception:
+            pass
     if rates:
         import statistics
 
@@ -225,6 +236,12 @@ def main() -> None:
         ingest_eps_peak = round(max(rates), 1)
     else:
         ingest_eps = ingest_eps_peak = None
+    # Tear the JVM down COMPLETELY before emitting the contract line, so
+    # nothing can write to stdout/stderr after it; flush both streams and
+    # make the JSON the absolute last bytes of the process.
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -245,7 +262,8 @@ def main() -> None:
                 "ingest_events_per_sec": ingest_eps,
                 "ingest_events_per_sec_peak": ingest_eps_peak,
             }
-        )
+        ),
+        flush=True,
     )
 
 

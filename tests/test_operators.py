@@ -282,6 +282,16 @@ def test_approx_stats_error_bounds(spark, sf_dir):
         assert abs(a.n_users_approx - e.n_users) <= max(2, 0.06 * e.n_users), et
         assert e.p40 <= a.p50_value_approx <= e.p60, et
         assert e.p98 <= a.p99_value_approx <= e.vmax, et
+    # the registered hash-checkable twin reports the same exact distincts
+    from app_fastdata_spark.operators.stats import events_approx_stats_exact
+
+    twin = {
+        r.event_type: r
+        for r in events_approx_stats_exact(spark, sf_dir).collect()
+    }
+    assert set(twin) == set(exact)
+    for et, t in twin.items():
+        assert t.n_users == exact[et].n_users, et
 
 
 def test_connected_components_long_chain(spark):
@@ -1243,13 +1253,27 @@ def test_pca_projection_invariants(spark, sf_dir):
         embedding_pca_variance,
     )
 
+    flat = embedding_pca_project(spark, sf_dir)
+    # driver-canonicalizer contract: the registered shape is SCALAR
+    # columns only (an array column crashed the r7 driver row)
+    assert all(not t.startswith("array") for _, t in flat.dtypes), flat.dtypes
     proj = np.stack(
         [
-            np.array(r.proj)
-            for r in embedding_pca_project(spark, sf_dir).collect()
+            np.array([r[f"proj_{i}"] for i in range(1, PCA_TOP + 1)])
+            for r in flat.collect()
         ]
     )
     assert proj.shape[1] == PCA_TOP
+    # the internal array form must agree with the flat form exactly
+    arr = np.stack(
+        [
+            np.array(r.proj)
+            for r in embedding_pca_project(
+                spark, sf_dir, as_array=True
+            ).collect()
+        ]
+    )
+    assert np.array_equal(proj, arr)
     evs = [r.eigenvalue for r in embedding_pca_variance(spark, sf_dir).collect()]
     var = proj.var(axis=0, ddof=1)
     for k in range(PCA_TOP):

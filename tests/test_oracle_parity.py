@@ -174,6 +174,21 @@ def test_degenerate_events_parity_all_event_oracles(spark, sf_dir, tmp_path):
             # the argmin, so cluster views must drop it in BOTH engines
             # (NULLS-LAST rn would crown cluster 0 in the oracle)
             (888_887, "2024-01-30 23:59:07", None, "view", 6.0, '{"k": 3}'),
+            # NULL ts: window ORDER BY ts places NULLs differently
+            # (Spark NULLS FIRST vs DuckDB NULLS LAST) — every
+            # interval/sequence operator must exclude it explicitly on
+            # BOTH engines (the r8 events_merged_sessions phantom-session
+            # break lived exactly here)
+            (888_888, None, 14, "view", 1.0, None),
+        ]
+        + [
+            # duplicate-timestamp user: every inter-event gap is 0 (and
+            # one sub-millisecond), so the ms-quantized weight sum is 0 —
+            # an unguarded weighted-average ratio ABORTS under ANSI
+            # (DIVIDE_BY_ZERO) where DuckDB's // 0 returns NULL
+            (888_940, "2024-01-05 01:00:00", 888_951, "click", 2.0, None),
+            (888_941, "2024-01-05 01:00:00", 888_951, "click", 4.0, None),
+            (888_942, "2024-01-05 01:00:00.000400", 888_951, "view", 6.0, None),
         ]
         + [
             # crafted round-boundary user: 32 transitions out of 'click'
@@ -343,5 +358,64 @@ def test_degenerate_orders_parity_all_order_oracles(spark, sf_dir, tmp_path):
     os_ = oracles()
     ord_qs = [n for n, sql in os_.items() if "orders" in sql]
     assert len(ord_qs) >= 15
+    failures = _parity_failures(spark, con, d, ord_qs)
+    assert not failures, failures
+
+
+def test_zero_revenue_orders_parity(spark, sf_dir, tmp_path):
+    """Every orders oracle must agree — and not crash — on a corpus
+    whose TOTAL revenue rounds to less than one dollar (every price
+    0.00 or NULL). Legal input that zeroes the dollar-scale share
+    denominator in customer_revenue_abc: unguarded, Spark under ANSI
+    aborts with DIVIDE_BY_ZERO while DuckDB's // 0 returns NULL."""
+    import os as _os
+    import shutil as _sh
+
+    import duckdb as _ddb
+
+    d = str(tmp_path / "zero_rev")
+    _os.makedirs(d)
+    rows = [
+        (1, 10, "O", 0.0, "2024-01-10", "1-URGENT"),
+        (2, 10, "F", 0.0, "2024-01-12", "2-HIGH"),
+        (3, 11, "O", 0.0, "2024-01-11", "3-MEDIUM"),
+        (4, 12, "F", None, "2024-01-09", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    # INT96 like the sibling sweeps: a Spark µs-UTC write reads back as
+    # TIMESTAMPTZ in DuckDB and every timestamp cell would mismatch
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        df.coalesce(1).write.parquet(f"{d}/orders.parquet")
+    finally:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    for t in TABLE_NAMES:
+        if t != "orders" and _os.path.exists(f"{sf_dir}/{t}.parquet"):
+            _sh.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    con = _ddb.connect()
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'"
+    )
+    for t in TABLE_NAMES:
+        if t != "orders" and _os.path.exists(f"{d}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    os_ = oracles()
+    ord_qs = [n for n, sql in os_.items() if "orders" in sql]
     failures = _parity_failures(spark, con, d, ord_qs)
     assert not failures, failures

@@ -791,3 +791,35 @@ def test_sliding_distinct_bounded_explode_then_distinct(spark, sf_dir):
     assert plan.count("FileScan") <= 2
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_survivor_broadcast_size_gate(spark, sf_dir):
+    """The survivor joins must broadcast only under the edge-count gate:
+    below it the loser/member sides are broadcast (corpus never
+    shuffles); above it — the dirty-crawl case where dup-family
+    membership rivals the corpus — the same joins plan as shuffle
+    joins. Results must be identical on both paths (the gate is a
+    physical-strategy switch, never a semantics switch)."""
+    from app_fastdata_spark.operators.dedup import (
+        dedup_survivors,
+        dedup_survivors_best_quality,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable Catalyst's own size-estimate broadcasting so the ONLY
+    # broadcast in the plan is the one the gate decides to hint
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in (dedup_survivors, dedup_survivors_best_quality):
+            small = fn(spark, sf_dir)
+            bplan = small._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in bplan, bplan
+            big = fn(spark, sf_dir, broadcast_max_edges=-1)
+            splan = big._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in splan, splan
+            assert "SortMergeJoin" in splan or "ShuffledHashJoin" in splan, splan
+            got_b = sorted(tuple(r) for r in small.collect())
+            got_s = sorted(tuple(r) for r in big.collect())
+            assert got_b == got_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
