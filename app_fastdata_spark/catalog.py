@@ -102,11 +102,11 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_survivors_uncapped",  # r3-stale AND inherits the gate
     "events_approx_stats_exact",  # NEW: hash twin of the sketch report
     "export_by_src",  # export CTE inherits the session NULL-ts fix
+    "tpch_q16_supplier_cnt",  # NOT-IN NULL-poison pin (r8 tpch sweep find)
     # --- (d) r3-stale (oldest remaining rows) ---
     "doc_token_stats",
     "events_by_src_dest",
     "events_pivot_daily",
-    "events_rollup",
     "export_by_src_dest",
     "multimodal_resize",
     "part_cheapest_by_type",
@@ -114,6 +114,13 @@ DRIVER_PRIORITY: list[str] = [
     "top_sources",
     "top_sources_export",
     # --- bumped r3 entries (lead round 9 with the r5 cohort) ---
+    # (events_rollup: same Expand + two-tier agg shape as
+    # events_cube_daily (fresh r7 row) whose CUBE lattice is a superset,
+    # and the in-window events_grouping_sets covers the grouping-sets
+    # family; bumped for tpch_q16_supplier_cnt, whose oracle text
+    # changed this round; sf0.01 green this round)
+    # (part_cheapest_by_type note: stays in-window above — it is BOTH
+    # r3-stale and r8-changed (NULL price/key argmin exclusion).)
     # (dests_by_second: same per-second views.py shape as
     # events_by_second, which stands on a fresh r7 row, and the
     # in-window events_by_src_dest covers the module; bumped for

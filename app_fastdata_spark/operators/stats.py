@@ -212,9 +212,16 @@ register(
 # Per-group argmin with full-row recovery (TPC-H Q2's correlated-min shape,
 # decorrelated): cheapest part per type. min(struct(price, key)) is the
 # distributed argmin — one partial/final agg, deterministic via the key
-# tiebreak, no window sort and no correlated re-scan.
+# tiebreak, no window sort and no correlated re-scan. NULL price/key rows
+# are excluded on BOTH engines: a part with no price cannot be
+# "cheapest", and the engines place NULLs differently in the argmin
+# (Spark's struct comparison sorts a NULL field FIRST, DuckDB's
+# row_number ORDER BY sorts it LAST — the degenerate TPC-H sweep plants
+# the divergent row).
 def part_cheapest_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_partkey").isNotNull()
+    )
     best = (
         part.groupBy("p_type")
         .agg(F.min(F.struct("p_retailprice", "p_partkey")).alias("m"))
@@ -235,6 +242,7 @@ register(
              row_number() OVER (PARTITION BY p_type
                                 ORDER BY p_retailprice, p_partkey) AS rn
       FROM part
+      WHERE p_retailprice IS NOT NULL AND p_partkey IS NOT NULL
     ) WHERE rn = 1
     ORDER BY p_type
     """,

@@ -567,15 +567,19 @@ register(
 )(tpch_q15_top_supplier)
 
 
-# Q16-style supplier count: COUNT(DISTINCT) after an anti-join exclusion
-# (NOT IN rewritten as left-anti, the null-safe form for a non-nullable
-# key). Distinct-agg over a join output is its own shuffle shape
-# (partial distinct under the Expand).
+# Q16-style supplier count: COUNT(DISTINCT) after an anti-join exclusion.
+# NOT IN is rewritten as left-anti, and the exclusion list explicitly
+# drops NULL keys on BOTH engines: a NULL key identifies no supplier,
+# and SQL `NOT IN (…, NULL)` is three-valued-logic poison (every
+# comparison UNKNOWN → the whole result empties) while a left-anti join
+# simply never matches the NULL — the degenerate TPC-H sweep plants
+# exactly that row. Distinct-agg over a join output is its own shuffle
+# shape (partial distinct under the Expand).
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45")
     li = load_table(spark, sf_dir, "lineitem")
     bad = load_table(spark, sf_dir, "supplier").filter(
-        F.col("s_acctbal") < 0
+        (F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull()
     ).select(F.col("s_suppkey").alias("l_suppkey"))
     return (
         li.join(F.broadcast(bad), "l_suppkey", "left_anti")
@@ -593,7 +597,8 @@ register(
     SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_brand <> 'Brand#45'
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
     GROUP BY p_brand, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_size
     LIMIT 20

@@ -419,3 +419,111 @@ def test_zero_revenue_orders_parity(spark, sf_dir, tmp_path):
     ord_qs = [n for n, sql in os_.items() if "orders" in sql]
     failures = _parity_failures(spark, con, d, ord_qs)
     assert not failures, failures
+
+
+def test_degenerate_tpch_parity_all_tpch_oracles(spark, sf_dir, tmp_path):
+    """Every lineitem/part/supplier/customer oracle must agree across
+    engines on tables with the degenerate rows the schema allows — NULL
+    join keys, NULL filter columns, NULL measures, NULL group keys —
+    written INT96 like the sibling sweeps. The marquee plant is a NULL
+    s_suppkey on a NEGATIVE-balance supplier: SQL `NOT IN (subquery)`
+    with a NULL in the list is three-valued-logic poison (every
+    comparison UNKNOWN → zero rows survive) while a left-anti join just
+    never matches the NULL — the q16 rewrite must pin ONE semantics on
+    both engines."""
+    import os as _os
+    import shutil as _sh
+
+    import duckdb as _ddb
+
+    from app_fastdata_spark.tables import load_table
+
+    d = str(tmp_path / "degen_tpch")
+    _os.makedirs(d)
+    plants = {
+        "lineitem": (
+            [
+                # NULL date (range filters), NULL measures (sums/avgs),
+                # NULL group keys (flag/status), NULL join keys
+                (910_001, 1, 1, 9, 5.0, 100.0, 0.05, 0.01, "N", "O", None),
+                (910_002, 1, 1, 9, None, None, None, None, "R", "F", "2024-01-05"),
+                (910_003, 1, 1, 9, 3.0, 50.0, 0.0, 0.0, None, None, "2024-01-06"),
+                (None, None, None, 9, 2.0, 25.0, 0.1, 0.02, "A", "F", "2024-01-07"),
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate string",
+            ["l_shipdate"],
+        ),
+        "customer": (
+            [
+                (920_001, "Customer#degen1", None, None, None),
+                (None, "Customer#degen2", 1, 10.0, "BUILDING"),
+            ],
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+            [],
+        ),
+        "supplier": (
+            [
+                # the NOT-IN poison: negative balance, NULL key
+                (None, "Supplier#degen1", 1, -5.0),
+                (930_001, "Supplier#degen2", None, None),
+            ],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+            [],
+        ),
+        "part": (
+            [
+                (940_001, "degen part", None, None, None, None),
+                (None, "degen part2", "Brand#11", "STANDARD BRUSHED TIN", 7, 901.0),
+                # NULL price inside a POPULATED type group: the per-group
+                # argmin must place the NULL identically on both engines
+                # (min(struct) vs row_number ORDER BY price)
+                (940_002, "degen part3", "Brand#12", "STANDARD BRUSHED TIN", 9, None),
+            ],
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+            [],
+        ),
+    }
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        for t, (rows, schema, ts_cols) in plants.items():
+            base = load_table(spark, sf_dir, t).limit(300)
+            extra = spark.createDataFrame(rows, schema)
+            for c in ts_cols:
+                extra = extra.withColumn(c, F.col(c).cast("timestamp"))
+            base.unionByName(extra).coalesce(1).write.parquet(
+                f"{d}/{t}.parquet"
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    for t in TABLE_NAMES:
+        if t not in plants and _os.path.exists(f"{sf_dir}/{t}.parquet"):
+            _sh.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    con = _ddb.connect()
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLE_NAMES:
+        if t in plants:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+            )
+        elif _os.path.exists(f"{d}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    import re as _re
+
+    os_ = oracles()
+    tq = [
+        n
+        for n, sql in os_.items()
+        if _re.search(r"\b(lineitem|supplier|part)\b|\bcustomer\b", sql)
+    ]
+    assert len(tq) >= 25
+    failures = _parity_failures(spark, con, d, tq)
+    assert not failures, failures
