@@ -107,6 +107,8 @@ HEADLINE = [
     "events_key_skew_gini",
     "events_by_src_sliding_incremental",
     "events_sliding_distinct_users",
+    # round-8 addition
+    "events_approx_stats_exact",
 ]
 
 
