@@ -574,7 +574,11 @@ register(
 # comparison UNKNOWN → the whole result empties) while a left-anti join
 # simply never matches the NULL — the degenerate TPC-H sweep plants
 # exactly that row. Distinct-agg over a join output is its own shuffle
-# shape (partial distinct under the Expand).
+# shape (partial distinct under the Expand). (A distinct
+# (l_partkey, l_suppkey) pre-agg BELOW the joins was A/B'd in round 8:
+# 7 solo reps at sf0.1 measured 1.07 s vs 1.05 s min — no win, because
+# the partial distinct already dedups map-side before the shuffle — so
+# the simpler one-pass form stands.)
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45")
     li = load_table(spark, sf_dir, "lineitem")
