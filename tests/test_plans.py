@@ -823,3 +823,23 @@ def test_survivor_broadcast_size_gate(spark, sf_dir):
             assert got_b == got_s
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_window_outputs_are_driver_canonicalizable(spark, sf_dir):
+    """Every query in the 50-slot driver window must emit only scalar
+    (atomic) columns: the driver's pandas canonicalizer factorizes cell
+    values and dies on list/dict cells (the r7 embedding_pca_project
+    err row). Complex types stay internal; registered outputs flatten."""
+    from pyspark.sql import types as T
+
+    from app_fastdata_spark.catalog import DRIVER_PRIORITY, queries
+
+    qs = queries()
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name in DRIVER_PRIORITY:
+        schema = qs[name](spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, complex_types):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
