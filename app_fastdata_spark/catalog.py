@@ -154,6 +154,22 @@ DRIVER_PRIORITY: list[str] = [
     # it stays out of the window as rows-only. The full registry is
     # re-verified every round by tests/test_oracle_parity.py at sf0.001
     # and via tools/check_oracle.py at sf0.01 after round-8 changes.)
+    # (Round-9 rotation plan, assuming this window lands green: 32
+    # r5-row entries hit the stale boundary next (corpus_health,
+    # dedup_embedding_cosine_bucketed(+_loose),
+    # dedup_minhash_estimate_error, doc_batch_padding, doc_bpe_tokens,
+    # doc_cluster_balanced_sample, doc_dsir_sample, doc_dup_spans,
+    # doc_fingerprint, doc_global_shuffle, doc_lang_id,
+    # doc_rolling_hash, doc_scrub_spans, doc_tfidf_top_terms,
+    # doc_top_terms, gen_events, kmeans_lloyd_step, multimodal_embed,
+    # multimodal_frame_sample, retention_delete_oldest_to_target,
+    # sim_ann_int8, sim_ann_ivf, sim_ann_recall, top_users,
+    # top_users_from_store, top_users_salted, tpch_q12/q15/q17/q19/q21
+    # — events_rate_anomaly, session_aggregate_stateful and tpch_q16
+    # were r5-row but get r8 rows above) plus the 8 r3 entries bumped
+    # this round (notes above). 32 + 8 = 40 slots pre-committed; ~10
+    # remain for round-9 changes. The r6 cohort (49 entries) leads
+    # round 10.)
 ]
 
 
