@@ -588,3 +588,113 @@ def test_ts_unit_probe_handles_tz_annotated_us(spark, sf_dir, tmp_path):
     )
     b = sorted(r.ts for r in load_table(spark, d, "events").select("ts").collect())
     assert a == b
+
+
+def test_jsonl_round_trip_and_cross_engine(spark, sf_dir, tmp_path):
+    """parquet → JSONL → read must be value-exact (µs timestamps
+    included), the explicit-schema reader must quarantine malformed
+    lines as _corrupt_record instead of failing the scan, and DuckDB's
+    read_json must agree with Spark on the SAME file (the cross-engine
+    property every other source format gets)."""
+    import duckdb
+
+    from app_fastdata_spark.sources.formats import (
+        read_events_jsonl,
+        write_events_jsonl,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").drop("ts_ns").limit(500)
+    p = str(tmp_path / "events_jsonl")
+    write_events_jsonl(ev, p)
+    # cache: Spark refuses a query pruned to ONLY _corrupt_record
+    back = read_events_jsonl(spark, p).cache()
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    a = sorted(map(str, (tuple(r) for r in ev.collect())))
+    b = sorted(
+        map(
+            str,
+            (
+                tuple(r)
+                for r in back.select(
+                    "event_id", "ts", "user_id", "event_type", "value", "props"
+                ).collect()
+            ),
+        )
+    )
+    assert a == b
+
+    # corrupt line lands in _corrupt_record, good lines still parse
+    # (as its own shard: Spark pins listed file lengths, so appending
+    # to an existing part file fails the read outright)
+    with open(f"{p}/part-99999-bad.json", "w") as f:
+        f.write('{"event_id": not json at all\n')
+    # drop the first read's cache: an identical plan would be served
+    # from it and never see the appended line
+    back.unpersist(blocking=True)
+    back2 = read_events_jsonl(spark, p).cache()
+    assert back2.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert (
+        back2.filter(F.col("_corrupt_record").isNull()).count() == ev.count()
+    )
+
+    # cross-engine: DuckDB parses the same (pre-corruption) rows to the
+    # same per-type counts and value sums
+    con = duckdb.connect()
+    got = dict(
+        (r.event_type, (r.n, r.sv))
+        for r in read_events_jsonl(spark, p)
+        .filter(F.col("_corrupt_record").isNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+        .collect()
+    )
+    want = {
+        t: (n, sv)
+        for t, n, sv in con.execute(
+            f"""
+            SELECT event_type, count(*),
+                   round(sum(value), 4)
+            -- clean shards only: DuckDB's ignore_errors NULL-fills the
+            -- corrupt line where Spark quarantines it
+            FROM read_json('{p}/part-0*.json',
+                           format='newline_delimited',
+                           columns={{'event_id': 'BIGINT', 'ts': 'VARCHAR',
+                                     'user_id': 'BIGINT',
+                                     'event_type': 'VARCHAR',
+                                     'value': 'DOUBLE', 'props': 'VARCHAR'}},
+                           ignore_errors=true)
+            GROUP BY event_type
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_orc_round_trip_and_pushdown(spark, sf_dir, tmp_path):
+    """parquet → ORC → read must be schema- and value-exact, and a
+    predicate on the ORC scan must reach the reader as a pushed filter
+    (same columnar contract as parquet)."""
+    from app_fastdata_spark.sources.formats import (
+        read_events_orc,
+        write_events_orc,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    p = str(tmp_path / "events_orc")
+    write_events_orc(ev, p)
+    back = read_events_orc(spark, p)
+    assert back.schema == ev.drop("ts_ns").schema
+    a = sorted(map(str, (tuple(r) for r in ev.drop("ts_ns").collect())))
+    b = sorted(map(str, (tuple(r) for r in back.collect())))
+    assert a == b
+    plan = (
+        back.filter(F.col("event_type") == "click")
+        .select("event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan orc" in plan and "PushedFilters: [" in plan, plan
+    assert "EqualTo(event_type,click)" in plan, plan
