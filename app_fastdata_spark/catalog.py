@@ -103,17 +103,36 @@ DRIVER_PRIORITY: list[str] = [
     "events_approx_stats_exact",  # NEW: hash twin of the sketch report
     "export_by_src",  # export CTE inherits the session NULL-ts fix
     "tpch_q16_supplier_cnt",  # NOT-IN NULL-poison pin (r8 tpch sweep find)
+    # (r8 embeddings-sweep changes: the shared validity/nonzero vector
+    # gate touched seven cosine-family queries; the three structurally
+    # distinct paths take slots, the rest are twin-covered below)
+    "dedup_embedding_cosine_bucketed_loose",  # IVF bucket + refine path
+    "sim_ann_ivf",  # probe-search path
+    "sim_ann_int8",  # quantized-arithmetic path
     # --- (d) r3-stale (oldest remaining rows) ---
-    "doc_token_stats",
     "events_by_src_dest",
-    "events_pivot_daily",
     "export_by_src_dest",
-    "multimodal_resize",
-    "part_cheapest_by_type",
-    "sim_topk_cosine",
+    "part_cheapest_by_type",  # ALSO r8-changed: NULL argmin exclusion
+    "sim_topk_cosine",  # ALSO r8-changed: vector gate (brute-force path)
     "top_sources",
     "top_sources_export",
     # --- bumped r3 entries (lead round 9 with the r5 cohort) ---
+    # (doc_token_stats: its shared _tokens expressions are exercised
+    # in-window by bpe_merge_step/bpe_train-family rows; bumped for the
+    # embeddings-gate slots; sf0.01 green this round)
+    # (events_pivot_daily: conditional-agg twin of events_distinct_users
+    # (fresh r7 row) and the in-window events_grouping_sets family;
+    # bumped for the embeddings-gate slots; sf0.01 green this round)
+    # (multimodal_resize: same decode/payload path as multimodal_decode,
+    # fresh r7 row; bumped for the embeddings-gate slots; sf0.01 green
+    # this round)
+    # (r8-changed but twin-covered rather than slotted:
+    # dedup_embedding_cosine and dedup_embedding_cosine_bucketed share
+    # the _sql_cosine fold and the identical bucketed plan with the
+    # in-window loose variant (same SQL at a different threshold), and
+    # sim_ann_recall is a semi-join composition of the in-window
+    # sim_topk_cosine + sim_ann_ivf; all green locally at sf0.01 this
+    # round)
     # (events_rollup: same Expand + two-tier agg shape as
     # events_cube_daily (fresh r7 row) whose CUBE lattice is a superset,
     # and the in-window events_grouping_sets covers the grouping-sets

@@ -66,13 +66,63 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
+# --- the validity gate every embedding consumer shares ----------------------
+# A real embeddings shard carries malformed rows: NULL vectors, ragged
+# (wrong-length) vectors, NULL components, NULL ids, and all-zero
+# vectors. Unfiltered, each breaks a different stage — np.stack turns a
+# ragged batch into an object array and the GEMM dies, a NULL id
+# corrupts int64 across Arrow, and a zero vector has norm 0 so every
+# cosine divides by zero (which Spark under ANSI turns into a
+# query-aborting DIVIDE_BY_ZERO where DuckDB returns NULL — the r8
+# embeddings sweep planted exactly these rows and 9 of 13 oracles
+# crashed). The predicate is defined ONCE for both engines; `nonzero`
+# adds the norm>0 requirement for direction-based (cosine/LSH/IVF)
+# consumers — magnitude-based ones (Gram, dim stats) keep zero vectors.
+def vec_valid() -> Column:
+    # built at CALL time, never module scope: Column construction needs
+    # an active SparkContext, and the driver contract imports session-less
+    return (
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == DIM)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+
+
+def vec_nonzero() -> Column:
+    return F.exists("embedding", lambda x: x != 0)
+
+
+SQL_EMB_VALID = (
+    "vec_id IS NOT NULL AND embedding IS NOT NULL"
+    f" AND len(embedding) = {DIM}"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
+SQL_EMB_UNIT = (
+    SQL_EMB_VALID + " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+# The oracle-side twin: prepend as the first CTE and read FROM emb.
+SQL_EMB_CTE = (
+    f"emb AS (SELECT * FROM embeddings WHERE {SQL_EMB_UNIT})"
+)
+
+
+def load_vectors(
+    spark: SparkSession, sf_dir: str, nonzero: bool = False
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(vec_valid())
+    if nonzero:
+        emb = emb.filter(vec_nonzero())
+    return emb
+
+
 # --- brute-force top-k ----------------------------------------------------
 
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are computed ONCE PER SIDE before the join (N+Q folds), not
     # per pair (3·N·Q folds inside cosine()) — same left-to-right double
     # arithmetic, bit-identical cosines, measured 1.0s → 0.75s at sf0.1.
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir, nonzero=True)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
@@ -99,14 +149,15 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOPK_SQL = f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+    WITH {SQL_EMB_CTE},
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM emb
       WHERE vec_id < {N_QUERIES}
     ),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
              {_sql_cosine("q.qvec", "e.embedding")} AS cos
-      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      FROM q JOIN emb e ON e.vec_id <> q.query_id
     )
     SELECT query_id,
            CAST(row_number() OVER (PARTITION BY query_id
@@ -155,7 +206,7 @@ def dedup_embedding_cosine(
     input-gated via `max_vecs` — see _guard_brute_force); the scale path
     is `dedup_embedding_cosine_bucketed` below."""
     _guard_brute_force(spark, sf_dir, "dedup_embedding_cosine", max_vecs)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir, nonzero=True)
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -180,9 +231,10 @@ def dedup_embedding_cosine(
 register(
     "dedup_embedding_cosine",
     sql=f"""
+    WITH {SQL_EMB_CTE}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_sql_cosine("a.embedding", "b.embedding")}, 9) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
     WHERE round({_sql_cosine("a.embedding", "b.embedding")}, 9)
           >= {NEAR_DUP_COSINE}
     """,
@@ -241,7 +293,7 @@ def _centroid_broadcast(spark: SparkSession, sf_dir: str):
         # loop can't accumulate dead broadcast blocks on executors
         for old in [k for k in _CENTROID_BC if k[:2] == key[:2]]:
             _CENTROID_BC.pop(old).unpersist(blocking=False)
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_vectors(spark, sf_dir, nonzero=True)
         stride = _ivf_stride(emb.count())
         cent = (
             emb.filter(F.col("vec_id") % stride == 0)
@@ -316,7 +368,7 @@ def dedup_embedding_cosine_bucketed(
     recall < 1 by design for merely-similar pairs that straddle a cell
     boundary past rank 2.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir, nonzero=True)
     bc = _centroid_broadcast(spark, sf_dir)
     nprobe = min(NEAR_DUP_NPROBE, len(bc.value[0]))
     top_cells = _top_cells_udf(bc, nprobe)
@@ -357,14 +409,16 @@ def dedup_embedding_cosine_bucketed(
 
 def _bucketed_neardup_sql(threshold: float) -> str:
     return f"""
-    WITH stride AS (
+    WITH {SQL_EMB_CTE},
+    stride AS (
       -- mirror _ivf_stride: ⌊√N⌋ centroids (isqrt == FLOOR(SQRT) for
-      -- any N a test SF reaches; doubles are exact to 2^53)
+      -- any N a test SF reaches; doubles are exact to 2^53) over the
+      -- GATED vector set (the Spark side counts the same frame)
       SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s
-      FROM embeddings
+      FROM emb
     ),
     centroids AS (
-      SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+      SELECT vec_id AS cell_id, embedding AS cvec FROM emb
       WHERE vec_id % (SELECT s FROM stride) = 0
     ),
     assign AS (
@@ -375,7 +429,7 @@ def _bucketed_neardup_sql(threshold: float) -> str:
                  ORDER BY {_sql_q_assign(_sql_cosine("e.embedding", "c.cvec"))}
                           DESC, c.cell_id
                ) AS rn
-        FROM embeddings e CROSS JOIN centroids c
+        FROM emb e CROSS JOIN centroids c
       ) WHERE rn <= {NEAR_DUP_NPROBE}
     )
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -451,7 +505,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+equi-join shuffles on bucket keys (bounded fan-out, no OR-join
     nested loop); the oracle states the same candidate set with an OR join
     (semantically identical, fine at oracle scale)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir, nonzero=True)
     # Band buckets in ONE vectorized pass: numpy GEMM against the 16
     # hyperplanes, sign bits packed 4 per band. The HOF-fold form ran 16
     # interpreted dot folds per vector and the subtree evaluated twice
@@ -540,8 +594,9 @@ _BANDS_SQL = ", ".join(f"({expr}) AS b{b}" for b, expr in enumerate(_sql_bands("
 register(
     "sim_ann_lsh",
     sql=f"""
-    WITH sig AS (
-      SELECT vec_id, embedding, {_BANDS_SQL} FROM embeddings
+    WITH {SQL_EMB_CTE},
+    sig AS (
+      SELECT vec_id, embedding, {_BANDS_SQL} FROM emb
     ),
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
@@ -554,8 +609,8 @@ register(
       SELECT c.query_id, c.neighbor_id,
              {_sql_cosine("qe.embedding", "ne.embedding")} AS cos
       FROM cand c
-      JOIN embeddings qe ON qe.vec_id = c.query_id
-      JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+      JOIN emb qe ON qe.vec_id = c.query_id
+      JOIN emb ne ON ne.vec_id = c.neighbor_id
     )
     SELECT query_id,
            CAST(row_number() OVER (PARTITION BY query_id
@@ -582,7 +637,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared 6-dp rounding parity contract (_top_cells_udf); the
     final neighbor ranking stays on exact left-folded JVM cosines,
     bit-matched by the oracle's list fold."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir, nonzero=True)
     bc = _centroid_broadcast(spark, sf_dir)
     assign = emb.select(
         "vec_id",
@@ -616,12 +671,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_SQL = f"""
-    WITH stride AS (
+    WITH {SQL_EMB_CTE},
+    stride AS (
       SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s
-      FROM embeddings
+      FROM emb
     ),
     centroids AS (
-      SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+      SELECT vec_id AS cell_id, embedding AS cvec FROM emb
       WHERE vec_id % (SELECT s FROM stride) = 0
     ),
     assign AS (
@@ -632,11 +688,11 @@ _IVF_SQL = f"""
                  ORDER BY {_sql_q_assign(_sql_cosine("e.embedding", "c.cvec"))}
                           DESC, c.cell_id
                ) AS rn
-        FROM embeddings e CROSS JOIN centroids c
+        FROM emb e CROSS JOIN centroids c
       ) WHERE rn = 1
     ),
     q AS (
-      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      SELECT vec_id AS query_id, embedding AS qvec FROM emb
       WHERE vec_id < {N_QUERIES}
     ),
     probes AS (
@@ -732,7 +788,7 @@ def sim_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force scan in quantized arithmetic. Same broadcast-query shape
     as sim_topk_cosine: candidates never shuffle; the only exchange is
     the per-query top-k window over N_QUERIES * N scored rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir, nonzero=True)
     qemb = emb.select("vec_id", _quantize(F.col("embedding")).alias("q"))
     qn = F.aggregate(
         F.transform(F.col("q"), lambda x: x * x), F.lit(0).cast("long"),
@@ -783,8 +839,9 @@ def _sql_ldot(a: str, b: str) -> str:
 register(
     "sim_ann_int8",
     sql=f"""
-    WITH qv AS (
-      SELECT vec_id, {_sql_int8_q("embedding")} AS q FROM embeddings
+    WITH {SQL_EMB_CTE},
+    qv AS (
+      SELECT vec_id, {_sql_int8_q("embedding")} AS q FROM emb
     ),
     qn AS (
       SELECT vec_id, q, {_sql_ldot("q", "q")} AS n2 FROM qv

@@ -527,3 +527,58 @@ def test_degenerate_tpch_parity_all_tpch_oracles(spark, sf_dir, tmp_path):
     assert len(tq) >= 25
     failures = _parity_failures(spark, con, d, tq)
     assert not failures, failures
+
+
+def test_degenerate_embeddings_parity_all_embedding_oracles(
+    spark, sf_dir, tmp_path
+):
+    """Every embeddings-table oracle must agree across engines on a
+    corpus with the degenerate vectors the schema allows — NULL
+    embedding, wrong-length vector, NULL component, NULL vec_id, the
+    all-zero vector (norm 0 → 0/0 cosine), and an exact duplicate of a
+    real vector (cosine-1.0 ties exercise every tiebreak). The doc/
+    events/orders/tpch sweeps each found real bugs on day one; this
+    closes the last unswept table."""
+    import os as _os
+    import shutil as _sh
+
+    import duckdb as _ddb
+
+    from app_fastdata_spark.operators.similarity import DIM
+    from app_fastdata_spark.tables import load_table
+
+    d = str(tmp_path / "degen_emb")
+    _os.makedirs(d)
+    base = load_table(spark, sf_dir, "embeddings").limit(200)
+    dup = base.limit(1).collect()[0]
+    rows = [
+        (970_001, None, 0),                                  # NULL vector
+        (970_002, [float(i) for i in range(DIM - 1)], 0),    # wrong length
+        (970_003, [None] + [1.0] * (DIM - 1), 0),            # NULL component
+        (None, [1.0] * DIM, 0),                              # NULL id
+        (970_004, [0.0] * DIM, 0),                           # zero vector
+        (970_005, [float(x) for x in dup.embedding], int(dup.label or 0)),
+    ]
+    extra = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    base.unionByName(extra).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    for t in TABLE_NAMES:
+        if t != "embeddings" and _os.path.exists(f"{sf_dir}/{t}.parquet"):
+            _sh.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    con = _ddb.connect()
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" '{d}/embeddings.parquet/*.parquet'"
+    )
+    for t in TABLE_NAMES:
+        if t != "embeddings" and _os.path.exists(f"{d}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    os_ = oracles()
+    emb_qs = [n for n, sql in os_.items() if "embeddings" in sql]
+    assert len(emb_qs) >= 8
+    failures = _parity_failures(spark, con, d, emb_qs)
+    assert not failures, failures
