@@ -77,6 +77,31 @@ def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def events_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of `read_events_jsonl`: a checkpointed file-source
+    stream over a JSONL drop directory — the shape a log shipper
+    (fluentd/vector/filebeat) hands this engine. Same EXPLICIT schema
+    (a streaming source cannot infer anyway), same PERMISSIVE
+    quarantine column, same µs timestamp parse; every downstream
+    operator of `events_stream` composes unchanged. Batch/stream
+    equality is pinned by a Trigger.AvailableNow parity test."""
+    raw = (
+        spark.readStream.schema(EVENTS_JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return raw.select(
+        "event_id",
+        F.to_timestamp("ts", _TS_FMT).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        "_corrupt_record",
+    )
+
+
 def write_events_orc(events: DataFrame, path: str) -> None:
     """Columnar export via Spark's native ORC writer (zlib default) —
     same pushdown/pruning properties as parquet on read-back."""

@@ -698,3 +698,37 @@ def test_orc_round_trip_and_pushdown(spark, sf_dir, tmp_path):
     )
     assert "FileScan orc" in plan and "PushedFilters: [" in plan, plan
     assert "EqualTo(event_type,click)" in plan, plan
+
+
+def test_jsonl_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming JSONL reader (Trigger.AvailableNow) must produce
+    exactly the batch reader's rows — the same batch/stream parity
+    contract every other source gets — and a downstream aggregate over
+    the stream must equal the same aggregate over the batch frame."""
+    from app_fastdata_spark.sources.formats import (
+        events_jsonl_stream,
+        read_events_jsonl,
+        write_events_jsonl,
+    )
+    from app_fastdata_spark.streaming.pipeline import run_to_memory
+    from app_fastdata_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").drop("ts_ns").limit(400)
+    p = str(tmp_path / "jsonl_stream")
+    write_events_jsonl(ev, p)
+    got = run_to_memory(
+        events_jsonl_stream(spark, p), "jsonl_stream_parity"
+    )
+    batch = read_events_jsonl(spark, p)
+    a = sorted(map(str, (tuple(r) for r in batch.collect())))
+    b = sorted(map(str, (tuple(r) for r in got.collect())))
+    assert a == b
+    agg_s = sorted(
+        tuple(r)
+        for r in got.groupBy("event_type").count().collect()
+    )
+    agg_b = sorted(
+        tuple(r)
+        for r in ev.groupBy("event_type").count().collect()
+    )
+    assert agg_s == agg_b
