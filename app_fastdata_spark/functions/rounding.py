@@ -15,8 +15,13 @@ space and divide once at the end:
     round_half_up(a / b, k) == ((2*10^k * a + b) div (2 * b)) / 10^k
 
 for a >= 0, b > 0 (both engines' integer division truncates toward
-zero, which equals floor for non-negative operands — the identity is
-wrong for negative a). Spark evaluates it in long/HUGEINT-exact
+zero, which equals floor for non-negative operands). For NEGATIVE a
+the identity yields round-half-TOWARD-ZERO instead of half-up — but
+measured on both engines (Spark `div` and DuckDB `//` both truncate
+toward zero: -9499800 div 400 = -23749 on each), so cross-engine
+parity still holds for signed numerators; the round-8 events sweep
+plants a negative-value (refund) user to pin exactly that. Spark
+evaluates it in long/HUGEINT-exact
 arithmetic via the SQL ``div`` operator; the DuckDB oracle mirrors it
 with ``//``. Overflow bound: 2*10^k * a must fit int64, i.e.
 a < ~4.6e14 at k=4 and ~4.6e12 at k=6 — document the bound at any call

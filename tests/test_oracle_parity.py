@@ -110,6 +110,19 @@ def test_degenerate_text_parity_all_doc_oracles(spark, sf_dir, tmp_path):
                 "srcX",
                 120,
             ),
+            # Unicode stress: NBSP (U+00A0 — Java \\s does NOT match it,
+            # RE2/DuckDB agreement must be checked), sharp-s ß (whose
+            # uppercase is SS — lower() casing tables differ across
+            # libs), CJK run with no spaces (single giant token),
+            # combining accent (e + U+0301 vs precomposed é), emoji
+            (
+                999_996,
+                "café café STRAẞE straße"
+                " A B 中文文本😀 end",
+                "de",
+                "srcX",
+                60,
+            ),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
@@ -189,6 +202,16 @@ def test_degenerate_events_parity_all_event_oracles(spark, sf_dir, tmp_path):
             (888_940, "2024-01-05 01:00:00", 888_951, "click", 2.0, None),
             (888_941, "2024-01-05 01:00:00", 888_951, "click", 4.0, None),
             (888_942, "2024-01-05 01:00:00.000400", 888_951, "view", 6.0, None),
+        ]
+        + [
+            # NEGATIVE values (refunds): integer-ratio numerators go
+            # negative, where the half-up identity's `div` diverges —
+            # Spark div truncates toward zero, DuckDB // floors, so any
+            # unguarded round_ratio over a sum of signed cents is a
+            # cross-engine break waiting for the first refund
+            (888_960, "2024-01-05 02:00:00", 888_952, "purchase", -3.5, None),
+            (888_961, "2024-01-05 02:01:00", 888_952, "purchase", -1.25, None),
+            (888_962, "2024-01-05 02:02:00", 888_952, "view", 2.0, None),
         ]
         + [
             # crafted round-boundary user: 32 transitions out of 'click'
