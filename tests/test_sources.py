@@ -732,3 +732,30 @@ def test_jsonl_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in ev.groupBy("event_type").count().collect()
     )
     assert agg_s == agg_b
+
+
+def test_schema_drift_missing_column_reads_null(spark, sf_dir, tmp_path):
+    """A shard written by an OLDER producer (missing a later column)
+    must read through load_table as NULLs in that column, not fail the
+    scan — the explicit-schema contract's schema-evolution half. Mixed
+    directories (old shard + new shard) must serve both."""
+    import os as _os
+
+    from app_fastdata_spark.tables import load_table
+
+    d = str(tmp_path / "drift")
+    _os.makedirs(d)
+    ev = load_table(spark, sf_dir, "events").drop("ts_ns").limit(100)
+    new_dir = f"{d}/events.parquet"
+    # one shard with the full schema, one missing `props`
+    ev.limit(50).coalesce(1).write.parquet(new_dir)
+    ev.drop("props").limit(50).coalesce(1).write.mode("append").parquet(
+        new_dir
+    )
+    back = load_table(spark, d, "events")
+    assert back.count() == 100
+    # the old shard's rows surface with NULL props; the scan never fails
+    assert back.filter(F.col("props").isNull()).count() >= 50
+    # every other column is intact and typed
+    assert back.filter(F.col("event_id").isNull()).count() == 0
+    assert dict(back.dtypes)["ts"] == "timestamp"
