@@ -219,12 +219,18 @@ def main() -> None:
         .start()
     )
     try:
-        time.sleep(12)
+        time.sleep(20)
         rates = [
             p["processedRowsPerSecond"]
             for p in q.recentProgress
             if p["numInputRows"] > 0
         ]
+        # drop the first two progress entries: the initial batches pay
+        # stream start-up (state store init, first codegen) and a
+        # backlog spike, which pulled the 12 s-window median around by
+        # ±40% between otherwise-identical solo runs
+        if len(rates) > 6:
+            rates = rates[2:]
     finally:
         q.stop()
         try:
