@@ -173,6 +173,12 @@ DRIVER_PRIORITY: list[str] = [
     # it stays out of the window as rows-only. The full registry is
     # re-verified every round by tests/test_oracle_parity.py at sf0.001
     # and via tools/check_oracle.py at sf0.01 after round-8 changes.)
+    # (asof_next_purchase, registered late in round 8, stays outside
+    # this window: its direction twin asof_last_purchase — the identical
+    # windowed as-of shape with the frame reversed — is in-window above,
+    # and it passed the full oracle at sf0.001 AND sf0.01 plus the
+    # events degenerate/empty sweeps on registration day. It takes one
+    # of round 9's free slots.)
     # (Round-9 rotation plan, assuming this window lands green: 32
     # r5-row entries hit the stale boundary next (corpus_health,
     # dedup_embedding_cosine_bucketed(+_loose),

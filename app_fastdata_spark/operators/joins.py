@@ -63,6 +63,44 @@ register(
 )(asof_last_purchase)
 
 
+# The FORWARD direction (every real as-of engine offers both): for each
+# event, the next purchase at-or-after it by the same user, plus how
+# many purchases remain from here on. Same one-shuffle windowed shape as
+# the backward form — min over the current-row-to-unbounded-FOLLOWING
+# frame instead of max over the preceding frame; ts-peers are included
+# by the default RANGE frame on both engines, and the same NULL-ts
+# exclusion applies (no as-of position without a timestamp).
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts").rangeBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.min(p_ts).over(w).alias("next_purchase_ts"),
+        F.count(p_ts).over(w).alias("purchases_remaining"),
+    )
+
+
+register(
+    "asof_next_purchase",
+    sql="""
+    SELECT event_id, user_id, event_type,
+           min(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER w AS next_purchase_ts,
+           count(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER w AS purchases_remaining
+    FROM events
+    WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    """,
+)(asof_next_purchase)
+
+
 # --- range (interval) join ------------------------------------------------
 
 # Uneven price bands: (band_id, lo, hi) half-open [lo, hi).
