@@ -55,6 +55,34 @@ def write_events_jsonl(events: DataFrame, path: str) -> None:
     ).write.mode("overwrite").json(path)
 
 
+def _parse_jsonl_events(raw: DataFrame) -> DataFrame:
+    """Shared post-parse for both JSONL readers. try_to_timestamp, NOT
+    to_timestamp: the session pins spark.sql.ansi.enabled=true, under
+    which to_timestamp THROWS on an unparseable string — so one
+    syntactically-valid line with a garbage `ts` (which PERMISSIVE mode
+    does NOT quarantine; only JSON-syntax corruption is) would abort the
+    batch scan and permanently wedge the streaming reader, violating the
+    module contract above. A failed timestamp parse instead yields NULL
+    ts, and the row is surfaced as a quarantine candidate by folding a
+    marker into `_corrupt_record` (raw string preserved for triage)."""
+    parsed = F.try_to_timestamp("ts", F.lit(_TS_FMT))
+    return raw.select(
+        "event_id",
+        parsed.alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.coalesce(
+            "_corrupt_record",
+            F.when(
+                F.col("ts").isNotNull() & parsed.isNull(),
+                F.concat(F.lit("unparseable ts: "), F.col("ts")),
+            ),
+        ).alias("_corrupt_record"),
+    )
+
+
 def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Ingest JSON-lines events with the EXPLICIT schema (no inference
     pass) in PERMISSIVE mode: malformed lines surface as
@@ -66,15 +94,7 @@ def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.schema(EVENTS_JSONL_SCHEMA).option(
         "mode", "PERMISSIVE"
     ).option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
-    return raw.select(
-        "event_id",
-        F.to_timestamp("ts", _TS_FMT).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-        "_corrupt_record",
-    )
+    return _parse_jsonl_events(raw)
 
 
 def events_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -91,15 +111,7 @@ def events_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
-    return raw.select(
-        "event_id",
-        F.to_timestamp("ts", _TS_FMT).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-        "_corrupt_record",
-    )
+    return _parse_jsonl_events(raw)
 
 
 def write_events_orc(events: DataFrame, path: str) -> None:

@@ -759,3 +759,98 @@ def test_schema_drift_missing_column_reads_null(spark, sf_dir, tmp_path):
     # every other column is intact and typed
     assert back.filter(F.col("event_id").isNull()).count() == 0
     assert dict(back.dtypes)["ts"] == "timestamp"
+
+
+def test_jsonl_unparseable_ts_quarantined_not_abort(spark, sf_dir, tmp_path):
+    """ANSI-mode trap (r8 ADVICE, medium): a syntactically-VALID JSON
+    line whose `ts` string doesn't parse is NOT JSON-corruption, so
+    PERMISSIVE mode won't quarantine it — and under the session's
+    pinned spark.sql.ansi.enabled=true, to_timestamp would THROW
+    (CANNOT_PARSE_TIMESTAMP) and abort the whole scan on one bad shard.
+    The readers use try_to_timestamp: the row must surface with NULL ts
+    and an `unparseable ts:` quarantine marker, every other row must
+    parse normally, and the STREAMING reader must survive the same file
+    (a throw there wedges the checkpoint permanently)."""
+    from app_fastdata_spark.sources.formats import (
+        events_jsonl_stream,
+        read_events_jsonl,
+        write_events_jsonl,
+    )
+    from app_fastdata_spark.streaming.pipeline import run_to_memory
+    from app_fastdata_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").drop("ts_ns").limit(100)
+    p = str(tmp_path / "jsonl_bad_ts")
+    write_events_jsonl(ev, p)
+    with open(f"{p}/part-99999-badts.json", "w") as f:
+        # valid JSON, garbage timestamp — the exact line PERMISSIVE lets
+        # through; plus a NULL-ts line (legal: stays NULL, no marker)
+        f.write(
+            '{"ts": "not-a-timestamp", "event_id": 999901, "user_id": 7,'
+            ' "event_type": "click", "value": 1.5, "props": null}\n'
+            '{"ts": null, "event_id": 999902, "user_id": 8,'
+            ' "event_type": "view", "value": 2.5, "props": null}\n'
+        )
+    back = read_events_jsonl(spark, p).cache()
+    # the scan completes — no DateTimeException — with all rows present
+    assert back.count() == 102
+    bad = back.filter(F.col("event_id") == 999901).collect()
+    assert len(bad) == 1
+    assert bad[0].ts is None
+    assert bad[0]._corrupt_record == "unparseable ts: not-a-timestamp"
+    # NULL raw ts is legal input, not quarantine material
+    nul = back.filter(F.col("event_id") == 999902).first()
+    assert nul.ts is None and nul._corrupt_record is None
+    # good rows still parse to non-NULL timestamps with no marker
+    assert (
+        back.filter(
+            F.col("ts").isNotNull() & F.col("_corrupt_record").isNull()
+        ).count()
+        == 100
+    )
+    back.unpersist(blocking=True)
+    # the streaming twin survives the same directory (no wedged reader)
+    got = run_to_memory(events_jsonl_stream(spark, p), "jsonl_badts_stream")
+    assert got.count() == 102
+    assert (
+        got.filter(
+            F.col("_corrupt_record") == "unparseable ts: not-a-timestamp"
+        ).count()
+        == 1
+    )
+
+
+def test_jsonl_mixed_schema_shards(spark, sf_dir, tmp_path):
+    """JSONL schema-evolution sweep (r8 verdict item 7): a directory
+    mixing an OLD-producer shard (missing `props`), a NEW-producer
+    shard (extra unknown field), and a current shard must read as one
+    frame — missing fields NULL-fill, unknown fields are dropped by the
+    explicit schema, nothing quarantines, nothing aborts."""
+    from app_fastdata_spark.sources.formats import (
+        read_events_jsonl,
+        write_events_jsonl,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").drop("ts_ns").limit(60)
+    p = str(tmp_path / "jsonl_mixed")
+    write_events_jsonl(ev, p)
+    with open(f"{p}/part-99998-old.json", "w") as f:
+        f.write(
+            '{"ts": "2024-01-05 00:00:00.000000", "event_id": 999801,'
+            ' "user_id": 5, "event_type": "click", "value": 0.5}\n'
+        )
+    with open(f"{p}/part-99997-new.json", "w") as f:
+        f.write(
+            '{"ts": "2024-01-05 00:00:01.000000", "event_id": 999802,'
+            ' "user_id": 6, "event_type": "view", "value": 1.0,'
+            ' "props": "{}", "brand_new_field": [1, 2, 3]}\n'
+        )
+    back = read_events_jsonl(spark, p).cache()
+    assert back.count() == 62
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    old = back.filter(F.col("event_id") == 999801).first()
+    assert old.props is None and old.ts is not None
+    new = back.filter(F.col("event_id") == 999802).first()
+    assert new.props == "{}" and "brand_new_field" not in back.columns
+    back.unpersist(blocking=True)
