@@ -68,16 +68,21 @@ def _sql_cosine(a: str, b: str) -> str:
 
 # --- the validity gate every embedding consumer shares ----------------------
 # A real embeddings shard carries malformed rows: NULL vectors, ragged
-# (wrong-length) vectors, NULL components, NULL ids, and all-zero
-# vectors. Unfiltered, each breaks a different stage — np.stack turns a
-# ragged batch into an object array and the GEMM dies, a NULL id
-# corrupts int64 across Arrow, and a zero vector has norm 0 so every
-# cosine divides by zero (which Spark under ANSI turns into a
-# query-aborting DIVIDE_BY_ZERO where DuckDB returns NULL — the r8
-# embeddings sweep planted exactly these rows and 9 of 13 oracles
-# crashed). The predicate is defined ONCE for both engines; `nonzero`
-# adds the norm>0 requirement for direction-based (cosine/LSH/IVF)
-# consumers — magnitude-based ones (Gram, dim stats) keep zero vectors.
+# (wrong-length) vectors, NULL components, NULL ids, all-zero vectors,
+# and non-finite (NaN/±Inf) components. Unfiltered, each breaks a
+# different stage — np.stack turns a ragged batch into an object array
+# and the GEMM dies, a NULL id corrupts int64 across Arrow, a zero
+# vector has norm 0 so every cosine divides by zero (which Spark under
+# ANSI turns into a query-aborting DIVIDE_BY_ZERO where DuckDB returns
+# NULL — the r8 embeddings sweep planted exactly these rows and 9 of 13
+# oracles crashed), and one NaN component poisons every sum it touches:
+# a single NaN vector turns the whole Gram matrix NaN, passes
+# vec_nonzero (NaN != 0 is TRUE on both engines), and floats to the TOP
+# of cosine rankings (IEEE total order sorts NaN greatest) — the r9
+# NaN/Inf plants broke 4 oracles, including a NaN→BIGINT ANSI cast
+# abort. The predicate is defined ONCE for both engines; `nonzero` adds
+# the norm>0 requirement for direction-based (cosine/LSH/IVF) consumers
+# — magnitude-based ones (Gram, dim stats) keep zero vectors.
 def vec_valid() -> Column:
     # built at CALL time, never module scope: Column construction needs
     # an active SparkContext, and the driver contract imports session-less
@@ -85,7 +90,14 @@ def vec_valid() -> Column:
         F.col("vec_id").isNotNull()
         & F.col("embedding").isNotNull()
         & (F.size("embedding") == DIM)
-        & ~F.exists("embedding", lambda x: x.isNull())
+        & ~F.exists(
+            "embedding",
+            # component invalid if NULL or non-finite (Spark has no
+            # isfinite builtin; |x| = +Inf catches both infinities)
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
+        )
     )
 
 
@@ -96,7 +108,9 @@ def vec_nonzero() -> Column:
 SQL_EMB_VALID = (
     "vec_id IS NOT NULL AND embedding IS NOT NULL"
     f" AND len(embedding) = {DIM}"
-    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    # isfinite(NULL) is NULL, NOT NULL is NULL, x IS NULL OR NULL is
+    # TRUE for a NULL x — the filter keeps every bad-component shape
+    " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
 )
 SQL_EMB_UNIT = (
     SQL_EMB_VALID + " AND len(list_filter(embedding, x -> x <> 0)) > 0"
@@ -867,9 +881,15 @@ register(
 
 # --- per-dimension embedding statistics ------------------------------------
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension mean/std/min/max over the embedding column — the
-    drift/health check a pipeline runs on every new embedding shard
+    """Per-dimension health stats over the embedding column — the
+    drift check a pipeline runs on every new embedding shard
     (collapsed dims, scale shifts, NaN factories all show up here).
+    This operator deliberately does NOT use the vec_valid gate: its job
+    is to REPORT the garbage, so NaN/Inf/NULL components are COUNTED
+    per dimension (`n_nonfinite`) while mean/std/min/max fold finite
+    values only — one NaN must not erase the statistics of the other
+    10^9 rows, and non-finite extremes would make min/max cross-engine
+    unstable (IEEE total-order placement).
 
     Scale: posexplode is a codegen projection (N·d rows, no Python),
     the rollup is one hash-agg keyed by dim (d groups — partial agg
@@ -881,14 +901,21 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
         "dim", F.col("v").cast("double").alias("val")
     )
+    bad = (
+        F.col("val").isNull()
+        | F.isnan("val")
+        | (F.abs("val") == F.lit(float("inf")))
+    )
+    fin = F.when(~bad, F.col("val"))
     return (
         v.groupBy("dim")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("val"), 6).alias("mean_val"),
-            F.round(F.stddev_pop("val"), 6).alias("std_val"),
-            F.round(F.min("val"), 6).alias("min_val"),
-            F.round(F.max("val"), 6).alias("max_val"),
+            F.sum(bad.cast("long")).alias("n_nonfinite"),
+            F.round(F.avg(fin), 6).alias("mean_val"),
+            F.round(F.stddev_pop(fin), 6).alias("std_val"),
+            F.round(F.min(fin), 6).alias("min_val"),
+            F.round(F.max(fin), 6).alias("max_val"),
         )
         .orderBy("dim")
     )
@@ -903,13 +930,22 @@ register(
       SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS val
       FROM embeddings
+    ), f AS (
+      SELECT dim, val,
+             (val IS NULL OR NOT isfinite(val)) AS bad,
+             CASE WHEN val IS NOT NULL AND isfinite(val) THEN val END AS fin
+      FROM d
     )
     SELECT dim, count(*) AS n,
-           round(avg(val), 6) AS mean_val,
-           round(stddev_pop(val), 6) AS std_val,
-           round(min(val), 6) AS min_val,
-           round(max(val), 6) AS max_val
-    FROM d GROUP BY dim ORDER BY dim
+           -- CAST: DuckDB sum(INTEGER) is HUGEINT, which the compare
+           -- harness coerces to float — Spark's is BIGINT
+           CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite,
+           round(avg(fin), 6) AS mean_val,
+           round(stddev_pop(fin), 6) AS std_val,
+           round(min(fin), 6) AS min_val,
+           round(max(fin), 6) AS max_val
+    FROM f GROUP BY dim ORDER BY dim
     """,
 )(embedding_dim_stats)
 
@@ -932,16 +968,24 @@ register(
 def _vec_ok() -> Column:
     # built at CALL time, never module scope: Column construction needs
     # an active SparkContext, and the driver contract imports session-less
+    # (finite screen matches vec_valid: a NaN component would hit the
+    # int8 quantize cast, which ABORTS under ANSI — r9 NaN plant)
     return (
         F.col("embedding").isNotNull()
         & (F.size("embedding") == DIM)
-        & ~F.exists("embedding", lambda x: x.isNull())
+        & ~F.exists(
+            "embedding",
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
+        )
     )
 
 
 _SQL_VEC_OK = (
     "embedding IS NOT NULL AND len(embedding) = "
-    f"{DIM} AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    f"{DIM} AND len(list_filter(embedding,"
+    " x -> x IS NULL OR NOT isfinite(x))) = 0"
 )
 
 

@@ -205,10 +205,13 @@ def test_degenerate_events_parity_all_event_oracles(spark, sf_dir, tmp_path):
         ]
         + [
             # NEGATIVE values (refunds): integer-ratio numerators go
-            # negative, where the half-up identity's `div` diverges —
-            # Spark div truncates toward zero, DuckDB // floors, so any
-            # unguarded round_ratio over a sum of signed cents is a
-            # cross-engine break waiting for the first refund
+            # negative, where the half-up identity's `div` changes
+            # meaning — BOTH engines truncate toward zero (measured:
+            # DuckDB -7 // 2 = -3, not floor's -4; see
+            # functions/rounding.py), so a negative numerator yields
+            # round-half-TOWARD-ZERO on both sides with parity intact.
+            # These rows pin that agreement (a regression on either
+            # engine's div semantics would hash-mismatch here)
             (888_960, "2024-01-05 02:00:00", 888_952, "purchase", -3.5, None),
             (888_961, "2024-01-05 02:01:00", 888_952, "purchase", -1.25, None),
             (888_962, "2024-01-05 02:02:00", 888_952, "view", 2.0, None),
@@ -581,6 +584,14 @@ def test_degenerate_embeddings_parity_all_embedding_oracles(
         (None, [1.0] * DIM, 0),                              # NULL id
         (970_004, [0.0] * DIM, 0),                           # zero vector
         (970_005, [float(x) for x in dup.embedding], int(dup.label or 0)),
+        # NaN / ±Inf components (r8 ADVICE): NaN != 0 is TRUE on both
+        # engines, so these pass the vec_nonzero gate and flow into
+        # norms, cosines, GEMM partials, and top-k rank ordering — the
+        # plant proves the engines agree end-to-end on where non-finite
+        # values land (IEEE total order: NaN greatest on both)
+        (970_006, [float("nan")] + [1.0] * (DIM - 1), 0),
+        (970_007, [float("inf")] + [1.0] * (DIM - 1), 0),
+        (970_008, [float("-inf")] + [1.0] * (DIM - 1), 0),
     ]
     extra = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
