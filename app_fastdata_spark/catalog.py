@@ -45,156 +45,93 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 184 queries), round 8. Standing
+    # Window math (50 driver slots, 185 queries), round 9. Standing
     # policy (r7 verdict): rows-only queries NEVER take a slot — a
     # driver row for them can only report `no_oracle`, while the
     # full-registry sf0.01/sf0.001 runs already prove they execute.
-    # The 50 = (a) the 16 r4-row entries at the 3-rounds-stale boundary
-    # (the r7 verdict's planned rotation, verbatim) + (b) the 8 oracled
-    # queries that have never had a driver row + (c) the 15 queries
-    # whose impl or oracle text changed this round (NULL-ts exclusions,
-    # zero-denominator guards, rank-arithmetic rounding, survivor
-    # size-gate, the new exact approx-twin) — their old green rows no
-    # longer describe the shipped code — + (d) 11 of the 19 r3-row
-    # entries (the oldest remaining evidence); the other 6 r3 entries
-    # are bumped with the inline twin notes below and lead round 9
-    # together with the 35 r5-row entries.
-    # --- (a) r4-stale: the verdict's planned rotation ---
-    "doc_repetition",
-    "doc_seq_packing",
-    "doc_mixture_weights",
-    "doc_budget_sample",
-    "doc_length_histogram",
-    "doc_quality_adaptive",
-    "doc_stratified_sample_hash",
-    "events_funnel",
-    "dedup_components_embedding",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q20_promo_shippers",
-    # --- (b) oracled but never driver-checked ---
-    "bpe_merge_step",
-    "events_by_src_incremental",
-    "events_by_src_sliding_incremental",
-    "events_funnel_windowed",
-    "events_grouping_sets",
-    "events_key_skew_gini",
-    "events_sliding_distinct_users",
-    "events_time_weighted_avg",  # also (c): w_ms=0 guard added r8
-    # --- (c) impl/oracle changed round 8 ---
-    "events_merged_sessions",  # NULL-ts exclusion (r8 advice)
-    "events_user_quartiles",  # integer rank arithmetic (r8 advice)
-    "customer_revenue_abc",  # zero-dollar-total guard (r8 advice)
-    "asof_last_purchase",  # NULL-ts exclusion (r8 sweep find)
-    "events_rate_anomaly",  # NULL-ts exclusion (r8 sweep find)
-    "events_user_running_stats",  # NULL-ts exclusion (r8 sweep find)
-    "retention_nth_ts",  # NULL-ts exclusion (r8 sweep find)
-    "session_aggregate",  # NULL-ts exclusion (r8 sweep find)
-    "session_aggregate_stateful",  # shares the fixed oracle
-    "session_starts",  # NULL-ts exclusion via session_starts_df
-    "session_counts",  # NULL-ts exclusion via session_starts_df
-    "dedup_survivors",  # broadcast size-gate (r7 verdict #5)
-    "dedup_survivors_best_quality",  # broadcast size-gate
-    "dedup_survivors_uncapped",  # r3-stale AND inherits the gate
-    "events_approx_stats_exact",  # NEW: hash twin of the sketch report
-    "export_by_src",  # export CTE inherits the session NULL-ts fix
-    "tpch_q16_supplier_cnt",  # NOT-IN NULL-poison pin (r8 tpch sweep find)
-    # (r8 embeddings-sweep changes: the shared validity/nonzero vector
-    # gate touched seven cosine-family queries; the three structurally
-    # distinct paths take slots, the rest are twin-covered below)
-    "dedup_embedding_cosine_bucketed_loose",  # IVF bucket + refine path
-    "sim_ann_ivf",  # probe-search path
-    "sim_ann_int8",  # quantized-arithmetic path
-    # --- (d) r3-stale (oldest remaining rows) ---
-    "events_by_src_dest",
-    "export_by_src_dest",
-    "part_cheapest_by_type",  # ALSO r8-changed: NULL argmin exclusion
-    "sim_topk_cosine",  # ALSO r8-changed: vector gate (brute-force path)
-    "top_sources",
-    "top_sources_export",
-    # --- bumped r3 entries (lead round 9 with the r5 cohort) ---
-    # (doc_token_stats: its shared _tokens expressions are exercised
-    # in-window by bpe_merge_step/bpe_train-family rows; bumped for the
-    # embeddings-gate slots; sf0.01 green this round)
-    # (events_pivot_daily: conditional-agg twin of events_distinct_users
-    # (fresh r7 row) and the in-window events_grouping_sets family;
-    # bumped for the embeddings-gate slots; sf0.01 green this round)
-    # (multimodal_resize: same decode/payload path as multimodal_decode,
-    # fresh r7 row; bumped for the embeddings-gate slots; sf0.01 green
-    # this round)
-    # (r8-changed but twin-covered rather than slotted:
-    # dedup_embedding_cosine and dedup_embedding_cosine_bucketed share
-    # the _sql_cosine fold and the identical bucketed plan with the
-    # in-window loose variant (same SQL at a different threshold), and
-    # sim_ann_recall is a semi-join composition of the in-window
-    # sim_topk_cosine + sim_ann_ivf; all green locally at sf0.01 this
-    # round)
-    # (events_rollup: same Expand + two-tier agg shape as
-    # events_cube_daily (fresh r7 row) whose CUBE lattice is a superset,
-    # and the in-window events_grouping_sets covers the grouping-sets
-    # family; bumped for tpch_q16_supplier_cnt, whose oracle text
-    # changed this round; sf0.01 green this round)
-    # (part_cheapest_by_type note: stays in-window above — it is BOTH
-    # r3-stale and r8-changed (NULL price/key argmin exclusion).)
-    # (dests_by_second: same per-second views.py shape as
-    # events_by_second, which stands on a fresh r7 row, and the
-    # in-window events_by_src_dest covers the module; bumped for
-    # export_by_src, whose oracle text changed this round; sf0.01
-    # green this round)
-    # (doc_quality: its quality_frame is exercised value-hash-deep by
-    # the in-window dedup_survivors_best_quality ttr ranking;
-    # full-registry sf0.01 oracle run green this round)
-    # (doc_length_percentiles: same exact-percentile aggregate class
-    # and stats.py module as the in-window events_approx_stats_exact;
-    # full-registry sf0.01 oracle run green this round)
-    # (events_daily_moving_avg: ROWS-frame window over a reduced
-    # series — the in-window events_rate_anomaly is the same reduced-
-    # series frame shape with a harder guard; sf0.01 green this round)
-    # (retention_expired_count / retention_survivors_by_src: same
-    # retention.py module as the in-window retention_nth_ts, and their
-    # P5 range-predicate shape is exercised by the in-window
-    # events_by_src_incremental's pruned scans; sf0.01 green this round)
-    # (events_sessions: views.py count+MAX stream-view agg — the
-    # in-window events_by_src_incremental covers the per-src agg class
-    # and events_by_src stands on a fresh r7 row; sf0.01 green this
-    # round)
-    # (Exactly 50. The 7 r7 twin-covered bumps recorded last round
-    # (kmeans_centers, top_sources, sim_topk_cosine, bpe_merge_step,
-    # events_heavy_hitters_mg, embedding_pca_variance,
-    # doc_length_quantiles_sketch): the three oracled ones are back
-    # in-window above; the rows-only ones stay out permanently per the
-    # standing policy. embedding_pca_project (rows-only) was flattened
-    # to scalar proj_1..proj_8 columns this round — the r7 canonicalizer
-    # crash class is gone and pytest gates the no-array-output contract;
-    # it stays out of the window as rows-only. The full registry is
-    # re-verified every round by tests/test_oracle_parity.py at sf0.001
-    # and via tools/check_oracle.py at sf0.01 after round-8 changes.)
-    # (asof_next_purchase, registered late in round 8, stays outside
-    # this window: its direction twin asof_last_purchase — the identical
-    # windowed as-of shape with the frame reversed — is in-window above,
-    # and it passed the full oracle at sf0.001 AND sf0.01 plus the
-    # events degenerate/empty sweeps on registration day. It takes one
-    # of round 9's free slots.)
-    # (Round-9 rotation plan, assuming this window lands green: 32
-    # r5-row entries hit the stale boundary next (corpus_health,
-    # dedup_embedding_cosine_bucketed(+_loose),
-    # dedup_minhash_estimate_error, doc_batch_padding, doc_bpe_tokens,
-    # doc_cluster_balanced_sample, doc_dsir_sample, doc_dup_spans,
-    # doc_fingerprint, doc_global_shuffle, doc_lang_id,
-    # doc_rolling_hash, doc_scrub_spans, doc_tfidf_top_terms,
-    # doc_top_terms, gen_events, kmeans_lloyd_step, multimodal_embed,
-    # multimodal_frame_sample, retention_delete_oldest_to_target,
-    # sim_ann_int8, sim_ann_ivf, sim_ann_recall, top_users,
-    # top_users_from_store, top_users_salted, tpch_q12/q15/q17/q19/q21
-    # — events_rate_anomaly, session_aggregate_stateful and tpch_q16
-    # were r5-row but get r8 rows above) plus the 8 r3 entries bumped
-    # this round (notes above). 32 + 8 = 40 slots pre-committed; ~10
-    # remain for round-9 changes. The r6 cohort (49 entries) leads
-    # round 10.)
+    # The 50 = (a) the 11 embedding-family queries whose shared vector
+    # validity gate changed this round (non-finite component screen —
+    # the r9 NaN/Inf sweep plants broke 4 oracles; vec_valid/_vec_ok/
+    # SQL_EMB_VALID/_SQL_VEC_OK text changed, and embedding_dim_stats
+    # additionally grew an n_nonfinite column) + (b) the 2 queries
+    # whose impl was performance-reshaped this round + (c)
+    # asof_next_purchase's FIRST driver row (registered after the r8
+    # window froze; the r8 verdict reserved it this slot) + (d) the
+    # 27 remaining r5-row entries at the 3-rounds-stale boundary (the
+    # r8 verdict's planned rotation, verbatim) + (e) the 8 r3 entries
+    # bumped last round with twin notes. 11+2+1+27+8 = 49, +1 spare
+    # given to tpch_q16_supplier_cnt (see (b)). The r6 cohort
+    # (49 entries) leads round 10.
+    # --- (a) embedding gate changed r9 (4 of these — bucketed, ivf,
+    #     int8, recall — were ALSO r5-stale; they count once) ---
+    "dedup_embedding_cosine",            # exact-threshold path
+    "dedup_embedding_cosine_bucketed",   # IVF bucket + refine (r5-stale too)
+    "dedup_embedding_cosine_bucketed_loose",  # loose-threshold IVF path
+    "dedup_components_embedding",        # CC over the gated pair source
+    "sim_topk_cosine",                   # brute-force broadcast path
+    "sim_ann_lsh",                       # hyperplane-LSH probe path
+    "sim_ann_ivf",                       # IVF probe path (r5-stale too)
+    "sim_ann_int8",                      # quantized GEMM path (r5-stale too)
+    "sim_ann_recall",                    # recall@K composition (r5-stale too)
+    "embedding_dim_stats",               # NEW n_nonfinite column, raw corpus
+    "embedding_gram_int8",               # _vec_ok finite screen
+    # --- (b) impl perf-reshaped r9 ---
+    "dedup_survivors_best_quality",  # ttr scoring reuse (r8 verdict #4)
+    "tpch_q16_supplier_cnt",         # r8 verdict #6 shave (also freshest
+    #                                  evidence for the r8 oracle change)
+    # --- (c) first driver row ---
+    "asof_next_purchase",  # forward as-of; registered post-r8-window
+    # --- (d) r5-stale: the r8 verdict's planned rotation ---
+    "corpus_health",
+    "dedup_minhash_estimate_error",
+    "doc_batch_padding",
+    "doc_bpe_tokens",
+    "doc_cluster_balanced_sample",
+    "doc_dsir_sample",
+    "doc_dup_spans",
+    "doc_fingerprint",
+    "doc_global_shuffle",
+    "doc_lang_id",
+    "doc_rolling_hash",
+    "doc_scrub_spans",
+    "doc_tfidf_top_terms",
+    "doc_top_terms",
+    "gen_events",
+    "kmeans_lloyd_step",
+    "multimodal_embed",
+    "multimodal_frame_sample",
+    "retention_delete_oldest_to_target",
+    "top_users",
+    "top_users_from_store",
+    "top_users_salted",
+    "tpch_q12_priority_lines",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_lone_returner",
+    # --- (e) the 8 r3 entries bumped in round 8 (notes were inline
+    #     last round; their twin coverage held and they now get rows) ---
+    "dests_by_second",
+    "doc_quality",
+    "doc_length_percentiles",
+    "events_daily_moving_avg",
+    "retention_expired_count",
+    "retention_survivors_by_src",
+    "events_sessions",
+    "events_rollup",
+    # --- spare slot: r6-cohort head start (49 r6 entries cannot all
+    #     fit in round 10's window; pull the join-heaviest forward) ---
+    "enrich_events",
+    # (Exactly 50. Outside-window notes, round 9: every r8-window entry
+    # keeps its fresh green r8 row except the four embedding-family
+    # ones re-slotted above for the gate change. kmeans_lloyd_step and
+    # doc_cluster_balanced_sample read embeddings through their OWN
+    # plan-local filters — the shared gate change does not touch their
+    # impl or oracle text (both green in the r9 NaN/Inf-planted sweep
+    # and at sf0.01). The r6 cohort (49 entries: enrich_events,
+    # nearest_centroid, top_dests, events_by_cluster* and the rest of
+    # the r6 window) hits the stale boundary next and leads round 10.
+    # Rows-only queries stay out permanently per the standing policy.)
 ]
 
 
