@@ -580,14 +580,23 @@ register(
 # the partial distinct already dedups map-side before the shuffle — so
 # the simpler one-pass form stands.)
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distinct pre-agg FIRST: count(DISTINCT l_suppkey) per (brand,size)
+    # only ever sees one row per (l_partkey, l_suppkey), so collapse the
+    # fact table to that pair set before anything joins it — map-side
+    # partial agg does most of the collapse, and the anti-join + part
+    # join + distinct-count expand then run over the (much smaller)
+    # pair relation instead of raw lineitem. The anti-join sits BELOW
+    # the part join but ABOVE the pre-agg: the bad-supplier predicate
+    # is on l_suppkey alone, which the pre-agg preserves.
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45")
     li = load_table(spark, sf_dir, "lineitem")
     bad = load_table(spark, sf_dir, "supplier").filter(
         (F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull()
     ).select(F.col("s_suppkey").alias("l_suppkey"))
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(part, li.l_partkey == part.p_partkey)
+        pairs.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(part, pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))

@@ -9,6 +9,7 @@ keeps results correct but silently de-optimizes the plan fails here.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -843,3 +844,52 @@ def test_window_outputs_are_driver_canonicalizable(spark, sf_dir):
             if isinstance(f.dataType, complex_types):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, offenders
+
+
+def test_plans_md_normalization_deterministic(spark, sf_dir):
+    """PLANS.md regen determinism gate (r8 verdict #3): a no-op
+    regeneration must produce an EMPTY diff, which reduces to — the
+    normalized formatted plan of a query must not depend on what was
+    planned before it. Catalyst expression ids, plan/cte ids, RDD ids,
+    and HOF lambda-variable counters are all session-global counters;
+    building the same queries in a DIFFERENT ORDER perturbs every one
+    of them, so normalize(explain(q)) must be order-invariant. The
+    sample spans the counter classes: HOF lambdas (sim_topk_cosine),
+    mapInPandas/Arrow (embedding_gram_int8), multi-CTE + distinct agg
+    (tpch_q16), window frames (asof_last_purchase), and a
+    grouping-sets Expand (events_grouping_sets)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.explain_all import _normalize
+
+    names = [
+        "sim_topk_cosine",
+        "embedding_gram_int8",
+        "tpch_q16_supplier_cnt",
+        "asof_last_purchase",
+        "events_grouping_sets",
+    ]
+    qs = queries()
+
+    def formatted(n: str) -> str:
+        df = qs[n](spark, sf_dir)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    first = {n: _normalize(formatted(n)) for n in names}
+    second = {n: _normalize(formatted(n)) for n in reversed(names)}
+    for n in names:
+        assert first[n] == second[n], (
+            f"{n}: normalized plan depends on planning order\n"
+            + "\n".join(
+                a if a == b else f"A: {a}\nB: {b}"
+                for a, b in zip(
+                    first[n].splitlines(), second[n].splitlines()
+                )
+                if a != b
+            )[:2000]
+        )
