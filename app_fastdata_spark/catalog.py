@@ -75,10 +75,17 @@ DRIVER_PRIORITY: list[str] = [
     "sim_ann_recall",                    # recall@K composition (r5-stale too)
     "embedding_dim_stats",               # NEW n_nonfinite column, raw corpus
     "embedding_gram_int8",               # _vec_ok finite screen
-    # --- (b) impl perf-reshaped r9 ---
-    "dedup_survivors_best_quality",  # ttr scoring reuse (r8 verdict #4)
-    "tpch_q16_supplier_cnt",         # r8 verdict #6 shave (also freshest
-    #                                  evidence for the r8 oracle change)
+    # --- (b) impl changed r9 ---
+    "tpch_q16_supplier_cnt",  # distinct pre-agg reshape (r8 verdict #6)
+    "asof_last_purchase_stateful",  # NEW streaming as-of twin (verdict #8)
+    # (dedup_survivors_best_quality: the r8-verdict shave was profiled
+    # solo this round — 2.0 of its 3.7 s is the SHARED capped-Jaccard
+    # pair pipeline, not the ttr scoring the verdict suspected (0.25 s
+    # full-corpus). Reworking the pair source invalidates driver rows
+    # for 5+ unslotted r6-cohort consumers (components, jaccard_capped,
+    # graph_stats, pagerank), so the shave is scheduled for round 10
+    # when that cohort rotates in regardless. Impl unchanged this
+    # round; its green r8 row stands.)
     # --- (c) first driver row ---
     "asof_next_purchase",  # forward as-of; registered post-r8-window
     # --- (d) r5-stale: the r8 verdict's planned rotation ---

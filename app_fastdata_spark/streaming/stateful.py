@@ -245,3 +245,134 @@ def _register_debounce() -> None:
 
 
 _register_debounce()
+
+
+# --- Stateful backward as-of join (last purchase at-or-before) --------------
+# state per user: µs of the latest purchase seen, cumulative purchase count
+ASOF_STATE_SCHEMA = "last_us long, n long"
+
+ASOF_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("last_purchase_ts", T.TimestampType()),
+        T.StructField("purchases_so_far", T.LongType()),
+    ]
+)
+
+
+def _asof_backward():
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_us, n_prev = state.get
+        else:
+            last_us, n_prev = None, 0
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        ts = pdf["ts"].reset_index(drop=True)
+        # RANGE-frame peer semantics: every row at timestamp t sees ALL
+        # purchases with ts' <= t INCLUDING its own ts-peers, so fold
+        # cumulative sums/maxima to per-peer-group maxima (transform
+        # over the ts groups), exactly the batch window's default frame.
+        cum_n = pd.Series(is_p.cumsum(), index=ts.index)
+        peer_n = cum_n.groupby(ts, sort=False).transform("max") + n_prev
+        pts = ts.where(pd.Series(is_p, index=ts.index))
+        # cummax(skipna=True) leaves NaT AT the NaT positions (it only
+        # refuses to reset the running max) — ffill propagates the last
+        # purchase forward to the non-purchase rows
+        cum_pts = pts.cummax().ffill()
+        peer_pts = cum_pts.groupby(ts, sort=False).transform("max")
+        if last_us is not None:
+            prior = pd.Timestamp(last_us * 1000)  # µs → ns
+            peer_pts = peer_pts.fillna(prior).clip(lower=prior)
+        out_n = peer_n.astype("int64")
+
+        new_n = int(n_prev + is_p.sum())
+        if is_p.any():
+            batch_last_us = int(ts[pd.Series(is_p, index=ts.index)].max().value) // 1_000
+            last_us = batch_last_us if last_us is None else max(last_us, batch_last_us)
+        state.update((last_us, new_n))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64").to_numpy(),
+                "user_id": pd.Series(
+                    [user_id] * len(pdf), dtype="int64"
+                ),
+                "event_type": pdf["event_type"].to_numpy(),
+                "last_purchase_ts": peer_pts.to_numpy(),
+                "purchases_so_far": out_n.to_numpy(),
+            }
+        )
+
+    return fn
+
+
+def stateful_asof_backward_stream(events: DataFrame) -> DataFrame:
+    """The backward as-of join (operators.joins.asof_last_purchase) as a
+    custom stateful STREAMING operator — the at-ingest form: for every
+    event, the most recent purchase (ts' <= ts, ts-peers included) by
+    the same user plus the running purchase count, maintained as TWO
+    longs of state per live user (applyInPandasWithState, Arrow-batched,
+    one shuffle on user_id, no driver state). The forward direction is
+    inherently non-streaming — "next purchase at-or-after" is unknowable
+    until an unbounded future arrives — which is exactly why only the
+    backward form gets an ingest twin; the batch operator serves both.
+
+    Cross-batch contract (same as the debounce twin): state composes
+    when each user's events arrive time-ordered ACROSS batches (the
+    ingest/harvest file order); within a batch any order is fine (the
+    op sorts). NULL-ts events are excluded on both engines — an as-of
+    position without a timestamp is undefined (same rule as the batch
+    twin) — and NULL-user events are excluded HERE (a streaming shuffle
+    key must be concrete, and a NULL in an int64 Arrow batch coerces to
+    float64, corrupting ids >= 2^53): the registered oracle carries the
+    same `user_id IS NOT NULL` predicate, mirroring the debounce twin's
+    non-NULL-key ingest contract."""
+    clean = events.filter(
+        "ts IS NOT NULL AND user_id IS NOT NULL"
+    ).select("event_id", "user_id", "event_type", "ts")
+    return clean.groupBy("user_id").applyInPandasWithState(
+        _asof_backward(),
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def asof_last_purchase_stateful(spark, sf_dir: str) -> DataFrame:
+    """Driver wrapper: run the stateful backward as-of end-to-end
+    (file-source stream, AvailableNow, memory sink) under the batch
+    asof_last_purchase oracle restricted to non-NULL users — a full
+    value-hash parity check on the streaming operator."""
+    from .pipeline import events_stream, run_to_memory
+
+    _RUN_SEQ[0] += 1
+    out = run_to_memory(
+        stateful_asof_backward_stream(events_stream(spark, sf_dir)),
+        f"stateful_asof_{_RUN_SEQ[0]}",
+        output_mode="update",
+    )
+    return out.orderBy("event_id")
+
+
+register(
+    "asof_last_purchase_stateful",
+    sql="""
+    SELECT event_id, user_id, event_type,
+           max(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts) AS last_purchase_ts,
+           count(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts) AS purchases_so_far
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    """,
+)(asof_last_purchase_stateful)

@@ -931,3 +931,82 @@ def test_stateful_debounce_cross_batch_parity(spark, sf_dir, tmp_path):
         if eid not in got or got[eid].prev_gap_s is not None
     ]
     assert crossed, "no key's first batch-2 event saw batch-1 state"
+
+
+def test_stateful_asof_cross_batch_parity(spark, sf_dir, tmp_path):
+    """The as-of state (last purchase µs + running count per user) must
+    survive across micro-batches: stream the events as TWO time-split
+    files with maxFilesPerTrigger=1 and assert (a) at least two batches
+    ran, (b) the joint output equals the batch asof_last_purchase over
+    the whole table (non-NULL users), and (c) state genuinely crossed
+    the boundary — some user's first batch-2 row carries a
+    last_purchase_ts from batch 1, which per-batch-independent
+    processing could never produce."""
+    import os
+    import time
+
+    from app_fastdata_spark.operators.behavior import MID_TS
+    from app_fastdata_spark.operators.joins import asof_last_purchase
+    from app_fastdata_spark.streaming.stateful import (
+        stateful_asof_backward_stream,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    d = str(tmp_path / "ev_asof")
+    os.makedirs(d)
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(f"ts < TIMESTAMP '{MID_TS}'").coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    time.sleep(1.1)  # distinct mtimes: file-source batch order is by mtime
+    ev.filter(f"ts >= TIMESTAMP '{MID_TS}'").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/events.parquet")
+
+    q = (
+        stateful_asof_backward_stream(
+            P.events_stream(spark, d, max_files_per_trigger=1)
+        )
+        .writeStream.format("memory")
+        .queryName("asof_xbatch")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, [p["batchId"] for p in q.recentProgress]
+
+    got = {r.event_id: r for r in spark.table("asof_xbatch").collect()}
+    want = {
+        r.event_id: r
+        for r in asof_last_purchase(spark, d)
+        .filter("user_id IS NOT NULL")
+        .collect()
+    }
+    assert set(got) == set(want)
+    for eid, r in got.items():
+        w = want[eid]
+        assert r.purchases_so_far == w.purchases_so_far, eid
+        assert r.last_purchase_ts == w.last_purchase_ts, eid
+
+    # (c) witness: a user whose batch-1 purchases are visible from a
+    # batch-2 row — the first batch-2 event of some user must carry a
+    # last_purchase_ts strictly BEFORE the split point
+    import datetime
+
+    mid = datetime.datetime.fromisoformat(MID_TS)
+    crossed = [
+        r
+        for r in got.values()
+        if r.last_purchase_ts is not None and r.last_purchase_ts < mid
+        and want[r.event_id].event_id is not None
+    ]
+    batch2 = {
+        r.event_id
+        for r in ev.filter(
+            f"ts >= TIMESTAMP '{MID_TS}' AND user_id IS NOT NULL"
+        ).collect()
+    }
+    assert any(r.event_id in batch2 for r in crossed), (
+        "no batch-2 row carried batch-1 purchase state"
+    )
