@@ -616,3 +616,69 @@ def test_degenerate_embeddings_parity_all_embedding_oracles(
     assert len(emb_qs) >= 8
     failures = _parity_failures(spark, con, d, emb_qs)
     assert not failures, failures
+
+
+def test_degenerate_dims_parity_nation_region(spark, sf_dir, tmp_path):
+    """The last unswept tables: nation/region dim-side degeneracy. A
+    real dim load carries NULL surrogate keys, NULL names, dangling
+    region pointers, and duplicate names — each stresses a different
+    join property of the 8 TPC-H oracles that broadcast these dims
+    (NULL keys never equi-match on either engine; a dangling
+    n_regionkey must drop through the inner join identically; duplicate
+    n_name values multiply join fan-out the same way on both sides)."""
+    import os as _os
+    import shutil as _sh
+
+    import duckdb as _ddb
+
+    from app_fastdata_spark.tables import load_table
+
+    d = str(tmp_path / "degen_dims")
+    _os.makedirs(d)
+    plants = {
+        "nation": (
+            [
+                (None, "NULLKEYLAND", 1),        # NULL surrogate key
+                (97, None, 1),                   # NULL name
+                (98, "DANGLING", 99),            # dangling region pointer
+                (96, "GERMANY", 3),              # duplicate name, real region
+            ],
+            "n_nationkey int, n_name string, n_regionkey int",
+        ),
+        "region": (
+            [
+                (None, "NULLREGION"),            # NULL surrogate key
+                (97, None),                      # NULL name
+            ],
+            "r_regionkey int, r_name string",
+        ),
+    }
+    for t, (rows, schema) in plants.items():
+        base = load_table(spark, sf_dir, t)
+        extra = spark.createDataFrame(rows, schema)
+        base.unionByName(extra).coalesce(1).write.parquet(f"{d}/{t}.parquet")
+    for t in TABLE_NAMES:
+        if t not in plants and _os.path.exists(f"{sf_dir}/{t}.parquet"):
+            _sh.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    con = _ddb.connect()
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLE_NAMES:
+        if t in plants:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+            )
+        elif _os.path.exists(f"{d}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    import re as _re
+
+    os_ = oracles()
+    dim_qs = [
+        n
+        for n, sql in os_.items()
+        if _re.search(r"\bnation\b|\bregion\b", sql)
+    ]
+    assert len(dim_qs) >= 8
+    failures = _parity_failures(spark, con, d, dim_qs)
+    assert not failures, failures
