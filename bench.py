@@ -112,6 +112,66 @@ HEADLINE = [
 ]
 
 
+# The five serving queries of BASELINE.md's ≤1 s dashboard budget — the
+# per-query claim the driver artifact exists to prove; always in the
+# compact line.
+SERVING = [
+    "top_users",
+    "top_sources",
+    "top_src_dests",
+    "top_dests",
+    "events_by_cluster_window",
+]
+
+# The driver captures only the last ~2000 chars of process output and
+# parses the FINAL line as JSON; the full ~90-query dict is >3000 chars
+# (exactly why BENCH_r07/r08 came back `parsed: null`). Budget the
+# compact line well under the window and assert the hard cap.
+COMPACT_SOFT_BUDGET = 1700
+COMPACT_HARD_CAP = 2000
+
+
+def compact_line(
+    total: float,
+    timings: dict[str, float],
+    sf: float,
+    runs: int,
+    ingest_eps: float | None,
+    cc_label_errors: int,
+) -> str:
+    """The guaranteed-parseable final stdout line: total + the serving
+    queries + as many worst-by-wall-time queries as fit the budget,
+    2-dp, short-keyed. Unit-tested against pathological registries so a
+    future query-name explosion cannot silently re-break the driver
+    parse."""
+    compact_q = {k: round(timings[k], 2) for k in SERVING if k in timings}
+    worst = sorted(
+        (k for k in timings if k not in compact_q),
+        key=lambda k: -timings[k],
+    )
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "runs_per_query": runs,
+        "queries": compact_q,
+        "worst": {},
+        "ingest_eps": ingest_eps,
+        "cc_dist_label_errors": cc_label_errors,
+        "full": "BENCH_FULL.json",
+    }
+    for k in worst:
+        compact["worst"][k] = round(timings[k], 2)
+        if len(json.dumps(compact)) > COMPACT_SOFT_BUDGET:
+            del compact["worst"][k]
+            break
+    line = json.dumps(compact)
+    assert len(line) <= COMPACT_HARD_CAP, len(line)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -284,43 +344,9 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass  # a read-only checkout must not kill the contract line
-    # Compact final line: total + the 5 serving queries (the ≤1 s
-    # BASELINE.md dashboard budget — the one per-query claim the judge
-    # must see) + the worst queries by wall time, 2-dp, short-keyed.
-    serving = [
-        "top_users",
-        "top_sources",
-        "top_src_dests",
-        "top_dests",
-        "events_by_cluster_window",
-    ]
-    compact_q = {k: round(timings[k], 2) for k in serving if k in timings}
-    worst = sorted(
-        (k for k in timings if k not in compact_q),
-        key=lambda k: -timings[k],
+    line = compact_line(
+        total, timings, float(sf), RUNS, ingest_eps, dcc_bad
     )
-    compact = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "sf": float(sf),
-        "n_queries": len(timings),
-        "runs_per_query": RUNS,
-        "queries": compact_q,
-        "worst": {},
-        "ingest_eps": ingest_eps,
-        "cc_dist_label_errors": dcc_bad,
-        "full": "BENCH_FULL.json",
-    }
-    # grow the worst-list only while the line stays safely under the
-    # driver's 2000-char tail window (hard cap re-checked after dumps)
-    for k in worst:
-        compact["worst"][k] = round(timings[k], 2)
-        if len(json.dumps(compact)) > 1700:
-            del compact["worst"][k]
-            break
-    line = json.dumps(compact)
-    assert len(line) <= 2000, len(line)
     print(line, flush=True)
 
 

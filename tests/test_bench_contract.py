@@ -1,0 +1,57 @@
+"""The bench driver contract: the FINAL stdout line must parse as JSON
+and fit the driver's ~2000-char output-tail window with the five
+serving queries visible — BENCH_r07/r08 were `parsed: null` because the
+single full-dump line overflowed it. No SparkSession needed."""
+
+from __future__ import annotations
+
+import json
+
+from bench import COMPACT_HARD_CAP, HEADLINE, SERVING, compact_line
+
+
+def _fake_timings(names):
+    # deterministic pseudo-times spanning 0-4s
+    return {n: round((i * 37 % 400) / 100, 3) for i, n in enumerate(names)}
+
+
+def test_compact_line_fits_and_parses_for_current_headline():
+    timings = _fake_timings(HEADLINE)
+    line = compact_line(123.456, timings, 0.1, 2, 92252.1, 0)
+    assert len(line) <= COMPACT_HARD_CAP
+    d = json.loads(line)
+    assert d["metric"] == "headline_queries_total_wall"
+    assert d["n_queries"] == len(HEADLINE)
+    # every serving query present at 2dp
+    for s in SERVING:
+        assert s in d["queries"], s
+        assert d["queries"][s] == round(timings[s], 2)
+    # the worst non-serving query must be visible
+    worst = max(
+        (n for n in timings if n not in SERVING), key=lambda n: timings[n]
+    )
+    assert worst in d["worst"]
+
+
+def test_compact_line_survives_pathological_registry():
+    # 400 queries with 60-char names — far past any real registry; the
+    # worst-list must self-truncate instead of overflowing
+    names = [f"impossibly_long_operator_name_padding_{i:03d}_" + "x" * 20
+             for i in range(400)]
+    names[:5] = SERVING  # keep the serving set present
+    timings = _fake_timings(names)
+    line = compact_line(999.9, timings, 0.1, 2, None, 3)
+    assert len(line) <= COMPACT_HARD_CAP
+    d = json.loads(line)
+    assert d["n_queries"] == 400
+    assert d["ingest_eps"] is None
+    assert d["cc_dist_label_errors"] == 3
+    assert len(d["worst"]) >= 1  # still says SOMETHING about the tail
+
+
+def test_compact_line_handles_missing_serving_queries():
+    # a subset bench run (env-filtered HEADLINE) must not KeyError
+    timings = _fake_timings(["only_one_query"])
+    line = compact_line(1.0, timings, 0.001, 1, 5.0, 0)
+    d = json.loads(line)
+    assert d["queries"] == {} and d["n_queries"] == 1
