@@ -1610,3 +1610,137 @@ register(
     FROM ne, w, tri
     """,
 )(dedup_graph_stats)
+
+
+# --- int64-shingle pair source (round-10 default candidate) ----------------
+# The capped pipeline above moves array<string> shingles through Arrow,
+# re-hashes every occurrence JVM-side (xxhash64), and explodes string
+# arrays — profiled at 2.0 of dedup_survivors_best_quality's 3.7 s solo
+# at sf0.1. This variant hashes shingles to int64 INSIDE the shingle
+# UDF: per-token blake2b-8 ids (memoized per Arrow batch — the vocab is
+# tiny next to the token stream) mixed positionally into one uint64 per
+# shingle with odd multipliers, distinct via np.unique. Bucket
+# membership by 64-bit-hash equality is the SAME robustness class as
+# the existing xxhash64(shingle) bucketing (a collision merges two
+# buckets either way); everything downstream of the inverted index is
+# byte-identical. Measured (solo, min-of-3, sf0.1): 2.30 s → 2.00 s for
+# the full pair source — a real but modest −13%; the per-doc Python
+# tokenize loop dominates both variants, so the win is mostly the
+# string-array Arrow transfer and the JVM xxhash64 pass, which matter
+# MORE at 100 TB (bytes moved per shingle drop ~4×) than they do here.
+# Kept OPT-IN: switching the default changes the impl of every capped
+# consumer, which is a round-10 window decision (see catalog.py) to be
+# weighed against the measured gain. Pair-set equality vs the string
+# pipeline is pinned by tests/test_operators.py, including degenerate
+# docs.
+_MIX_A = 0x9E3779B97F4A7C15
+_MIX_B = 0xC2B2AE3D27D4EB4F
+_MIX_C = 0x165667B19E3779F9
+
+
+def _py_shingle_hashes(text: pd.Series) -> pd.Series:
+    """int64-hash twin of _py_shingles: same normalization chain
+    (lower → trim spaces → ASCII \\s+ split), same <N-token and NULL
+    handling; emits one uint64-mixed hash per DISTINCT shingle."""
+    import re
+
+    from hashlib import blake2b
+
+    import numpy as np
+
+    ws = re.compile(r"\s+", re.ASCII)
+    tok_ids: dict[str, int] = {}
+
+    def tid(tok: str) -> int:
+        v = tok_ids.get(tok)
+        if v is None:
+            v = int.from_bytes(
+                blake2b(tok.encode(), digest_size=8).digest(), "little"
+            )
+            tok_ids[tok] = v
+        return v
+
+    A = np.uint64(_MIX_A)
+    B = np.uint64(_MIX_B)
+    C = np.uint64(_MIX_C)
+    out = []
+    for t in text:
+        if t is None:
+            out.append([])
+            continue
+        toks = ws.split(t.lower().strip(" "))
+        if len(toks) < SHINGLE_N:
+            out.append([])
+            continue
+        ids = np.fromiter(
+            (tid(tok) for tok in toks), dtype=np.uint64, count=len(toks)
+        )
+        with np.errstate(over="ignore"):  # uint64 wraparound IS the mix
+            h = ids[: -2] * A + ids[1:-1] * B + ids[2:] * C
+        out.append(np.unique(h).astype(np.int64))
+    return pd.Series(out)
+
+
+def shingle_hash_frame(docs: DataFrame) -> DataFrame:
+    sh = F.pandas_udf(_py_shingle_hashes, "array<long>")
+    return docs.select("doc_id", sh(F.col("text")).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+
+def capped_pair_sizes_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, na, doc_b, nb, shared) — identical output contract to
+    capped_pair_sizes; the inverted index is built from int64 shingle
+    hashes so no string array ever crosses Arrow and no JVM re-hash
+    pass runs."""
+    sh = shingle_hash_frame(
+        widen_small_scan(
+            load_table(spark, sf_dir, "documents"),
+            path=f"{sf_dir}/documents.parquet",
+        )
+    )
+    n_sh = F.size("shingles")
+    fits = (n_sh < F.lit(1 << 20)) & (F.col("doc_id") < F.lit(1 << 43))
+    packed = (
+        F.when(fits, F.shiftleft(F.col("doc_id"), 20) + n_sh)
+        .otherwise(
+            F.raise_error(
+                F.lit("capped_pair_sizes_hashed: packing range exceeded")
+            ).cast("long")
+        )
+        .alias("dn")
+    )
+    inv = sh.select(packed, F.explode("shingles").alias("skey"))
+    buckets = (
+        inv.groupBy("skey")
+        .agg(F.collect_list("dn").alias("ds"))
+        .filter(F.size("ds").between(2, STOP_SHINGLE_CAP))
+    )
+    import numpy as np
+
+    def _bucket_pairs(batches):
+        tri = {k: np.triu_indices(k, 1) for k in range(2, STOP_SHINGLE_CAP + 1)}
+        for pdf in batches:
+            pa_all, pb_all = [], []
+            for ds in pdf["ds"]:
+                a = np.sort(np.asarray(ds, dtype=np.int64))
+                i, j = tri[len(a)]
+                pa_all.append(a[i])
+                pb_all.append(a[j])
+            if pa_all:
+                yield pd.DataFrame(
+                    {"pa": np.concatenate(pa_all), "pb": np.concatenate(pb_all)}
+                )
+
+    pairs = (
+        buckets.mapInPandas(_bucket_pairs, "pa long, pb long")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("shared"))
+    )
+    return pairs.select(
+        F.shiftrightunsigned("pa", 20).alias("doc_a"),
+        (F.col("pa") % (1 << 20)).alias("na"),
+        F.shiftrightunsigned("pb", 20).alias("doc_b"),
+        (F.col("pb") % (1 << 20)).alias("nb"),
+        "shared",
+    )

@@ -1873,3 +1873,48 @@ def test_time_weighted_avg_integer_rounding(spark, sf_dir):
         n = len(vals)
         assert r.plain_avg == ((200 * cents + n) // (2 * n)) / 1e4
         assert min(vals) - 1e-9 <= r.time_weighted_avg <= max(vals) + 1e-9
+
+
+def test_capped_pair_sizes_hashed_matches_string_pipeline(spark, sf_dir):
+    """The round-10 default candidate: the int64-shingle pair source
+    must produce EXACTLY the string pipeline's (doc_a, na, doc_b, nb,
+    shared) set — same docs, same distinct-shingle counts, same shared
+    counts — on the real corpus AND on planted degenerate docs (NULL /
+    empty / <3-token / duplicated-shingle text)."""
+    from app_fastdata_spark.operators.dedup import (
+        capped_pair_sizes,
+        capped_pair_sizes_hashed,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    a = sorted(
+        tuple(r) for r in capped_pair_sizes(spark, sf_dir).collect()
+    )
+    b = sorted(
+        tuple(r) for r in capped_pair_sizes_hashed(spark, sf_dir).collect()
+    )
+    assert a == b and len(a) > 0
+
+    # degenerate plants through BOTH pipelines (shingle_frame /
+    # shingle_hash_frame parity on the weird shapes)
+    from app_fastdata_spark.operators.dedup import (
+        shingle_frame,
+        shingle_hash_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "one two"),                      # < SHINGLE_N tokens
+            (4, "a b c a b c a b c"),            # repeated shingles
+            (5, "  leading trailing  \t tab"),   # trim-vs-strip edge
+        ],
+        "doc_id long, text string",
+    )
+    ns = {r.doc_id: len(r.shingles) for r in shingle_frame(docs).collect()}
+    nh = {
+        r.doc_id: len(r.shingles)
+        for r in shingle_hash_frame(docs).collect()
+    }
+    assert ns == nh  # same docs survive with same distinct counts
