@@ -248,8 +248,16 @@ _register_debounce()
 
 
 # --- Stateful backward as-of join (last purchase at-or-before) --------------
-# state per user: µs of the latest purchase seen, cumulative purchase count
-ASOF_STATE_SCHEMA = "last_us long, n long"
+# state per user: µs of the max event ts seen (the peer-group boundary),
+# µs of the latest purchase, cumulative purchase count, and the
+# event_ids/types AT the boundary ts — the rows that must be RE-EMITTED
+# (update-mode upsert) if a later batch lands more peers at the same
+# timestamp with a purchase among them. Peer arrays are bounded by
+# events-per-(user, microsecond), not by the stream.
+ASOF_STATE_SCHEMA = (
+    "boundary_us long, last_us long, n long,"
+    " peer_ids array<long>, peer_types array<string>"
+)
 
 ASOF_OUTPUT_SCHEMA = T.StructType(
     [
@@ -270,9 +278,12 @@ def _asof_backward():
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            last_us, n_prev = state.get
+            boundary_us, last_us, n_prev, peer_ids, peer_types = state.get
+            peer_ids = list(peer_ids or [])
+            peer_types = list(peer_types or [])
         else:
-            last_us, n_prev = None, 0
+            boundary_us, last_us, n_prev = None, None, 0
+            peer_ids, peer_types = [], []
 
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
@@ -293,24 +304,83 @@ def _asof_backward():
         if last_us is not None:
             prior = pd.Timestamp(last_us * 1000)  # µs → ns
             peer_pts = peer_pts.fillna(prior).clip(lower=prior)
-        out_n = peer_n.astype("int64")
+        out_ids = pdf["event_id"].astype("int64").to_numpy()
+        out_types = pdf["event_type"].to_numpy()
+        out_pts = peer_pts.to_numpy()
+        out_n = peer_n.astype("int64").to_numpy()
 
+        # Re-emission (the split-peer-group case the property fuzzer
+        # found): if this batch lands a PURCHASE at exactly the stored
+        # boundary timestamp, the boundary peers emitted in earlier
+        # batches under-report — upsert them with the continuation
+        # group's corrected values. Purchases_so_far is monotone per
+        # event, so downstream latest-wins == max(purchases_so_far).
+        re_ids: list = []
+        re_types: list = []
+        re_pts = re_n = None
+        if peer_ids and boundary_us is not None:
+            b_ts = pd.Timestamp(boundary_us * 1000)
+            at_b = (ts == b_ts).to_numpy()
+            if (at_b & is_p).any():
+                re_ids = peer_ids
+                re_types = peer_types
+                grp = at_b.nonzero()[0][0]
+                re_pts = out_pts[grp]
+                re_n = int(out_n[grp])
+
+        # fold the batch into the state
         new_n = int(n_prev + is_p.sum())
         if is_p.any():
-            batch_last_us = int(ts[pd.Series(is_p, index=ts.index)].max().value) // 1_000
-            last_us = batch_last_us if last_us is None else max(last_us, batch_last_us)
-        state.update((last_us, new_n))
-        yield pd.DataFrame(
+            batch_last_us = (
+                int(ts[pd.Series(is_p, index=ts.index)].max().value) // 1_000
+            )
+            last_us = (
+                batch_last_us if last_us is None else max(last_us, batch_last_us)
+            )
+        new_boundary_ts = ts.iloc[-1]
+        new_boundary_us = int(new_boundary_ts.value) // 1_000
+        at_new = (ts == new_boundary_ts).to_numpy()
+        if boundary_us is not None and new_boundary_us == boundary_us:
+            peer_ids = peer_ids + [int(i) for i in out_ids[at_new]]
+            peer_types = peer_types + [str(t) for t in out_types[at_new]]
+        else:
+            peer_ids = [int(i) for i in out_ids[at_new]]
+            peer_types = [str(t) for t in out_types[at_new]]
+        state.update((new_boundary_us, last_us, new_n, peer_ids, peer_types))
+
+        out = pd.DataFrame(
             {
-                "event_id": pdf["event_id"].astype("int64").to_numpy(),
-                "user_id": pd.Series(
-                    [user_id] * len(pdf), dtype="int64"
-                ),
-                "event_type": pdf["event_type"].to_numpy(),
-                "last_purchase_ts": peer_pts.to_numpy(),
-                "purchases_so_far": out_n.to_numpy(),
+                "event_id": out_ids,
+                "user_id": pd.Series([user_id] * len(pdf), dtype="int64"),
+                "event_type": out_types,
+                "last_purchase_ts": out_pts,
+                "purchases_so_far": out_n,
             }
         )
+        if re_ids:
+            out = pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "event_id": pd.Series(re_ids, dtype="int64"),
+                            "user_id": pd.Series(
+                                [user_id] * len(re_ids), dtype="int64"
+                            ),
+                            "event_type": re_types,
+                            "last_purchase_ts": pd.Series(
+                                [re_pts] * len(re_ids),
+                                dtype="datetime64[ns]",
+                            ),
+                            "purchases_so_far": pd.Series(
+                                [re_n] * len(re_ids), dtype="int64"
+                            ),
+                        }
+                    ),
+                    out,
+                ],
+                ignore_index=True,
+            )
+        yield out
 
     return fn
 
@@ -326,16 +396,24 @@ def stateful_asof_backward_stream(events: DataFrame) -> DataFrame:
     until an unbounded future arrives — which is exactly why only the
     backward form gets an ingest twin; the batch operator serves both.
 
-    Cross-batch contract (same as the debounce twin): state composes
-    when each user's events arrive time-ordered ACROSS batches (the
-    ingest/harvest file order); within a batch any order is fine (the
-    op sorts). NULL-ts events are excluded on both engines — an as-of
-    position without a timestamp is undefined (same rule as the batch
-    twin) — and NULL-user events are excluded HERE (a streaming shuffle
-    key must be concrete, and a NULL in an int64 Arrow batch coerces to
-    float64, corrupting ids >= 2^53): the registered oracle carries the
-    same `user_id IS NOT NULL` predicate, mirroring the debounce twin's
-    non-NULL-key ingest contract."""
+    Cross-batch contract: EXACT under time-ordered arrival per user
+    (the ingest/harvest file order), INCLUDING a ts-peer group split
+    across batches — the case the property fuzzer found: a view at t in
+    batch 1 whose purchase peer at the same t arrives in batch 2. The
+    state keeps the boundary peer group's ids/types, and a late peer
+    purchase triggers an update-mode RE-EMISSION of the corrected rows;
+    downstream treats rows as upserts keyed by event_id, latest-wins
+    (purchases_so_far is monotone per event, so max() disambiguates
+    without a batch id). State is 3 longs + the per-(user, microsecond)
+    peer arrays — bounded by simultaneous events, not by the stream.
+    Within a batch any order is fine (the op sorts). NULL-ts events are
+    excluded on both engines — an as-of position without a timestamp is
+    undefined (same rule as the batch twin) — and NULL-user events are
+    excluded HERE (a streaming shuffle key must be concrete, and a NULL
+    in an int64 Arrow batch coerces to float64, corrupting ids >= 2^53):
+    the registered oracle carries the same `user_id IS NOT NULL`
+    predicate, mirroring the debounce twin's non-NULL-key ingest
+    contract."""
     clean = events.filter(
         "ts IS NOT NULL AND user_id IS NOT NULL"
     ).select("event_id", "user_id", "event_type", "ts")

@@ -162,3 +162,124 @@ def test_fuzzy_argmin_resolves_exact_and_single_typo(spark, typo, mutate):
             return prev[-1]
 
         assert _lev(raw, r.t) == 1, (raw, r.t)
+
+
+# pure-Python properties: no Spark jobs per example, so run MANY examples
+_TEXT = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=120,
+    ),
+)
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_shingle_hash_twin_matches_string_twin_on_any_text(texts):
+    """For ANY unicode corpus (NULLs, emoji, CJK, control chars,
+    whitespace variants): the int64-hash shingle UDF must keep exactly
+    the docs the string UDF keeps, with exactly the same distinct
+    counts per doc — the property the hashed pair source's na/nb and
+    bucket membership depend on."""
+    import pandas as pd
+
+    from app_fastdata_spark.operators.dedup import (
+        _py_shingle_hashes,
+        _py_shingles,
+    )
+
+    s = pd.Series(texts, dtype="object")
+    a = _py_shingles(s)
+    b = _py_shingle_hashes(s)
+    for sa, sb in zip(a, b):
+        assert len(sa) == len(sb)
+        # hash distinctness must not COLLAPSE distinct shingles
+        assert len(set(sb)) == len(sb)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the as-of fold directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+_EVENT = st.tuples(
+    st.integers(0, 10_000),            # µs offset (small → many ts ties)
+    st.booleans(),                     # is_purchase
+)
+
+
+@given(events=st.lists(_EVENT, min_size=1, max_size=40), split=st.integers(0, 40))
+@settings(max_examples=150, deadline=None)
+def test_stateful_asof_fold_matches_reference_and_composes(events, split):
+    """The applyInPandasWithState as-of fold must equal the O(n²)
+    RANGE-frame reference (every row sees ALL purchases with ts' <= ts,
+    ts-peers INCLUDED) for any interleaving of purchases and duplicate
+    timestamps — and running the same events as TWO time-split batches
+    through one state must emit exactly the single-batch answer."""
+    import pandas as pd
+
+    from app_fastdata_spark.streaming.stateful import _asof_backward
+
+    # deterministic ids; µs offsets quantized so ties are common
+    rows = [
+        (i, pd.Timestamp(2024, 1, 1) + pd.Timedelta(microseconds=(us // 7) * 7),
+         "purchase" if p else "view")
+        for i, (us, p) in enumerate(events)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+
+    # O(n²) reference of the batch window semantics
+    want = {}
+    for _, r in pdf.iterrows():
+        peers = pdf[pdf["ts"] <= r["ts"]]
+        p = peers[peers["event_type"] == "purchase"]
+        want[r["event_id"]] = (
+            None if p.empty else p["ts"].max(),
+            len(p),
+        )
+
+    def run(batches):
+        state = _FakeState()
+        fn = _asof_backward()
+        got = {}
+        for b in batches:
+            if b.empty:
+                continue
+            for out in fn((7,), iter([b]), state):
+                for _, r in out.iterrows():
+                    # update-mode upsert, latest-wins: purchases_so_far
+                    # is monotone per event, so max() IS the newest row
+                    cur = got.get(r["event_id"])
+                    if cur is not None and cur[1] >= int(r["purchases_so_far"]):
+                        continue
+                    got[r["event_id"]] = (
+                        None if pd.isna(r["last_purchase_ts"])
+                        else r["last_purchase_ts"],
+                        int(r["purchases_so_far"]),
+                    )
+        return got
+
+    assert run([pdf]) == want
+
+    # two-batch composition: split by TIME (the ingest contract — each
+    # user's events arrive time-ordered across batches)
+    srt = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    cut = min(split, len(srt))
+    got2 = run([srt.iloc[:cut], srt.iloc[cut:]])
+    assert got2 == want

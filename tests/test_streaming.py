@@ -976,7 +976,14 @@ def test_stateful_asof_cross_batch_parity(spark, sf_dir, tmp_path):
     q.awaitTermination()
     assert len(q.recentProgress) >= 2, [p["batchId"] for p in q.recentProgress]
 
-    got = {r.event_id: r for r in spark.table("asof_xbatch").collect()}
+    # update-mode upsert, latest-wins: a ts-peer group straddling the
+    # split re-emits corrected rows; purchases_so_far is monotone per
+    # event, so the max-count row IS the newest
+    got = {}
+    for r in spark.table("asof_xbatch").collect():
+        cur = got.get(r.event_id)
+        if cur is None or r.purchases_so_far > cur.purchases_so_far:
+            got[r.event_id] = r
     want = {
         r.event_id: r
         for r in asof_last_purchase(spark, d)
