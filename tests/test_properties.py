@@ -283,3 +283,57 @@ def test_stateful_asof_fold_matches_reference_and_composes(events, split):
     cut = min(split, len(srt))
     got2 = run([srt.iloc[:cut], srt.iloc[cut:]])
     assert got2 == want
+
+
+@given(
+    offsets=st.lists(st.integers(0, 200), min_size=1, max_size=40),
+    split=st.integers(0, 40),
+    gap_s=st.integers(1, 5),
+)
+@settings(max_examples=150, deadline=None)
+def test_stateful_sessionize_fold_matches_reference_and_composes(
+    offsets, split, gap_s
+):
+    """The sessionizer fold (30 s-gap splitting, ST2) must equal the
+    direct gap-split reference for any event spacing — duplicate
+    timestamps, gaps landing EXACTLY on the boundary (<= keeps, >
+    splits), single-event sessions — and any time-ordered two-batch
+    split must upsert to the same final sessions (the fold only looks
+    BACKWARD, so unlike the as-of's RANGE peers no re-emission logic is
+    needed; this pins that reasoning)."""
+    import pandas as pd
+
+    from app_fastdata_spark.streaming.stateful import _sessionize
+
+    ts = sorted(pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=o) for o in offsets)
+    pdf = pd.DataFrame({"ts": pd.Series(ts, dtype="datetime64[ns]")})
+
+    # direct reference: gap-split over the sorted series
+    want: dict = {}
+    start = last = None
+    n = 0
+    for t in ts:
+        if last is not None and (t - last).total_seconds() <= gap_s:
+            last, n = t, n + 1
+        else:
+            if start is not None:
+                want[start] = max(want.get(start, 0), n)
+            start, last, n = t, t, 1
+    want[start] = max(want.get(start, 0), n)
+
+    def run(batches):
+        state = _FakeState()
+        fn = _sessionize(gap_s)
+        got: dict = {}
+        for b in batches:
+            if b.empty:
+                continue
+            for out in fn(("s", "d"), iter([b]), state):
+                for _, r in out.iterrows():
+                    k = r["session_start"]
+                    got[k] = max(got.get(k, 0), int(r["n_events"]))
+        return got
+
+    assert run([pdf]) == want
+    cut = min(split, len(pdf))
+    assert run([pdf.iloc[:cut], pdf.iloc[cut:]]) == want
