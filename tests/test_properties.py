@@ -337,3 +337,72 @@ def test_stateful_sessionize_fold_matches_reference_and_composes(
     assert run([pdf]) == want
     cut = min(split, len(pdf))
     assert run([pdf.iloc[:cut], pdf.iloc[cut:]]) == want
+
+
+@given(
+    offsets=st.lists(st.integers(0, 400), min_size=1, max_size=40),
+    split=st.integers(0, 40),
+    gap_s=st.integers(1, 10),
+)
+@settings(max_examples=150, deadline=None)
+def test_stateful_debounce_fold_matches_reference_and_composes(
+    offsets, split, gap_s
+):
+    """The debounce fold (drop events within gap of the previous RAW
+    event) must equal the sequential reference for any spacing —
+    duplicate timestamps (gap 0 suppressed), gaps exactly ON the
+    boundary (strict >: boundary suppressed), singletons — and any
+    time-ordered two-batch split must keep exactly the same survivors
+    with the same gap stamps (backward-looking fold: composition needs
+    only the last-raw-event state)."""
+    import pandas as pd
+
+    from app_fastdata_spark.streaming.stateful import _debounce
+
+    ts = sorted(
+        pd.Timestamp(2024, 1, 1) + pd.Timedelta(milliseconds=o * 500)
+        for o in offsets
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(ts)),
+            "ts": pd.Series(ts, dtype="datetime64[ns]"),
+        }
+    )
+
+    # sequential reference over the sorted series
+    want: dict = {}
+    last = None
+    for i, t in enumerate(ts):
+        gap = None if last is None else (t - last).total_seconds()
+        if gap is None or gap > gap_s:
+            want[i] = gap
+        last = t
+
+    def run(batches):
+        state = _FakeState()
+        fn = _debounce(gap_s)
+        got: dict = {}
+        for b in batches:
+            if b.empty:
+                continue
+            for out in fn((7, "click"), iter([b]), state):
+                for _, r in out.iterrows():
+                    got[int(r["event_id"])] = (
+                        None if pd.isna(r["prev_gap_s"]) else r["prev_gap_s"]
+                    )
+        return got
+
+    def close(a, b):
+        if set(a) != set(b):
+            return False
+        for k in a:
+            if (a[k] is None) != (b[k] is None):
+                return False
+            if a[k] is not None and abs(a[k] - b[k]) > 1e-9:
+                return False
+        return True
+
+    assert close(run([pdf]), want)
+    cut = min(split, len(pdf))
+    assert close(run([pdf.iloc[:cut], pdf.iloc[cut:]]), want)
