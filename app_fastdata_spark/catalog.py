@@ -129,6 +129,19 @@ DRIVER_PRIORITY: list[str] = [
     # --- spare slot: r6-cohort head start (49 r6 entries cannot all
     #     fit in round 10's window; pull the join-heaviest forward) ---
     "enrich_events",
+    # (Late-round oracle-text robustness patch, NOT a slot consumer:
+    # a cross-engine tokenizer fuzzer found DuckDB's bare trim() strips
+    # Unicode spaces (NBSP/em-space) where Spark's trim — and the
+    # shingle UDF — are ASCII-space-only, so every doc oracle's
+    # trim(...) was pinned to trim(..., ' ') (45 oracles). The change
+    # is oracle-side only and output-identical on all driver testdata:
+    # the full-registry sf0.01 value-hash gate passes unchanged
+    # pre/post (no testdata doc has leading/trailing Unicode space —
+    # the divergence was a LATENT flake, now also pinned by a planted
+    # unicode-margin doc in the text sweep and the fuzzer itself).
+    # Slot math therefore treats these as verification-harness
+    # hardening, not impl changes; the 11 trim-oracle queries already
+    # in-window get fresh rows regardless.)
     # (Exactly 50. Outside-window notes, round 9: every r8-window entry
     # keeps its fresh green r8 row except the four embedding-family
     # ones re-slotted above for the gate change. kmeans_lloyd_step and

@@ -152,7 +152,7 @@ register(
                                            ORDER BY doc_id)
                        - n_tokens) / {SEQ_LEN}) AS BIGINT) AS seq_id
     FROM (SELECT doc_id, lang, source,
-                 len(string_split_regex(trim(lower(text)), '\\s+'))
+                 len(string_split_regex(trim(lower(text), ' '), '\\s+'))
                    AS n_tokens
           FROM documents WHERE text IS NOT NULL)
     """,
@@ -204,7 +204,7 @@ register(
     sql=f"""
     WITH cells AS (
       SELECT lang, source, count(*) AS n_docs,
-             CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+             CAST(sum(len(string_split_regex(trim(lower(text), ' '), '\\s+')))
                   AS BIGINT) AS cell_tokens
       FROM documents WHERE text IS NOT NULL
       GROUP BY lang, source
@@ -290,7 +290,7 @@ register(
     "doc_lm_score",
     sql="""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(trim(lower(text), ' '), '\\s+') AS toks
       FROM documents WHERE text IS NOT NULL
     ),
     occ AS (
@@ -495,7 +495,7 @@ register(
     "doc_batch_padding",
     sql=f"""
     WITH t AS (
-      SELECT len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      SELECT len(string_split_regex(trim(lower(text), ' '), '\\s+')) AS n_tokens
       FROM documents
     ),
     b AS (
@@ -618,10 +618,10 @@ register(
     sql="""
     WITH t AS (
       SELECT lang, source, length(text) AS chars,
-             len(string_split_regex(trim(lower(text)), '\\s+')) AS ntok,
-             len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+             len(string_split_regex(trim(lower(text), ' '), '\\s+')) AS ntok,
+             len(list_distinct(string_split_regex(trim(lower(text), ' '), '\\s+')))
                AS ndistinct,
-             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(trim(lower(text), ' '), '\\s+', ' ', 'g')) AS fp
       FROM documents
     )
     SELECT count(*) AS n_docs,
@@ -742,7 +742,7 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_SQL = f"""
     WITH t AS (
       SELECT doc_id,
-             string_split_regex(trim(lower(text)), '\\s+') AS toks,
+             string_split_regex(trim(lower(text), ' '), '\\s+') AS toks,
              length(text) AS chars
       FROM documents WHERE text IS NOT NULL
     ),
@@ -867,17 +867,17 @@ register(
     sql="""
     WITH t AS (
       SELECT source,
-             len(string_split_regex(trim(lower(text)), '\\s+')) AS ntok,
-             round(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+             len(string_split_regex(trim(lower(text), ' '), '\\s+')) AS ntok,
+             round(len(list_distinct(string_split_regex(trim(lower(text), ' '), '\\s+')))
                    * 1.0
-                   / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS ttr,
+                   / len(string_split_regex(trim(lower(text), ' '), '\\s+')), 6) AS ttr,
              CASE WHEN length(text) >= 100
-                   AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 20
-                   AND len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                   AND len(string_split_regex(trim(lower(text), ' '), '\\s+')) >= 20
+                   AND len(list_distinct(string_split_regex(trim(lower(text), ' '), '\\s+')))
                        * 1.0
-                       / len(string_split_regex(trim(lower(text)), '\\s+')) >= 0.3
+                       / len(string_split_regex(trim(lower(text), ' '), '\\s+')) >= 0.3
                   THEN 1.0 ELSE 0.0 END AS q,
-             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(trim(lower(text), ' '), '\\s+', ' ', 'g')) AS fp
       FROM documents
     )
     SELECT source, count(*) AS n_docs,
@@ -937,7 +937,7 @@ register(
     sql="""
     WITH counts AS (
       SELECT tok, count(*) AS c
-      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM (SELECT unnest(string_split_regex(trim(lower(text), ' '), '\\s+')) AS tok
             FROM documents WHERE text IS NOT NULL)
       GROUP BY tok
     ),
@@ -1009,7 +1009,7 @@ register(
       SELECT source,
              ('0x' || substr(md5(tok), 1, 8))::BIGINT % {DSIR_BUCKETS} AS f
       FROM (SELECT source,
-                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                   unnest(string_split_regex(trim(lower(text), ' '), '\\s+')) AS tok
             FROM documents WHERE text IS NOT NULL)
     ),
     sc AS (SELECT source, f, count(*) AS c FROM occ GROUP BY 1, 2),
@@ -1147,7 +1147,7 @@ register(
     sql="""
     WITH t AS (
       SELECT doc_id,
-             string_split_regex(trim(lower(text)), '\\s+') AS toks
+             string_split_regex(trim(lower(text), ' '), '\\s+') AS toks
       FROM documents
     ),
     scored AS (

@@ -130,7 +130,7 @@ _SQL_SHINGLES = """
                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
              )) AS shingles
       FROM (SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   string_split_regex(trim(lower(text), ' '), '\\s+') AS toks
             FROM documents)
       WHERE len(toks) >= 3
 """
@@ -152,7 +152,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "dedup_exact",
     sql="""
-    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+    SELECT md5(regexp_replace(trim(lower(text), ' '), '\\s+', ' ', 'g')) AS fingerprint,
            min(doc_id) AS keep_id, count(*) AS n_copies
     FROM documents GROUP BY 1
     """,
@@ -879,7 +879,7 @@ register(
     sql=f"""
     WITH d AS (
       SELECT doc_id,
-             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+             list_distinct(string_split_regex(trim(lower(text), ' '), '\\s+')) AS toks
       FROM documents
     ),
     bs AS (
@@ -1037,9 +1037,9 @@ _SQL_SURVIVORS_BEST_TAIL = """
     , comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
     q AS (
       SELECT c.doc_id, c.component,
-             round(len(list_distinct(string_split_regex(trim(lower(d.text)), '\\s+')))
+             round(len(list_distinct(string_split_regex(trim(lower(d.text), ' '), '\\s+')))
                    * 1.0
-                   / len(string_split_regex(trim(lower(d.text)), '\\s+')), 6) AS ttr
+                   / len(string_split_regex(trim(lower(d.text), ' '), '\\s+')), 6) AS ttr
       FROM comp c JOIN documents d ON d.doc_id = c.doc_id
     ),
     ranked AS (
@@ -1492,7 +1492,7 @@ def _register_incremental_shard() -> None:
     WITH d AS (
       SELECT doc_id,
              {bucket} >= {SPLIT_TRAIN_PCT} AS is_new,
-             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+             list_distinct(string_split_regex(trim(lower(text), ' '), '\\s+')) AS toks
       FROM documents WHERE text IS NOT NULL
     ),
     bs AS (

@@ -71,7 +71,7 @@ register(
     sql=f"""
     WITH q AS (
       SELECT doc_id, text,
-             string_split_regex(trim(lower(text)), '\\s+') AS toks
+             string_split_regex(trim(lower(text), ' '), '\\s+') AS toks
       FROM documents
       WHERE length(text) >= 100
     ),
@@ -83,7 +83,7 @@ register(
     exact_kept AS (
       SELECT min(doc_id) AS doc_id
       FROM (SELECT doc_id,
-                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+                   md5(regexp_replace(trim(lower(text), ' '), '\\s+', ' ', 'g')) AS fp
             FROM quality)
       GROUP BY fp
     ),
@@ -93,7 +93,7 @@ register(
       WHERE jaccard_lb >= {PIPE_JACCARD}
     )
     SELECT d.doc_id, length(d.text) AS len_chars,
-           len(string_split_regex(trim(lower(d.text)), '\\s+')) AS n_tokens
+           len(string_split_regex(trim(lower(d.text), ' '), '\\s+')) AS n_tokens
     FROM exact_kept k
     JOIN documents d ON d.doc_id = k.doc_id
     WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)

@@ -191,7 +191,7 @@ register(
     sql=f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             list_filter(string_split_regex(trim(lower(text), ' '), '\\s+'),
                          x -> x <> '') AS toks
       FROM documents WHERE text IS NOT NULL
     ),
@@ -259,7 +259,7 @@ register(
     "bpe_merge_step",
     sql=f"""
     WITH w AS (
-      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text), ' '), '\\s+'),
                                 x -> x <> '')) AS w
       FROM documents WHERE text IS NOT NULL
     ),
@@ -415,7 +415,7 @@ def _bpe_pairs_sql(src: str) -> str:
 # and the corpus-wide merge application below.
 _BPE_MERGES_CTES = f"""
     WITH w AS (
-      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text), ' '), '\\s+'),
                                 x -> x <> '')) AS w
       FROM documents WHERE text IS NOT NULL
     ),
@@ -505,7 +505,7 @@ register(
     + """
     , d AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             list_filter(string_split_regex(trim(lower(text), ' '), '\\s+'),
                          x -> x <> '') AS toks
       FROM documents WHERE text IS NOT NULL
     ),

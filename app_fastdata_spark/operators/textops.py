@@ -45,7 +45,7 @@ register(
     "doc_token_stats",
     sql="""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(trim(lower(text), ' '), '\\s+') AS toks
       FROM documents
     )
     SELECT doc_id, len(toks) AS n_tokens,
@@ -92,7 +92,7 @@ register(
     sql=f"""
     WITH t AS (
       SELECT doc_id, text,
-             string_split_regex(trim(lower(text)), '\\s+') AS toks
+             string_split_regex(trim(lower(text), ' '), '\\s+') AS toks
       FROM documents
     )
     SELECT doc_id, length(text) AS len_chars, len(toks) AS n_tokens,
@@ -123,7 +123,7 @@ register(
     "doc_lang_id",
     sql="""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(trim(lower(text), ' '), '\\s+') AS toks
       FROM documents
     )
     SELECT doc_id,
@@ -151,7 +151,7 @@ register(
     "doc_fingerprint",
     sql="""
     SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           md5(regexp_replace(trim(lower(text), ' '), '\\s+', ' ', 'g')) AS fingerprint,
            CAST(floor(length(text) / 100) * 100 AS BIGINT) AS len_bucket
     FROM documents
     """,
@@ -190,7 +190,7 @@ register(
            len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
              AS n_distinct_pieces,
            round(len(regexp_extract_all(text, '{_BPE_SQL}')) * 1.0
-                 / len(string_split_regex(trim(text), '\\s+')), 6) AS fertility
+                 / len(string_split_regex(trim(text, ' '), '\\s+')), 6) AS fertility
     FROM documents
     """,
 )(doc_bpe_tokens)
@@ -262,7 +262,7 @@ register(
     sql=f"""
     WITH terms AS (
       SELECT lang, unnest(list_distinct(
-               string_split_regex(trim(lower(text)), '\\s+'))) AS term
+               string_split_regex(trim(lower(text), ' '), '\\s+'))) AS term
       FROM documents
     ),
     counts AS (
@@ -347,7 +347,7 @@ register(
                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
              )) AS shingles
       FROM (SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   string_split_regex(trim(lower(text), ' '), '\\s+') AS toks
             FROM documents)
       WHERE len(toks) >= 3
     ),
@@ -439,7 +439,7 @@ register(
     "doc_repetition",
     sql=f"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(trim(lower(text), ' '), '\\s+') AS toks
       FROM documents
     ),
     bg AS (
@@ -515,7 +515,7 @@ register(
     "doc_dup_spans",
     sql=f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      SELECT doc_id, string_split_regex(trim(lower(text), ' '), '\\s+') AS t
       FROM documents
     ),
     spans AS (
@@ -584,7 +584,7 @@ register(
     "doc_tfidf_top_terms",
     sql=f"""
     WITH terms AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text), ' '), '\\s+')) AS term
       FROM documents
     ),
     tf AS (
@@ -656,7 +656,7 @@ register(
     "doc_scrub_spans",
     sql=f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      SELECT doc_id, string_split_regex(trim(lower(text), ' '), '\\s+') AS t
       FROM documents
     ),
     spans AS (
@@ -904,7 +904,7 @@ register(
     "doc_bm25_search",
     sql=f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      SELECT doc_id, string_split_regex(trim(lower(text), ' '), '\\s+') AS t
       FROM documents WHERE text IS NOT NULL
     ),
     lens AS (SELECT doc_id, len(t) AS dl FROM toks),
@@ -991,7 +991,7 @@ register(
       SELECT doc_id, text,
              trim(regexp_replace(regexp_replace(nfc_normalize(text),
                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-                  '[ \t\r\n]+', ' ', 'g')) AS norm
+                  '[ \t\r\n]+', ' ', 'g'), ' ') AS norm
       FROM documents
     )
     SELECT doc_id, md5(norm) AS norm_hash,

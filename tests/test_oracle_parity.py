@@ -123,6 +123,17 @@ def test_degenerate_text_parity_all_doc_oracles(spark, sf_dir, tmp_path):
                 "srcX",
                 60,
             ),
+            # LEADING/TRAILING Unicode space (r9 fuzzer find): DuckDB's
+            # bare trim() strips NBSP/em-space where Spark's trim (and
+            # the UDF's strip(' ')) are ASCII-space-only -- every oracle
+            # now pins trim(x, ' '); this doc keeps them honest
+            (
+                999_997,
+                "\xa0edge doc with unicode margins and tokens\u2003",
+                "en",
+                "srcX",
+                44,
+            ),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )

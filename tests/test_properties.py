@@ -406,3 +406,51 @@ def test_stateful_debounce_fold_matches_reference_and_composes(
     assert close(run([pdf]), want)
     cut = min(split, len(pdf))
     assert close(run([pdf.iloc[:cut], pdf.iloc[cut:]]), want)
+
+
+# the characters the sweeps plant individually, fuzzed in combination:
+# ASCII, regex metacharacters, NBSP (Java \s does NOT match it), tab/
+# newline (trim must NOT eat them — Spark/DuckDB trim is spaces-only),
+# sharp-s (uppercase SS), precomposed é AND combining accent, CJK, emoji
+_XENG_ALPHABET = (
+    "ab z.*+?()[]|\\\t\n ßéé中文\U0001f600"
+)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(_XENG_ALPHABET), max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_shingle_tokenizer_cross_engine_fuzz(texts):
+    """Every documents oracle rides the assumption that the Python
+    shingle UDF and the DuckDB SQL shingle CTE tokenize IDENTICALLY.
+    The sweeps pin specific planted strings; this fuzzes combinations
+    over the risky alphabet (NBSP, sharp-s, combining accents, CJK,
+    emoji, regex metacharacters, mixed whitespace) — a divergence here
+    is a latent oracle flake waiting for the first such doc in
+    driver-generated testdata."""
+    import duckdb
+    import pandas as pd
+
+    from app_fastdata_spark.operators.dedup import _SQL_SHINGLES, _py_shingles
+
+    py = _py_shingles(pd.Series(texts, dtype="object"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)",
+        list(texts),
+    )
+    rows = con.execute(
+        f"SELECT doc_id, shingles FROM ({_SQL_SHINGLES}) ORDER BY doc_id"
+    ).fetchall()
+    ddb = {r[0]: r[1] for r in rows}
+    for i, sh in enumerate(py):
+        # the UDF emits [] for <3-token docs; the SQL's WHERE drops them
+        want = ddb.get(i, [])
+        assert sorted(sh) == sorted(want), (texts[i], sorted(sh), sorted(want))
