@@ -140,7 +140,7 @@ DRIVER_PRIORITY: list[str] = [
     # the divergence was a LATENT flake, now also pinned by a planted
     # unicode-margin doc in the text sweep and the fuzzer itself).
     # Slot math therefore treats these as verification-harness
-    # hardening, not impl changes; the 11 trim-oracle queries already
+    # hardening, not impl changes; the 12 trim-oracle queries already
     # in-window get fresh rows regardless.)
     # (Exactly 50. Outside-window notes, round 9: every r8-window entry
     # keeps its fresh green r8 row except the four embedding-family
