@@ -45,7 +45,7 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 185 queries), round 9. Standing
+    # Window math (50 driver slots, 186 queries), round 9. Standing
     # policy (r7 verdict): rows-only queries NEVER take a slot — a
     # driver row for them can only report `no_oracle`, while the
     # full-registry sf0.01/sf0.001 runs already prove they execute.
