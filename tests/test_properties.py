@@ -454,3 +454,59 @@ def test_shingle_tokenizer_cross_engine_fuzz(texts):
         # the UDF emits [] for <3-token docs; the SQL's WHERE drops them
         want = ddb.get(i, [])
         assert sorted(sh) == sorted(want), (texts[i], sorted(sh), sorted(want))
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(-(10**12), 10**12),  # numerator (signed: refunds)
+            st.integers(1, 10**9),           # denominator > 0
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    k=st.integers(0, 6),
+)
+@settings(**SETTINGS)
+def test_round_ratio_cross_engine_fuzz(spark, pairs, k):
+    """The house integer-rounding identity (functions/rounding.py) that
+    every ratio oracle rides must agree Spark-vs-DuckDB for ANY signed
+    numerator / positive denominator at any scale 0..6 — including the
+    exact half-way points where naive round(a/b, k) is engine-divergent
+    — and must equal the Python reference (round-half-up for a >= 0,
+    half-toward-zero for a < 0)."""
+    import duckdb
+
+    from app_fastdata_spark.functions.rounding import (
+        round_ratio,
+        sql_round_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a long, b long"
+    )
+    got = {
+        r.i: r.v
+        for r in df.select("i", round_ratio("a", "b", k).alias("v")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, a BIGINT, b BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+    )
+    want = dict(
+        con.execute(
+            f"SELECT i, {sql_round_ratio('a', 'b', k)} FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    p = 10**k
+    for i, (a, b) in enumerate(pairs):
+        # python reference via integer arithmetic (// floors, so mirror
+        # the truncate-toward-zero div explicitly)
+        num, den = 2 * p * a + b, 2 * b
+        q = abs(num) // abs(den)
+        if (num < 0) != (den < 0):
+            q = -q
+        assert got[i] == q / p, (a, b, k)
