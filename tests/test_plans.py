@@ -893,3 +893,56 @@ def test_plans_md_normalization_deterministic(spark, sf_dir):
                 if a != b
             )[:2000]
         )
+
+
+def test_zorder_box_enumeration_exact_for_random_boxes(spark, sf_dir, tmp_path):
+    """zcells_for_box completeness fuzz: for 25 seeded random 2-D boxes
+    (including degenerate lo==hi stripes, full-range, and near-empty
+    boxes), the cell-pruned read must return EXACTLY the direct
+    filter's rows — a missed z-cell would lose rows silently, the worst
+    failure class a layout optimization can have."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from app_fastdata_spark.plans import zorder as Z
+    from app_fastdata_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_zfuzz")
+    Z.write_zordered(ev, out)
+    zdf = spark.read.parquet(out).cache()
+    sec = F.expr("(unix_micros(ts) div 1000000) % 65536")
+    row = ev.agg(
+        F.min(sec).alias("slo"), F.max(sec).alias("shi")
+    ).first()
+    slo_all, shi_all = int(row.slo), int(row.shi)
+
+    rng = random.Random(909)
+    boxes = [
+        (0, 65535, slo_all, shi_all),               # full range
+        (7, 7, slo_all, shi_all),                   # 1-wide user stripe
+        (0, 65535, slo_all, slo_all),               # 1-wide time stripe
+    ]
+    for _ in range(22):
+        a, b = sorted(rng.randrange(65536) for _ in range(2))
+        c, d = sorted(rng.randrange(slo_all, shi_all + 1) for _ in range(2))
+        boxes.append((a, b, c, d))
+
+    for ulo, uhi, tlo, thi in boxes:
+        cells = Z.zcells_for_box(ulo, uhi, tlo, thi)
+        pred = (
+            (F.col("user_id") % 65536).between(ulo, uhi)
+            & sec.between(tlo, thi)
+        )
+        got = sorted(
+            r.event_id
+            for r in zdf.filter(F.col("zcell").isin(cells) & pred)
+            .select("event_id")
+            .collect()
+        )
+        want = sorted(
+            r.event_id for r in ev.filter(pred).select("event_id").collect()
+        )
+        assert got == want, (ulo, uhi, tlo, thi, len(cells))
+    zdf.unpersist(blocking=False)
