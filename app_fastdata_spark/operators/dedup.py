@@ -1069,38 +1069,47 @@ register(
 # `shared` counts only rare shingles, so the score is a lower bound of
 # true Jaccard; a pair is missed only if ALL its shared shingles are
 # stop-shingles (near-dups share many rare shingles).
-def capped_pair_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, na, doc_b, nb, shared) over the skew-capped inverted
-    index — the shared pair-with-sizes source behind the capped Jaccard
-    and the asymmetric containment projections."""
-    sh = doc_shingles(spark, sf_dir)
-    n_sh = F.size("shingles")
-    fits = (n_sh < F.lit(1 << 20)) & (F.col("doc_id") < F.lit(1 << 43))
-    packed = (
-        F.when(fits, F.shiftleft(F.col("doc_id"), 20) + n_sh)
-        .otherwise(
-            F.raise_error(
-                F.lit("dedup_ngram_jaccard_capped: packing range exceeded")
-            ).cast("long")
-        )
-        .alias("dn")
-    )
-    inv = sh.select(packed, F.explode("shingles").alias("shingle")).select(
-        "dn", F.xxhash64("shingle").alias("skey")
-    )
+#
+# Shingle identity is an int64 hash on BOTH variants below. In the
+# string pipeline (capped_pair_sizes_string) na/nb are exact
+# distinct-STRING counts and an xxhash64(skey) collision only merges two
+# buckets; in the default hashed pipeline a 64-bit collision between two
+# shingles of the SAME doc additionally deflates that doc's na/nb (and
+# hence the Jaccard denominator) because np.unique runs over the mixed
+# hashes. Both effects are ~2^-64 per pair — acceptable for a near-dup
+# LOWER-BOUND score either way (pair-set equality on real corpora is
+# pinned by tests).
+_MIX_A = 0x9E3779B97F4A7C15
+_MIX_B = 0xC2B2AE3D27D4EB4F
+_MIX_C = 0x165667B19E3779F9
+
+
+def _pack_dn(doc_id: int, n: int, op: str) -> int:
+    """(doc_id << 20) | n with the same loud-failure packing guard the
+    JVM pipelines use (raise_error inside the packed expression)."""
+    if not (0 <= n < (1 << 20) and 0 <= doc_id < (1 << 43)):
+        raise ValueError(f"{op}: packing range exceeded")
+    return (doc_id << 20) + n
+
+
+def _pairs_from_inv(inv: DataFrame) -> DataFrame:
+    """(dn, skey) inverted index → (doc_a, na, doc_b, nb, shared) over
+    the skew-capped buckets — the bucket/pair machinery shared by both
+    pair-source variants.
+
+    Pair emission is vectorized over Arrow batches: precomputed triu
+    indices per bucket size (k ≤ cap) replace the interpreted nested
+    transform/filter HOF that built ~1M structs row-by-row (measured
+    ~2.5s → ~0.5s at sf0.1). Buckets are sorted first, so triu's i<j
+    gives pa<pb directly (dn values are distinct within a bucket: a
+    doc's shingles are distinct)."""
+    import numpy as np
+
     buckets = (
         inv.groupBy("skey")
         .agg(F.collect_list("dn").alias("ds"))
         .filter(F.size("ds").between(2, STOP_SHINGLE_CAP))  # the skew cap
     )
-
-    # Pair emission vectorized over Arrow batches: precomputed
-    # triu indices per bucket size (k ≤ cap) replace the interpreted
-    # nested transform/filter HOF that built ~1M structs row-by-row
-    # (measured ~2.5s → ~0.5s at sf0.1). Buckets are sorted first, so
-    # triu's i<j gives pa<pb directly (dn values are distinct within a
-    # bucket: a doc's shingles are distinct).
-    import numpy as np
 
     def _bucket_pairs(batches):
         tri = {k: np.triu_indices(k, 1) for k in range(2, STOP_SHINGLE_CAP + 1)}
@@ -1121,14 +1130,118 @@ def capped_pair_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("shared"))
     )
-    unpacked = pairs.select(
+    return pairs.select(
         F.shiftrightunsigned("pa", 20).alias("doc_a"),
         (F.col("pa") % (1 << 20)).alias("na"),
         F.shiftrightunsigned("pb", 20).alias("doc_b"),
         (F.col("pb") % (1 << 20)).alias("nb"),
         "shared",
     )
-    return unpacked
+
+
+def capped_pair_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, na, doc_b, nb, shared) over the skew-capped inverted
+    index — the shared pair-with-sizes source behind the capped Jaccard,
+    the asymmetric containment projections, and (by default) the whole
+    clustering chain (components/survivors/pagerank/graph stats).
+
+    DEFAULT variant (round 10): shingles are hashed to int64 INSIDE the
+    tokenizer UDF — per-token blake2b-8 ids (memoized per Arrow batch:
+    the vocab is tiny next to the token stream) mixed positionally into
+    one uint64 per shingle with odd multipliers, distinct via np.unique
+    — and the packed (dn, skey) inverted-index ROWS are emitted straight
+    from the same mapInPandas pass. vs the string pipeline kept below as
+    the cross-check twin: no string array ever crosses Arrow (bytes per
+    shingle drop ~4×, the transfer that dominates at 100 TB), no JVM
+    xxhash64 re-hash pass, and no explode stage (measured 2.30 → 1.9 s
+    solo at sf0.1 for the full pair source; pair-set equality vs the
+    string pipeline is pinned by tests, incl. degenerate docs).
+
+    Oracle contract unchanged: bucket membership by 64-bit-hash equality
+    has the same ~2^-64 collision envelope as the xxhash64(shingle)
+    bucketing it replaces (see the section note above for the one
+    extra na/nb deflation mode)."""
+    import re
+
+    from hashlib import blake2b
+
+    import numpy as np
+
+    docs = widen_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        path=f"{sf_dir}/documents.parquet",
+    )
+    A = np.uint64(_MIX_A)
+    B = np.uint64(_MIX_B)
+    C = np.uint64(_MIX_C)
+
+    def _doc_inv(batches):
+        ws = re.compile(r"\s+", re.ASCII)
+        tok_ids: dict[str, int] = {}
+
+        def tid(tok: str) -> int:
+            v = tok_ids.get(tok)
+            if v is None:
+                v = int.from_bytes(
+                    blake2b(tok.encode(), digest_size=8).digest(), "little"
+                )
+                tok_ids[tok] = v
+            return v
+
+        for pdf in batches:
+            if pdf["doc_id"].dtype.kind != "i":
+                # a NULL doc_id coerces the whole Arrow batch to float64
+                # (ids >= 2^53 would corrupt SILENTLY) — fail loudly,
+                # matching the string pipeline's raise_error-on-NULL
+                raise ValueError(
+                    "capped_pair_sizes: NULL doc_id in documents batch"
+                )
+            dns, skeys = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    continue
+                toks = ws.split(t.lower().strip(" "))
+                if len(toks) < SHINGLE_N:
+                    continue
+                ids = np.fromiter(
+                    (tid(tok) for tok in toks), dtype=np.uint64, count=len(toks)
+                )
+                with np.errstate(over="ignore"):  # uint64 wraparound IS the mix
+                    h = ids[:-2] * A + ids[1:-1] * B + ids[2:] * C
+                hu = np.unique(h).astype(np.int64)
+                dn = _pack_dn(int(doc_id), hu.size, "capped_pair_sizes")
+                dns.append(np.full(hu.size, dn, dtype=np.int64))
+                skeys.append(hu)
+            if dns:
+                yield pd.DataFrame(
+                    {"dn": np.concatenate(dns), "skey": np.concatenate(skeys)}
+                )
+
+    inv = docs.mapInPandas(_doc_inv, "dn long, skey long")
+    return _pairs_from_inv(inv)
+
+
+def capped_pair_sizes_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string-shingle twin (the pre-round-10 default), kept as the
+    independent cross-check: array<string> shingles from the shared
+    tokenizer UDF, packed + exploded + xxhash64'd JVM-side. Pair-set
+    equality with the hashed default is pinned by tests."""
+    sh = doc_shingles(spark, sf_dir)
+    n_sh = F.size("shingles")
+    fits = (n_sh < F.lit(1 << 20)) & (F.col("doc_id") < F.lit(1 << 43))
+    packed = (
+        F.when(fits, F.shiftleft(F.col("doc_id"), 20) + n_sh)
+        .otherwise(
+            F.raise_error(
+                F.lit("capped_pair_sizes_string: packing range exceeded")
+            ).cast("long")
+        )
+        .alias("dn")
+    )
+    inv = sh.select(packed, F.explode("shingles").alias("shingle")).select(
+        "dn", F.xxhash64("shingle").alias("skey")
+    )
+    return _pairs_from_inv(inv)
 
 
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1612,32 +1725,11 @@ register(
 )(dedup_graph_stats)
 
 
-# --- int64-shingle pair source (round-10 default candidate) ----------------
-# The capped pipeline above moves array<string> shingles through Arrow,
-# re-hashes every occurrence JVM-side (xxhash64), and explodes string
-# arrays — profiled at 2.0 of dedup_survivors_best_quality's 3.7 s solo
-# at sf0.1. This variant hashes shingles to int64 INSIDE the shingle
-# UDF: per-token blake2b-8 ids (memoized per Arrow batch — the vocab is
-# tiny next to the token stream) mixed positionally into one uint64 per
-# shingle with odd multipliers, distinct via np.unique. Bucket
-# membership by 64-bit-hash equality is the SAME robustness class as
-# the existing xxhash64(shingle) bucketing (a collision merges two
-# buckets either way); everything downstream of the inverted index is
-# byte-identical. Measured (solo, min-of-3, sf0.1): 2.30 s → 2.00 s for
-# the full pair source — a real but modest −13%; the per-doc Python
-# tokenize loop dominates both variants, so the win is mostly the
-# string-array Arrow transfer and the JVM xxhash64 pass, which matter
-# MORE at 100 TB (bytes moved per shingle drop ~4×) than they do here.
-# Kept OPT-IN: switching the default changes the impl of every capped
-# consumer, which is a round-10 window decision (see catalog.py) to be
-# weighed against the measured gain. Pair-set equality vs the string
-# pipeline is pinned by tests/test_operators.py, including degenerate
-# docs.
-_MIX_A = 0x9E3779B97F4A7C15
-_MIX_B = 0xC2B2AE3D27D4EB4F
-_MIX_C = 0x165667B19E3779F9
-
-
+# --- int64-shingle hash twin (parity harness for the hashed default) -------
+# capped_pair_sizes emits its packed inverted index straight from the
+# tokenizer UDF; this ARRAY-emitting twin pins the per-doc hash-set
+# semantics (same normalization chain, same mix, same distinct) in a
+# form the shape tests can compare doc-by-doc against shingle_frame.
 def _py_shingle_hashes(text: pd.Series) -> pd.Series:
     """int64-hash twin of _py_shingles: same normalization chain
     (lower → trim spaces → ASCII \\s+ split), same <N-token and NULL
@@ -1685,62 +1777,4 @@ def shingle_hash_frame(docs: DataFrame) -> DataFrame:
     sh = F.pandas_udf(_py_shingle_hashes, "array<long>")
     return docs.select("doc_id", sh(F.col("text")).alias("shingles")).filter(
         F.size("shingles") > 0
-    )
-
-
-def capped_pair_sizes_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, na, doc_b, nb, shared) — identical output contract to
-    capped_pair_sizes; the inverted index is built from int64 shingle
-    hashes so no string array ever crosses Arrow and no JVM re-hash
-    pass runs."""
-    sh = shingle_hash_frame(
-        widen_small_scan(
-            load_table(spark, sf_dir, "documents"),
-            path=f"{sf_dir}/documents.parquet",
-        )
-    )
-    n_sh = F.size("shingles")
-    fits = (n_sh < F.lit(1 << 20)) & (F.col("doc_id") < F.lit(1 << 43))
-    packed = (
-        F.when(fits, F.shiftleft(F.col("doc_id"), 20) + n_sh)
-        .otherwise(
-            F.raise_error(
-                F.lit("capped_pair_sizes_hashed: packing range exceeded")
-            ).cast("long")
-        )
-        .alias("dn")
-    )
-    inv = sh.select(packed, F.explode("shingles").alias("skey"))
-    buckets = (
-        inv.groupBy("skey")
-        .agg(F.collect_list("dn").alias("ds"))
-        .filter(F.size("ds").between(2, STOP_SHINGLE_CAP))
-    )
-    import numpy as np
-
-    def _bucket_pairs(batches):
-        tri = {k: np.triu_indices(k, 1) for k in range(2, STOP_SHINGLE_CAP + 1)}
-        for pdf in batches:
-            pa_all, pb_all = [], []
-            for ds in pdf["ds"]:
-                a = np.sort(np.asarray(ds, dtype=np.int64))
-                i, j = tri[len(a)]
-                pa_all.append(a[i])
-                pb_all.append(a[j])
-            if pa_all:
-                yield pd.DataFrame(
-                    {"pa": np.concatenate(pa_all), "pb": np.concatenate(pb_all)}
-                )
-
-    pairs = (
-        buckets.mapInPandas(_bucket_pairs, "pa long, pb long")
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("shared"))
-    )
-    return pairs.select(
-        F.shiftrightunsigned("pa", 20).alias("doc_a"),
-        (F.col("pa") % (1 << 20)).alias("na"),
-        F.shiftrightunsigned("pb", 20).alias("doc_b"),
-        (F.col("pb") % (1 << 20)).alias("nb"),
-        "shared",
     )

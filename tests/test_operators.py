@@ -1876,22 +1876,22 @@ def test_time_weighted_avg_integer_rounding(spark, sf_dir):
 
 
 def test_capped_pair_sizes_hashed_matches_string_pipeline(spark, sf_dir):
-    """The round-10 default candidate: the int64-shingle pair source
+    """The round-10 DEFAULT (int64-shingle direct-emit inverted index)
     must produce EXACTLY the string pipeline's (doc_a, na, doc_b, nb,
     shared) set — same docs, same distinct-shingle counts, same shared
     counts — on the real corpus AND on planted degenerate docs (NULL /
     empty / <3-token / duplicated-shingle text)."""
     from app_fastdata_spark.operators.dedup import (
         capped_pair_sizes,
-        capped_pair_sizes_hashed,
+        capped_pair_sizes_string,
     )
     from app_fastdata_spark.tables import load_table
 
     a = sorted(
-        tuple(r) for r in capped_pair_sizes(spark, sf_dir).collect()
+        tuple(r) for r in capped_pair_sizes_string(spark, sf_dir).collect()
     )
     b = sorted(
-        tuple(r) for r in capped_pair_sizes_hashed(spark, sf_dir).collect()
+        tuple(r) for r in capped_pair_sizes(spark, sf_dir).collect()
     )
     assert a == b and len(a) > 0
 
