@@ -66,6 +66,17 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
+def _sql_cos_n(a_vec: str, a_nrm: str, b_vec: str, b_nrm: str) -> str:
+    """Cosine with PRE-COMPUTED norms — the same arithmetic as
+    _sql_cosine (dot / (sqrt(a·a) * sqrt(b·b)), left factor first) with
+    the two sqrt folds read from the `en` CTE instead of re-expanded
+    inline. Bit-identical doubles; the 64-term dot expansion drops from
+    3 evaluations per pair to 1, which is the DuckDB-side memory/CPU
+    lever for the join-heavy ANN oracles (the r9 driver ran these five
+    back-to-back into an allocator-ceiling OOM cascade)."""
+    return f"(({_sql_dot(a_vec, b_vec)}) / ({a_nrm} * {b_nrm}))"
+
+
 # --- the validity gate every embedding consumer shares ----------------------
 # A real embeddings shard carries malformed rows: NULL vectors, ragged
 # (wrong-length) vectors, NULL components, NULL ids, all-zero vectors,
@@ -120,6 +131,16 @@ SQL_EMB_CTE = (
     f"emb AS (SELECT * FROM embeddings WHERE {SQL_EMB_UNIT})"
 )
 
+# Norm-augmented twin for the cosine-heavy oracles: one materialized
+# pass computes each vector's norm, so downstream joins evaluate ONE
+# 64-term dot per pair instead of three (see _sql_cos_n). MATERIALIZED
+# is load-bearing here — it pins a single N-row evaluation where
+# inlining would re-expand the sqrt fold at every reference.
+SQL_EN_CTE = (
+    "en AS MATERIALIZED (SELECT vec_id, embedding, "
+    f"sqrt({_sql_dot('embedding', 'embedding')}) AS nrm FROM emb)"
+)
+
 
 def load_vectors(
     spark: SparkSession, sf_dir: str, nonzero: bool = False
@@ -162,23 +183,34 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOPK_SQL = f"""
-    WITH {SQL_EMB_CTE},
+# The exact-top-k tail, FROM a norm-augmented `en` CTE (mirrors the
+# Spark side's norms-once-per-side shape — see sim_topk_cosine).
+_TOPK_TAIL_SQL = f"""
     q AS (
-      SELECT vec_id AS query_id, embedding AS qvec FROM emb
+      SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM en
       WHERE vec_id < {N_QUERIES}
     ),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             {_sql_cosine("q.qvec", "e.embedding")} AS cos
-      FROM q JOIN emb e ON e.vec_id <> q.query_id
+             {_sql_cos_n("q.qvec", "q.qn", "e.embedding", "e.nrm")} AS cos
+      FROM q JOIN en e ON e.vec_id <> q.query_id
+    ),
+    exact AS (
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS INTEGER)
+               AS rank,
+             neighbor_id, round(cos, 9) AS cos
+      FROM scored
+      QUALIFY rank <= {TOP_K}
     )
-    SELECT query_id,
-           CAST(row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
-           neighbor_id, round(cos, 9) AS cos
-    FROM scored
-    QUALIFY rank <= {TOP_K}
+"""
+
+_TOPK_SQL = f"""
+    WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
+    {_TOPK_TAIL_SQL}
+    SELECT query_id, rank, neighbor_id, cos FROM exact
     """
 
 register("sim_topk_cosine", sql=_TOPK_SQL)(sim_topk_cosine)
@@ -245,12 +277,14 @@ def dedup_embedding_cosine(
 register(
     "dedup_embedding_cosine",
     sql=f"""
-    WITH {SQL_EMB_CTE}
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_sql_cosine("a.embedding", "b.embedding")}, 9) AS cos
-    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-    WHERE round({_sql_cosine("a.embedding", "b.embedding")}, 9)
-          >= {NEAR_DUP_COSINE}
+    WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE}
+    SELECT vec_a, vec_b, cos FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_sql_cos_n("a.embedding", "a.nrm", "b.embedding", "b.nrm")},
+                   9) AS cos
+      FROM en a JOIN en b ON a.vec_id < b.vec_id
+    ) WHERE cos >= {NEAR_DUP_COSINE}
     """,
 )(dedup_embedding_cosine)
 
@@ -424,6 +458,7 @@ def dedup_embedding_cosine_bucketed(
 def _bucketed_neardup_sql(threshold: float) -> str:
     return f"""
     WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
     stride AS (
       -- mirror _ivf_stride: ⌊√N⌋ centroids (isqrt == FLOOR(SQRT) for
       -- any N a test SF reaches; doubles are exact to 2^53) over the
@@ -432,26 +467,28 @@ def _bucketed_neardup_sql(threshold: float) -> str:
       FROM emb
     ),
     centroids AS (
-      SELECT vec_id AS cell_id, embedding AS cvec FROM emb
+      SELECT vec_id AS cell_id, embedding AS cvec, nrm AS cnrm FROM en
       WHERE vec_id % (SELECT s FROM stride) = 0
     ),
     assign AS (
-      SELECT vec_id, embedding, cell_id FROM (
-        SELECT e.vec_id, e.embedding, c.cell_id,
+      SELECT vec_id, embedding, nrm, cell_id FROM (
+        SELECT e.vec_id, e.embedding, e.nrm, c.cell_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY {_sql_q_assign(_sql_cosine("e.embedding", "c.cvec"))}
+                 ORDER BY {_sql_q_assign(
+                     _sql_cos_n("e.embedding", "e.nrm", "c.cvec", "c.cnrm"))}
                           DESC, c.cell_id
                ) AS rn
-        FROM emb e CROSS JOIN centroids c
+        FROM en e CROSS JOIN centroids c
       ) WHERE rn <= {NEAR_DUP_NPROBE}
     )
-    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_sql_cosine("a.embedding", "b.embedding")}, 9) AS cos
-    FROM assign a JOIN assign b
-      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-    WHERE round({_sql_cosine("a.embedding", "b.embedding")}, 9)
-          >= {threshold}
+    SELECT DISTINCT vec_a, vec_b, cos FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_sql_cos_n("a.embedding", "a.nrm", "b.embedding", "b.nrm")},
+                   9) AS cos
+      FROM assign a JOIN assign b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ) WHERE cos >= {threshold}
     """
 
 
@@ -609,8 +646,9 @@ register(
     "sim_ann_lsh",
     sql=f"""
     WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
     sig AS (
-      SELECT vec_id, embedding, {_BANDS_SQL} FROM emb
+      SELECT vec_id, {_BANDS_SQL} FROM emb
     ),
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
@@ -621,10 +659,11 @@ register(
     ),
     scored AS (
       SELECT c.query_id, c.neighbor_id,
-             {_sql_cosine("qe.embedding", "ne.embedding")} AS cos
+             {_sql_cos_n("qe.embedding", "qe.nrm", "ne.embedding", "ne.nrm")}
+               AS cos
       FROM cand c
-      JOIN emb qe ON qe.vec_id = c.query_id
-      JOIN emb ne ON ne.vec_id = c.neighbor_id
+      JOIN en qe ON qe.vec_id = c.query_id
+      JOIN en ne ON ne.vec_id = c.neighbor_id
     )
     SELECT query_id,
            CAST(row_number() OVER (PARTITION BY query_id
@@ -684,54 +723,70 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_SQL = f"""
-    WITH {SQL_EMB_CTE},
+# The IVF tail, FROM the shared emb/en CTEs. CTE names are disjoint
+# from _TOPK_TAIL_SQL's (qp/ivf_scored vs q/scored) so sim_ann_recall
+# can compose BOTH tails under one WITH — sharing the emb scan, the
+# norm pass, and the planner state instead of re-materializing two full
+# pipelines (the r9 OOM victim composed two nested copies).
+_IVF_TAIL_SQL = f"""
     stride AS (
       SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s
       FROM emb
     ),
     centroids AS (
-      SELECT vec_id AS cell_id, embedding AS cvec FROM emb
+      SELECT vec_id AS cell_id, embedding AS cvec, nrm AS cnrm FROM en
       WHERE vec_id % (SELECT s FROM stride) = 0
     ),
     assign AS (
-      SELECT vec_id, embedding, cell_id FROM (
-        SELECT e.vec_id, e.embedding, c.cell_id,
+      SELECT vec_id, embedding, nrm, cell_id FROM (
+        SELECT e.vec_id, e.embedding, e.nrm, c.cell_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY {_sql_q_assign(_sql_cosine("e.embedding", "c.cvec"))}
+                 ORDER BY {_sql_q_assign(
+                     _sql_cos_n("e.embedding", "e.nrm", "c.cvec", "c.cnrm"))}
                           DESC, c.cell_id
                ) AS rn
-        FROM emb e CROSS JOIN centroids c
+        FROM en e CROSS JOIN centroids c
       ) WHERE rn = 1
     ),
-    q AS (
-      SELECT vec_id AS query_id, embedding AS qvec FROM emb
+    qp AS (
+      SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM en
       WHERE vec_id < {N_QUERIES}
     ),
     probes AS (
-      SELECT query_id, qvec, cell_id FROM (
-        SELECT q.query_id, q.qvec, c.cell_id,
+      SELECT query_id, qvec, qn, cell_id FROM (
+        SELECT qp.query_id, qp.qvec, qp.qn, c.cell_id,
                row_number() OVER (
-                 PARTITION BY q.query_id
-                 ORDER BY {_sql_q_assign(_sql_cosine("q.qvec", "c.cvec"))}
+                 PARTITION BY qp.query_id
+                 ORDER BY {_sql_q_assign(
+                     _sql_cos_n("qp.qvec", "qp.qn", "c.cvec", "c.cnrm"))}
                           DESC, c.cell_id
                ) AS rn
-        FROM q CROSS JOIN centroids c
+        FROM qp CROSS JOIN centroids c
       ) WHERE rn <= {IVF_NPROBE}
     ),
-    scored AS (
+    ivf_scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
-             {_sql_cosine("p.qvec", "a.embedding")} AS cos
+             {_sql_cos_n("p.qvec", "p.qn", "a.embedding", "a.nrm")} AS cos
       FROM probes p JOIN assign a ON a.cell_id = p.cell_id
       WHERE a.vec_id <> p.query_id
+    ),
+    approx AS (
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS INTEGER)
+               AS rank,
+             neighbor_id, round(cos, 9) AS cos
+      FROM ivf_scored
+      QUALIFY rank <= {TOP_K}
     )
-    SELECT query_id,
-           CAST(row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
-           neighbor_id, round(cos, 9) AS cos
-    FROM scored
-    QUALIFY rank <= {TOP_K}
+"""
+
+_IVF_SQL = f"""
+    WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
+    {_IVF_TAIL_SQL}
+    SELECT query_id, rank, neighbor_id, cos FROM approx
     """
 
 register("sim_ann_ivf", sql=_IVF_SQL)(sim_ann_ivf)
@@ -758,11 +813,17 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One WITH chain: emb scan, norm pass, and query set are shared between
+# the exact and IVF sides instead of re-materialized per side — the r9
+# driver row died to a DuckDB allocator-ceiling OOM exactly because this
+# oracle composed two full nested pipelines back-to-back.
 register(
     "sim_ann_recall",
     sql=f"""
-    WITH exact AS (SELECT query_id, neighbor_id FROM ({_TOPK_SQL})),
-         approx AS (SELECT query_id, neighbor_id FROM ({_IVF_SQL}))
+    WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
+    {_TOPK_TAIL_SQL},
+    {_IVF_TAIL_SQL}
     SELECT e.query_id,
            count(a.neighbor_id) AS n_hits,
            round(count(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k

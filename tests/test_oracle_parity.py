@@ -695,6 +695,36 @@ def test_degenerate_dims_parity_nation_region(spark, sf_dir, tmp_path):
     assert not failures, failures
 
 
+def test_r9_oom_victim_oracles_run_under_tight_memory_cap():
+    """Adjacency reproduction of the r9 driver failure: the five rows
+    CORRECTNESS_r09 lost to oracle-side DuckDB OOM ("failed to allocate
+    16-32 KB") ran CONSECUTIVELY in one connection while the Spark JVM
+    held most of the cgroup. Pin the fix (shared-norm `en` CTE, merged
+    recall chain — similarity.py): all five oracles, back-to-back in ONE
+    connection at the DRIVER's scale factor (sf0.01), must fit under a
+    1 GB memory_limit — ~2x their measured 500 MB floor and ~8x below
+    the envelope the r9 driver still had free. No Spark session needed:
+    this is purely the DuckDB side."""
+    con = duckdb.connect()
+    con.execute("SET memory_limit='1GB'")
+    con.execute("SET threads=8")
+    sf_dir = "/root/testdata/sf0.01"
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    os_ = oracles()
+    victims = [
+        "dedup_components_embedding",
+        "sim_ann_lsh",
+        "sim_ann_ivf",
+        "sim_ann_int8",
+        "sim_ann_recall",
+    ]
+    for name in victims:
+        rows = con.execute(os_[name]).fetchdf()
+        assert len(rows) > 0, f"{name}: oracle returned no rows"
+    con.close()
+
+
 def test_known_duckdb_casing_divergences_documented(spark):
     """The r9 casing probe: Python str.lower() and Spark lower() agree
     on FULL Unicode case mapping including the final-sigma context rule

@@ -21,6 +21,7 @@ import hashlib
 import math
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -104,6 +105,34 @@ def _rss_gib() -> float:
     return 0.0
 
 
+class _PeakRss:
+    """Samples whole-cgroup RSS on a background thread while a query
+    runs — the per-query memory-envelope telemetry that makes the next
+    oracle-adjacency OOM (the r9 driver lost 5 rows to a DuckDB
+    allocator-ceiling cascade) visible in a LOCAL run before a driver
+    round burns slots. 20 Hz is plenty: the r9 failure mode was a
+    multi-second allocator climb, not a spike."""
+
+    def __init__(self) -> None:
+        self.peak = 0.0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            self.peak = max(self.peak, _rss_gib())
+            self._stop.wait(0.05)
+
+    def __enter__(self) -> "_PeakRss":
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._t.join()
+        self.peak = max(self.peak, _rss_gib())
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--window"]
     # --window: replicate the DRIVER's run exactly — the first 50
@@ -154,8 +183,9 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(os_[name])
-            ddf = res.fetchdf()
+            with _PeakRss() as pk:
+                res = con.execute(os_[name])
+                ddf = res.fetchdf()
             dcols = list(ddf.columns)
             drows = pandas_rows(ddf)
         except Exception as e:
@@ -183,7 +213,7 @@ def main() -> int:
         else:
             print(
                 f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s, "
-                f"rss {_rss_gib():.1f}G)"
+                f"rss {_rss_gib():.1f}G, oracle-peak {pk.peak:.1f}G)"
             )
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
