@@ -45,113 +45,109 @@ _loaded = False
 # implementation (or shared helper) changed this round, come first;
 # last round's green rows stand for everything left outside.
 DRIVER_PRIORITY: list[str] = [
-    # Window math (50 driver slots, 186 queries), round 9. Standing
+    # Window math (50 driver slots, 186 queries), round 10. Standing
     # policy (r7 verdict): rows-only queries NEVER take a slot — a
     # driver row for them can only report `no_oracle`, while the
     # full-registry sf0.01/sf0.001 runs already prove they execute.
-    # The 50 = (a) the 11 embedding-family queries whose shared vector
-    # validity gate changed this round (non-finite component screen —
-    # the r9 NaN/Inf sweep plants broke 4 oracles; vec_valid/_vec_ok/
-    # SQL_EMB_VALID/_SQL_VEC_OK text changed, and embedding_dim_stats
-    # additionally grew an n_nonfinite column) + (b) the 2 queries
-    # whose impl was performance-reshaped this round + (c)
-    # asof_next_purchase's FIRST driver row (registered after the r8
-    # window froze; the r8 verdict reserved it this slot) + (d) the
-    # 27 remaining r5-row entries at the 3-rounds-stale boundary (the
-    # r8 verdict's planned rotation, verbatim) + (e) the 8 r3 entries
-    # bumped last round with twin notes. 11+2+1+27+8 = 49, +1 spare
-    # given to tpch_q16_supplier_cnt (see (b)). The r6 cohort
-    # (49 entries) leads round 10.
-    # --- (a) embedding gate changed r9 (4 of these — bucketed, ivf,
-    #     int8, recall — were ALSO r5-stale; they count once) ---
-    "dedup_embedding_cosine",            # exact-threshold path
-    "dedup_embedding_cosine_bucketed",   # IVF bucket + refine (r5-stale too)
-    "dedup_embedding_cosine_bucketed_loose",  # loose-threshold IVF path
-    "dedup_components_embedding",        # CC over the gated pair source
-    "sim_topk_cosine",                   # brute-force broadcast path
-    "sim_ann_lsh",                       # hyperplane-LSH probe path
-    "sim_ann_ivf",                       # IVF probe path (r5-stale too)
-    "sim_ann_int8",                      # quantized GEMM path (r5-stale too)
-    "sim_ann_recall",                    # recall@K composition (r5-stale too)
-    "embedding_dim_stats",               # NEW n_nonfinite column, raw corpus
-    "embedding_gram_int8",               # _vec_ok finite screen
-    # --- (b) impl changed r9 ---
-    "tpch_q16_supplier_cnt",  # distinct pre-agg reshape (r8 verdict #6)
-    "asof_last_purchase_stateful",  # NEW streaming as-of twin (verdict #8)
-    # (dedup_survivors_best_quality: the r8-verdict shave was profiled
-    # solo this round — 2.0 of its 3.7 s is the SHARED capped-Jaccard
-    # pair pipeline, not the ttr scoring the verdict suspected (0.25 s
-    # full-corpus). Reworking the pair source invalidates driver rows
-    # for 5+ unslotted r6-cohort consumers (components, jaccard_capped,
-    # graph_stats, pagerank), so the shave is scheduled for round 10
-    # when that cohort rotates in regardless. Impl unchanged this
-    # round; its green r8 row stands.)
-    # --- (c) first driver row ---
-    "asof_next_purchase",  # forward as-of; registered post-r8-window
-    # --- (d) r5-stale: the r8 verdict's planned rotation ---
-    "corpus_health",
-    "dedup_minhash_estimate_error",
-    "doc_batch_padding",
-    "doc_bpe_tokens",
-    "doc_cluster_balanced_sample",
-    "doc_dsir_sample",
-    "doc_dup_spans",
-    "doc_fingerprint",
-    "doc_global_shuffle",
-    "doc_lang_id",
-    "doc_rolling_hash",
-    "doc_scrub_spans",
-    "doc_tfidf_top_terms",
-    "doc_top_terms",
-    "gen_events",
-    "kmeans_lloyd_step",
-    "multimodal_embed",
-    "multimodal_frame_sample",
-    "retention_delete_oldest_to_target",
-    "top_users",
-    "top_users_from_store",
-    "top_users_salted",
-    "tpch_q12_priority_lines",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_lone_returner",
-    # --- (e) the 8 r3 entries bumped in round 8 (notes were inline
-    #     last round; their twin coverage held and they now get rows) ---
-    "dests_by_second",
-    "doc_quality",
-    "doc_length_percentiles",
-    "events_daily_moving_avg",
-    "retention_expired_count",
-    "retention_survivors_by_src",
-    "events_sessions",
-    "events_rollup",
-    # --- spare slot: r6-cohort head start (49 r6 entries cannot all
-    #     fit in round 10's window; pull the join-heaviest forward) ---
-    "enrich_events",
-    # (Late-round oracle-text robustness patch, NOT a slot consumer:
-    # a cross-engine tokenizer fuzzer found DuckDB's bare trim() strips
-    # Unicode spaces (NBSP/em-space) where Spark's trim — and the
-    # shingle UDF — are ASCII-space-only, so every doc oracle's
-    # trim(...) was pinned to trim(..., ' ') (45 oracles). The change
-    # is oracle-side only and output-identical on all driver testdata:
-    # the full-registry sf0.01 value-hash gate passes unchanged
-    # pre/post (no testdata doc has leading/trailing Unicode space —
-    # the divergence was a LATENT flake, now also pinned by a planted
-    # unicode-margin doc in the text sweep and the fuzzer itself).
-    # Slot math therefore treats these as verification-harness
-    # hardening, not impl changes; the 12 trim-oracle queries already
-    # in-window get fresh rows regardless.)
-    # (Exactly 50. Outside-window notes, round 9: every r8-window entry
-    # keeps its fresh green r8 row except the four embedding-family
-    # ones re-slotted above for the gate change. kmeans_lloyd_step and
-    # doc_cluster_balanced_sample read embeddings through their OWN
-    # plan-local filters — the shared gate change does not touch their
-    # impl or oracle text (both green in the r9 NaN/Inf-planted sweep
-    # and at sf0.01). The r6 cohort (49 entries: enrich_events,
-    # nearest_centroid, top_dests, events_by_cluster* and the rest of
-    # the r6 window) hits the stale boundary next and leads round 10.
-    # Rows-only queries stay out permanently per the standing policy.)
+    # The 50 = (a) the 5 rows CORRECTNESS_r09 lost to oracle-side
+    # DuckDB OOM (all pass locally; their oracles were additionally
+    # memory-shaved this round, so they need fresh rows twice over) +
+    # (b) the 4 queries whose oracle text changed with this round's
+    # shared-norm CTE shave (similarity.py SQL_EN_CTE — their green r9
+    # rows certify the OLD oracle text) + (c) 38 of the 42 r6-cohort
+    # entries at the 3-rounds-stale boundary (the r9 verdict's planned
+    # rotation) + (d) the 3 non-stale consumers of the capped pair
+    # source, whose impl changed with this round's int64-shingle flip
+    # (dedup_graph_stats r7, dedup_survivors r8,
+    # dedup_survivors_best_quality r8 — the 5 stale flip consumers are
+    # already in (c)). 5+4+38+3 = 50 exactly.
+    #
+    # Four r6-cohort entries are BUMPED to make that fit, each with
+    # standing non-driver evidence that runs EVERY round in pytest
+    # (test_oracle_parity.py checks every oracle at sf0.001):
+    #   dedup_ngram_jaccard      — uncapped recall baseline; impl
+    #                              untouched by the flip; capped twin
+    #                              in-window; superset-of-exact test
+    #   events_by_cluster_window — thin windowed twin of
+    #                              events_by_cluster (in-window)
+    #   ip_roundtrip             — property-fuzzed both directions in
+    #                              tests; impl unchanged since r5
+    #   doc_pii_scrub            — shares the PII regex engine with
+    #                              in-window doc_pii_scan; scrub output
+    #                              pinned by the planted-PII doc sweep
+    #
+    # ORDER is load-bearing this round (the r9 lesson): the driver runs
+    # these top-to-bottom in ONE process, and the 5 r9 err rows were
+    # adjacent heavy-DuckDB oracles that cascaded into an
+    # allocator-ceiling OOM once the envelope tightened. So (1) the
+    # heaviest oracles run FIRST (youngest JVM = most free memory), and
+    # (2) every heavy-oracle query is separated by at least one light
+    # one (single-scan doc/tpch aggregates) so DuckDB's allocator gets
+    # slack between peaks. Heavy = embedding family (list unnests, ANN
+    # joins), the dedup clustering chain (recursive-closure oracles),
+    # and the LSH/simhash signature builds.
+    "sim_ann_recall",            # (a) heaviest composition — max headroom
+    "doc_char_entropy",
+    "dedup_components_embedding",  # (a) recursive closure over IVF pairs
+    "doc_url_domains",
+    "sim_ann_lsh",               # (a)
+    "doc_lm_score",
+    "sim_ann_ivf",               # (a)
+    "tpch_q6_forecast_revenue",
+    "sim_ann_int8",              # (a)
+    "tpch_q14_promo_revenue",
+    "sim_topk_cosine",           # (b)
+    "tpch_q1_pricing_summary",
+    "dedup_embedding_cosine",    # (b)
+    "tpch_q22_dormant_customers",
+    "dedup_embedding_cosine_bucketed",        # (b)
+    "tpch_q4_priority_semijoin",
+    "dedup_embedding_cosine_bucketed_loose",  # (b)
+    "tpch_q13_custdist",
+    "dedup_components",          # (c)+flip
+    "tpch_q3_top_orders",
+    "dedup_survivors",           # (d) flip consumer
+    "tpch_q5_region_revenue",
+    "dedup_survivors_best_quality",  # (d) flip consumer + r9 shave target
+    "tpch_order_priority_counts",
+    "dedup_pagerank",            # (c)+flip; 3 materialized iterations
+    "tpch_q18_big_orders",
+    "dedup_graph_stats",         # (d) flip consumer; triangle joins
+    "tpch_top_orders_per_customer",
+    "dedup_ngram_jaccard_capped",  # (c)+flip
+    "tpch_unsold_parts_anti",
+    "dedup_containment",         # (c)+flip
+    "nearest_centroid",
+    "dedup_source_overlap",      # (c)+flip
+    "events_by_cluster",
+    "dedup_minhash_lsh",         # (c) signature build
+    "events_fuzzy_enrich",
+    "dedup_simhash",             # (c) signature build
+    "events_gap_fill_series",
+    "dedup_incremental_shard",   # (c) simhash index probe
+    "events_props_k_buckets",
+    "doc_bm25_search",           # (c)
+    "top_dests",
+    "doc_contamination",         # (c) shingle semi-join
+    "doc_dsir_weights",
+    "doc_pipeline_survivors",    # (c) composite gate chain
+    "doc_train_eval_split",
+    "source_kl_divergence",      # (c)
+    "doc_pii_scan",
+    "source_scorecard",          # (c)
+    "corpus_zipf_slope",
+    # (Exactly 50. Outside-window notes, round 10: every r8/r9-window
+    # entry keeps its fresh green row — the r9 window went 45/50 with
+    # the 5 err rows re-slotted above. session_starts and
+    # events_user_running_stats were in the r6 window but re-greened in
+    # r8, so they are NOT r6-stale. Correction to the r9 slot-math note
+    # (ADVICE r9): the r8-plan overlap count should have read 5, not 4 —
+    # dedup_embedding_cosine_bucketed_loose was also listed r5-stale in
+    # the r8 plan while holding a fresh r8 row; the 50-entry total was
+    # unaffected. The r7 cohort (~46 entries, led by top_src_dests,
+    # events_by_second, dedup_exact and the doc_* r7 rows) hits the
+    # stale boundary next and leads round 11. Rows-only queries stay
+    # out permanently per the standing policy.)
 ]
 
 
