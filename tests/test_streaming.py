@@ -1017,3 +1017,178 @@ def test_stateful_asof_cross_batch_parity(spark, sf_dir, tmp_path):
     assert any(r.event_id in batch2 for r in crossed), (
         "no batch-2 row carried batch-1 purchase state"
     )
+
+
+# --- checkpoint-restart fuzz (r9 verdict #7) --------------------------------
+# The three applyInPandasWithState ops are fuzzed across BATCH SPLITS
+# above, but a split within one continuous run never exercises state
+# RESTORE: executors keep state in memory between batches. These tests
+# kill the query mid-corpus (an injected foreachBatch crash during
+# batch 1, AFTER the batch's rows were observed) and restart from the
+# checkpoint. The load-bearing assertion is replay identity: the
+# restarted query re-emits batch 1 bit-identically WITHOUT ever having
+# processed file 1 — only possible if the version-1 state store
+# (post-batch-0) was restored from the checkpoint. Final merged output
+# must still equal the batch twin over the whole table (idempotent
+# upsert under replay).
+
+
+def _three_tercile_files(spark, sf_dir, d):
+    """Write events as three time-tercile part files with distinct
+    mtimes (file-source batch order is by mtime); returns the two split
+    timestamps."""
+    import os
+    import time as _t
+
+    from app_fastdata_spark.tables import load_table
+
+    os.makedirs(d)
+    ev = load_table(spark, sf_dir, "events")
+    s1, s2 = ev.filter("ts IS NOT NULL").select(
+        F.expr("percentile(unix_micros(ts), array(0.34, 0.67))")
+    ).first()[0]
+    s1, s2 = int(s1), int(s2)
+    cuts = [
+        f"ts IS NULL OR unix_micros(ts) < {s1}",
+        f"unix_micros(ts) >= {s1} AND unix_micros(ts) < {s2}",
+        f"unix_micros(ts) >= {s2}",
+    ]
+    for i, cut in enumerate(cuts):
+        if i:
+            _t.sleep(1.1)
+        ev.filter(cut).coalesce(1).write.mode("append").parquet(
+            f"{d}/events.parquet"
+        )
+    return s1, s2
+
+
+def _run_with_crash_and_restart(stream_fn, spark, d, ck):
+    """Phase A: run `stream_fn(events_stream)` with foreachBatch
+    recording rows, crashing DURING batch 1 (after recording). Phase B:
+    restart from the same checkpoint, record everything. Returns
+    (batchesA, batchesB) as {batch_id: [Row, ...]}."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    def start(record, bomb_batch=None):
+        def handler(df, batch_id):
+            record.setdefault(batch_id, []).extend(df.collect())
+            if bomb_batch is not None and batch_id == bomb_batch:
+                raise RuntimeError("injected crash after observing batch")
+
+        return (
+            stream_fn(P.events_stream(spark, d, max_files_per_trigger=1))
+            .writeStream.foreachBatch(handler)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    a: dict = {}
+    qa = start(a, bomb_batch=1)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        qa.awaitTermination()
+    b: dict = {}
+    qb = start(b)
+    qb.awaitTermination()
+    return a, b
+
+
+def _multiset(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_stateful_sessionize_checkpoint_restart(spark, sf_dir, tmp_path):
+    from app_fastdata_spark.operators.sessions import session_aggregate
+    from app_fastdata_spark.streaming.stateful import stateful_session_stream
+
+    d = str(tmp_path / "ev")
+    _three_tercile_files(spark, sf_dir, d)
+    a, b = _run_with_crash_and_restart(
+        stateful_session_stream, spark, d, str(tmp_path / "ck")
+    )
+    assert sorted(a) == [0, 1] and sorted(b) == [1, 2], (sorted(a), sorted(b))
+    # replay identity = state restore: phase B never saw file 1
+    assert _multiset(a[1]) == _multiset(b[1])
+    # merged latest-wins (sessions only grow: max n_events per key) ==
+    # the batch operator over the whole table
+    got: dict = {}
+    for bid in (0, 1):
+        for r in a[bid]:
+            k = (r.src, r.dest, r.session_start)
+            if k not in got or r.n_events > got[k]:
+                got[k] = r.n_events
+    for bid in (1, 2):
+        for r in b[bid]:
+            k = (r.src, r.dest, r.session_start)
+            if k not in got or r.n_events > got[k]:
+                got[k] = r.n_events
+    want = {
+        (r.src, r.dest, r.session_start): r.n_events
+        for r in session_aggregate(spark, d).collect()
+    }
+    assert got == want
+
+
+def test_stateful_debounce_checkpoint_restart(spark, sf_dir, tmp_path):
+    from app_fastdata_spark.operators.behavior import (
+        DEBOUNCE_GAP_S,
+        events_debounce,
+    )
+    from app_fastdata_spark.streaming.stateful import stateful_debounce_stream
+
+    d = str(tmp_path / "ev")
+    _three_tercile_files(spark, sf_dir, d)
+    a, b = _run_with_crash_and_restart(
+        lambda ev: stateful_debounce_stream(ev, DEBOUNCE_GAP_S),
+        spark,
+        d,
+        str(tmp_path / "ck"),
+    )
+    assert sorted(a) == [0, 1] and sorted(b) == [1, 2], (sorted(a), sorted(b))
+    assert _multiset(a[1]) == _multiset(b[1])
+    got = {
+        r.event_id: r
+        for bid_rows in (a[0], a[1], b[1], b[2])
+        for r in bid_rows
+    }
+    want = {r.event_id: r for r in events_debounce(spark, d).collect()}
+    assert set(got) == set(want)
+    for eid, r in got.items():
+        w = want[eid]
+        assert (r.prev_gap_s is None) == (w.prev_gap_s is None), eid
+        if r.prev_gap_s is not None:
+            assert abs(r.prev_gap_s - w.prev_gap_s) < 1e-9, eid
+
+
+def test_stateful_asof_checkpoint_restart(spark, sf_dir, tmp_path):
+    from app_fastdata_spark.operators.joins import asof_last_purchase
+    from app_fastdata_spark.streaming.stateful import (
+        stateful_asof_backward_stream,
+    )
+
+    d = str(tmp_path / "ev")
+    _three_tercile_files(spark, sf_dir, d)
+    a, b = _run_with_crash_and_restart(
+        stateful_asof_backward_stream, spark, d, str(tmp_path / "ck")
+    )
+    assert sorted(a) == [0, 1] and sorted(b) == [1, 2], (sorted(a), sorted(b))
+    assert _multiset(a[1]) == _multiset(b[1])
+    # latest-wins upsert: purchases_so_far is monotone per event
+    got: dict = {}
+    for rows in (a[0], a[1], b[1], b[2]):
+        for r in rows:
+            cur = got.get(r.event_id)
+            if cur is None or r.purchases_so_far > cur.purchases_so_far:
+                got[r.event_id] = r
+    want = {
+        r.event_id: r
+        for r in asof_last_purchase(spark, d)
+        .filter("user_id IS NOT NULL")
+        .collect()
+    }
+    assert set(got) == set(want)
+    for eid, r in got.items():
+        w = want[eid]
+        assert r.purchases_so_far == w.purchases_so_far, eid
+        assert r.last_purchase_ts == w.last_purchase_ts, eid
