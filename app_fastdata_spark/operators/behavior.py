@@ -379,11 +379,19 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The last event of each user has no holding period and is excluded,
     as are single-event users (zero total weight). One user_id window
     exchange, then a per-user rollup on the already-partitioned
-    frame."""
+    frame.
+
+    Non-finite values are excluded like NULLs (r10 NaN plant): a NaN or
+    ±Inf measurement is garbage, and unscreened it ABORTS the integer
+    cents cast on BOTH engines (Spark ANSI CAST_OVERFLOW, DuckDB cast
+    error) — the r9 embedding-gate lesson applied to the scalar money
+    column."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
         & F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != F.lit(float("inf")))
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = (
@@ -430,6 +438,7 @@ register(
               - epoch_us(ts) AS dt_us
       FROM events
       WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+        AND isfinite(value)
     ),
     g AS (
       SELECT user_id,
@@ -982,12 +991,17 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans (gated in test_plans); persisting the deviation frame would
     make it two. Zero-MAD types (constant
     or >50% one value) report zero outliers rather than dividing by
-    zero; NULL values are excluded on both engines (no deviation).
+    zero; NULL and NON-FINITE values are excluded on both engines (no
+    deviation — and a NaN inside a median's sort diverges across
+    engines' quantile placements, the r10 NaN-plant find).
     All arithmetic is double-precision in identical expression order,
     so the 3.5 threshold comparison is bit-deterministic across
     engines."""
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != F.lit(float("inf")))
     )
     med = (
         ev.groupBy("event_type")
@@ -1044,6 +1058,7 @@ register(
     WITH ev AS (
       SELECT event_type, value FROM events
       WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND isfinite(value)
     ),
     med AS (
       SELECT event_type, quantile_cont(value, 0.5) AS med

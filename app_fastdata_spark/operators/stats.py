@@ -352,6 +352,13 @@ register(
 )(events_daily_moving_avg)
 
 
+# The percentile columns screen non-finite values to NULL (excluded
+# like NULL — r10 NaN plant: engines place NaN differently inside a
+# quantile sort) while the distinct-user count keeps every row.
+def _finite_or_null(col):
+    return F.when(~F.isnan(col) & (F.abs(col) != F.lit(float("inf"))), col)
+
+
 # Approximate aggregates — the actual 100 TB hot path for distinct counts
 # and percentiles (HLL++ / QuantileSummaries sketches: mergeable partials,
 # bounded memory, one pass). Deterministic for fixed input but not
@@ -359,12 +366,13 @@ register(
 # property vs the exact twins is asserted in tests.
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    fin = _finite_or_null(F.col("value"))
     return (
         events.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
-            F.percentile_approx("value", 0.5, 10000).alias("p50_value_approx"),
-            F.percentile_approx("value", 0.99, 10000).alias("p99_value_approx"),
+            F.percentile_approx(fin, 0.5, 10000).alias("p50_value_approx"),
+            F.percentile_approx(fin, 0.99, 10000).alias("p99_value_approx"),
         )
         .orderBy("event_type")
     )
@@ -380,12 +388,13 @@ register("events_approx_stats")(events_approx_stats)
 # two (|approx - exact| within rsd/accuracy) is asserted in tests.
 def events_approx_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    fin = _finite_or_null(F.col("value"))
     return (
         events.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_value"),
-            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
+            F.round(F.percentile(fin, F.lit(0.5)), 6).alias("p50_value"),
+            F.round(F.percentile(fin, F.lit(0.99)), 6).alias("p99_value"),
         )
         .orderBy("event_type")
     )
@@ -396,8 +405,10 @@ register(
     sql="""
     SELECT event_type,
            count(DISTINCT user_id) AS n_users,
-           round(quantile_cont(value, 0.5), 6) AS p50_value,
-           round(quantile_cont(value, 0.99), 6) AS p99_value
+           round(quantile_cont(CASE WHEN isfinite(value) THEN value END,
+                               0.5), 6) AS p50_value,
+           round(quantile_cont(CASE WHEN isfinite(value) THEN value END,
+                               0.99), 6) AS p99_value
     FROM events
     GROUP BY event_type
     ORDER BY event_type

@@ -204,6 +204,22 @@ def test_degenerate_events_parity_all_event_oracles(spark, sf_dir, tmp_path):
             # BOTH engines (the r8 events_merged_sessions phantom-session
             # break lived exactly here)
             (888_888, None, 14, "view", 1.0, None),
+            # NaN value INSIDE the recency window (r9 verdict #8): a NaN
+            # in a RANKING column floats to the top on both engines
+            # (IEEE total order sorts NaN greatest — Spark and DuckDB
+            # agree), poisons every sum/avg it joins, and ABORTS any
+            # ANSI cast to integer it reaches (both engines reject
+            # CAST(NaN AS BIGINT), but only if the operator lets it
+            # get there). One plant in the serving window + one in the
+            # interval-math region pins placement, propagation, and the
+            # cast guards across every value-consuming events oracle.
+            (888_889, "2024-01-30 23:59:08", 15, "purchase",
+             float("nan"), None),
+            (888_890, "2024-01-05 03:00:00", 888_953, "purchase",
+             float("nan"), '{"k": 1}'),
+            (888_891, "2024-01-05 03:01:00", 888_953, "view", 2.5, None),
+            (888_892, "2024-01-05 03:02:00", 888_953, "click",
+             float("inf"), None),
         ]
         + [
             # duplicate-timestamp user: every inter-event gap is 0 (and
