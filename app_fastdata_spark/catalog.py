@@ -136,6 +136,17 @@ DRIVER_PRIORITY: list[str] = [
     "doc_pii_scan",
     "source_scorecard",          # (c)
     "corpus_zipf_slope",
+    # (Late-round NaN/Inf-plant hardening, NOT slot consumers — the r9
+    # trim() precedent: the r10 events sweep planted NaN/Inf in the
+    # `value` column and three oracles diverged
+    # (events_time_weighted_avg ANSI cast abort; events_value_mad and
+    # events_approx_stats_exact quantile NaN placement). All three now
+    # screen non-finite values like NULLs on BOTH engines. The change
+    # is output-identical on every driver testdata SF (the generated
+    # events carry no non-finite values — their sf0.01 value hashes
+    # pass unchanged pre/post, re-verified in this round's gate), so
+    # their standing green rows still certify driver-visible behavior;
+    # they refresh on the normal schedule with the r7/r8 cohorts.)
     # (Exactly 50. Outside-window notes, round 10: every r8/r9-window
     # entry keeps its fresh green row — the r9 window went 45/50 with
     # the 5 err rows re-slotted above. session_starts and

@@ -389,8 +389,10 @@ def stateful_asof_backward_stream(events: DataFrame) -> DataFrame:
     """The backward as-of join (operators.joins.asof_last_purchase) as a
     custom stateful STREAMING operator — the at-ingest form: for every
     event, the most recent purchase (ts' <= ts, ts-peers included) by
-    the same user plus the running purchase count, maintained as TWO
-    longs of state per live user (applyInPandasWithState, Arrow-batched,
+    the same user plus the running purchase count, maintained as THREE
+    longs plus two bounded peer arrays of state per live user
+    (ASOF_STATE_SCHEMA — the peer arrays are the essence of the
+    ts-peer re-emission fix; applyInPandasWithState, Arrow-batched,
     one shuffle on user_id, no driver state). The forward direction is
     inherently non-streaming — "next purchase at-or-after" is unknowable
     until an unbounded future arrives — which is exactly why only the

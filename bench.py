@@ -168,7 +168,18 @@ def compact_line(
             del compact["worst"][k]
             break
     line = json.dumps(compact)
-    assert len(line) <= COMPACT_HARD_CAP, len(line)
+    # The hard cap must FAIL SAFE, never fail loud: under `python -O` an
+    # assert is stripped, and if it ever fired the compact line would
+    # not print at all — leaving the oversized full-dump line as the
+    # process's final line, recreating the exact parsed:null driver
+    # failure this function exists to prevent. Degrade deterministically
+    # instead: drop the worst dict, then serving entries, until it fits.
+    if len(line) > COMPACT_HARD_CAP:
+        compact["worst"] = {}
+        line = json.dumps(compact)
+    while len(line) > COMPACT_HARD_CAP and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
     return line
 
 

@@ -55,3 +55,23 @@ def test_compact_line_handles_missing_serving_queries():
     line = compact_line(1.0, timings, 0.001, 1, 5.0, 0)
     d = json.loads(line)
     assert d["queries"] == {} and d["n_queries"] == 1
+
+
+def test_compact_line_degrades_instead_of_asserting_past_hard_cap():
+    """The hard cap fails SAFE (r9 ADVICE): if even the worst-free line
+    overflows — e.g. a serving rename to absurd lengths — the fallback
+    drops serving entries until it fits, so a parseable final line is
+    ALWAYS emitted (an assert would strip under python -O and leave the
+    oversized full dump as the process's last line)."""
+    import bench
+
+    huge = {("s" * 400) + str(i): 1.0 for i in range(5)}
+    orig = bench.SERVING
+    bench.SERVING = list(huge)
+    try:
+        line = compact_line(1.0, huge, 0.1, 2, None, 0)
+    finally:
+        bench.SERVING = orig
+    assert len(line) <= COMPACT_HARD_CAP
+    d = json.loads(line)
+    assert d["metric"] == "headline_queries_total_wall"
