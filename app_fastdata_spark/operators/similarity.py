@@ -792,6 +792,121 @@ _IVF_SQL = f"""
 register("sim_ann_ivf", sql=_IVF_SQL)(sim_ann_ivf)
 
 
+# --- kNN graph construction -------------------------------------------------
+
+KNN_K = 3
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, rank, neighbor_id, cos) — EVERY vector's K approximate
+    nearest neighbors via the IVF cells: the kNN-graph constructor that
+    sits beneath HNSW index builds, graph-based semantic clustering,
+    and local-density estimators. sim_ann_ivf answers 20 fixed probe
+    queries; this is the all-vectors form a pipeline materializes once
+    and reuses.
+
+    Same scale math as the bucketed near-dup path: assignment is one
+    GEMM Pandas-UDF projection against the broadcast ⌊√N⌋ centroids
+    (N·√N dots), vectors shuffle once on cell_id, refine work is
+    N²·nprobe²/√N dots confined within cells, and the per-vector top-K
+    is a window over the scored rows (Q = N partitions, each a heap-K).
+    No all-pairs join ever forms. Parity: assignment ranks use the
+    shared 6-dp half-up quantizer; final cosines are exact left-folded
+    doubles on both engines (9-dp rounded on output), norms hoisted
+    once per side — the oracle reuses the shared en CTE."""
+    emb = load_vectors(spark, sf_dir, nonzero=True)
+    bc = _centroid_broadcast(spark, sf_dir)
+    assign = emb.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        _top_cells_udf(bc, 1)("embedding")[0].alias("cell_id"),
+    )
+    nprobe = min(IVF_NPROBE, len(bc.value[0]))
+    probes = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        norm(F.col("embedding")).alias("qn"),
+        F.explode(_top_cells_udf(bc, nprobe)("embedding")).alias("cell_id"),
+    )
+    scored = (
+        probes.join(assign, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("qvec"), F.col("embedding"))
+            / (F.col("qn") * F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 9).alias("cos"),
+        )
+    )
+
+
+register(
+    "sim_knn_graph",
+    sql=f"""
+    WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
+    stride AS (
+      SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s
+      FROM emb
+    ),
+    centroids AS (
+      SELECT vec_id AS cell_id, embedding AS cvec, nrm AS cnrm FROM en
+      WHERE vec_id % (SELECT s FROM stride) = 0
+    ),
+    assign AS (
+      SELECT vec_id, embedding, nrm, cell_id FROM (
+        SELECT e.vec_id, e.embedding, e.nrm, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_q_assign(
+                     _sql_cos_n("e.embedding", "e.nrm", "c.cvec", "c.cnrm"))}
+                          DESC, c.cell_id
+               ) AS rn
+        FROM en e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, qn, cell_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, e.nrm AS qn,
+               c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_q_assign(
+                     _sql_cos_n("e.embedding", "e.nrm", "c.cvec", "c.cnrm"))}
+                          DESC, c.cell_id
+               ) AS rn
+        FROM en e CROSS JOIN centroids c
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_sql_cos_n("p.qvec", "p.qn", "a.embedding", "a.nrm")} AS cos
+      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id AS vec_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS INTEGER)
+             AS rank,
+           neighbor_id, round(cos, 9) AS cos
+    FROM scored
+    QUALIFY rank <= {KNN_K}
+    ORDER BY vec_id, rank
+    """,
+)(sim_knn_graph)
+
+
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@K of the IVF probe search against the exact
     brute-force top-k — the quality telemetry every ANN deployment

@@ -381,6 +381,45 @@ def test_bucketed_embedding_neardup_recall_on_planted_dups(spark, tmp_path):
     assert len(set(buck) & planted) >= 28
 
 
+def test_knn_graph_planted_dups_are_mutual_rank1(spark, tmp_path):
+    """The kNN-graph constructor on planted near-identical pairs: each
+    planted copy (cos ≈ 0.999 to its base) must be its base's rank-1
+    neighbor AND vice versa (near-identical vectors share nearest
+    cells, so the IVF probe cannot miss them), ranks are contiguous
+    1..K per vector, and every cosine is a valid [-1, 1] value."""
+    import numpy as np
+
+    from app_fastdata_spark.operators.similarity import KNN_K, sim_knn_graph
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 64)).astype(np.float32)
+    rows = [(i, base[i].tolist(), None) for i in range(200)]
+    for i in range(20):
+        noisy = base[i] + rng.normal(scale=0.02, size=64).astype(np.float32)
+        rows.append((200 + i, noisy.astype(np.float32).tolist(), None))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "planted")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    out = sim_knn_graph(spark, d).collect()
+    by_vec: dict = {}
+    for r in out:
+        by_vec.setdefault(r.vec_id, {})[r.rank] = r.neighbor_id
+        assert -1.0 - 1e-9 <= r.cos <= 1.0 + 1e-9
+    for vid, ranks in by_vec.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), vid
+        assert len(ranks) <= KNN_K
+    mutual = sum(
+        1
+        for i in range(20)
+        if by_vec.get(i, {}).get(1) == 200 + i
+        and by_vec.get(200 + i, {}).get(1) == i
+    )
+    assert mutual >= 18  # near-identical pairs are mutual rank-1
+
+
 def test_size_based_retention_partition_drop(spark, sf_dir, tmp_path):
     """DeleteOldestToTarget at the storage level: oldest day-partitions
     drop until the row count reaches the target; days are never split,
