@@ -136,10 +136,11 @@ DRIVER_PRIORITY: list[str] = [
     "doc_pii_scan",
     "source_scorecard",          # (c)
     "corpus_zipf_slope",
-    # (sim_knn_graph registered AFTER this window froze (the
+    # (sim_knn_graph and sim_mutual_knn_clusters registered AFTER this
+    # window froze (the
     # asof_next_purchase precedent): full-registry + sweep + planted
     # pytest evidence this round, first driver row reserved for the
-    # r11 window.)
+    # r11 window; both swept green in the embeddings/empty sweeps.)
     # (Late-round NaN/Inf-plant hardening, NOT slot consumers — the r9
     # trim() precedent: the r10 events sweep planted NaN/Inf in the
     # `value` column and three oracles diverged

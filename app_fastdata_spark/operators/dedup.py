@@ -1302,6 +1302,71 @@ def _register_components_embedding() -> None:
 _register_components_embedding()
 
 
+# --- mutual-kNN semantic clusters ------------------------------------------
+# The THRESHOLDLESS twin of dedup_components_embedding: instead of a
+# cosine cutoff (which needs tuning per embedding model), keep an edge
+# only where two vectors each rank the other inside their top-K
+# neighbors — the mutual-kNN graph that density-based semantic
+# clustering (and SemDeDup-style pruning) builds on. Composes the
+# oracled kNN-graph constructor with the shared adaptive
+# connected-components machinery.
+
+
+def sim_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, component) over the mutual-kNN edge set. The kNN edge
+    list (N·K rows) is localCheckpoint'ed before the mutuality
+    self-join — without it the whole IVF assign/probe/refine pipeline
+    would execute once per join side (the dedup_graph_stats
+    precedent); with it the join reads N·K materialized rows twice.
+    Mutuality then prunes to a<b pairs and the component labels come
+    from the same adaptive local/distributed union-find every other
+    pair source uses."""
+    from .similarity import sim_knn_graph
+
+    knn = (
+        sim_knn_graph(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    a, b = knn.alias("a"), knn.alias("b")
+    mutual = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.vec_id")),
+        )
+        .filter(F.col("a.vec_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("a.neighbor_id").alias("doc_b"),
+        )
+    )
+    return connected_components(mutual).select(
+        F.col("u").alias("vec_id"), "component"
+    ).orderBy("vec_id")
+
+
+def _register_mutual_knn_clusters() -> None:
+    from .similarity import _KNN_SQL
+
+    pairs_sql = (
+        f"WITH knn AS MATERIALIZED ({_KNN_SQL}) "
+        "SELECT a.vec_id AS doc_a, a.neighbor_id AS doc_b "
+        "FROM knn a JOIN knn b "
+        "ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id "
+        "WHERE a.vec_id < a.neighbor_id"
+    )
+    register(
+        "sim_mutual_knn_clusters",
+        sql=_SQL_COMPONENTS.format(pairs_sql=pairs_sql)
+        + "    SELECT u AS vec_id, min(v) AS component FROM reach"
+        "    GROUP BY u ORDER BY u",
+    )(sim_mutual_knn_clusters)
+
+
+_register_mutual_knn_clusters()
+
+
 # --- fixed-iteration PageRank over the near-dup graph ---------------------
 # A second iterative-algorithm operator with FULL oracle evidence: with
 # the iteration count fixed (3) the recurrence is plain relational

@@ -851,9 +851,9 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "sim_knn_graph",
-    sql=f"""
+# Factored so the mutual-kNN clustering oracle (dedup.py) can nest the
+# whole statement as a materialized CTE.
+_KNN_SQL = f"""
     WITH {SQL_EMB_CTE},
     {SQL_EN_CTE},
     stride AS (
@@ -903,8 +903,9 @@ register(
     FROM scored
     QUALIFY rank <= {KNN_K}
     ORDER BY vec_id, rank
-    """,
-)(sim_knn_graph)
+    """
+
+register("sim_knn_graph", sql=_KNN_SQL)(sim_knn_graph)
 
 
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
