@@ -109,6 +109,9 @@ HEADLINE = [
     "events_sliding_distinct_users",
     # round-8 addition
     "events_approx_stats_exact",
+    # round-10 additions
+    "sim_knn_graph",
+    "sim_mutual_knn_clusters",
 ]
 
 
