@@ -946,3 +946,26 @@ def test_zorder_box_enumeration_exact_for_random_boxes(spark, sf_dir, tmp_path):
         )
         assert got == want, (ulo, uhi, tlo, thi, len(cells))
     zdf.unpersist(blocking=False)
+
+
+def test_knn_graph_plan_bucketed_no_cartesian(spark, sf_dir):
+    """The kNN-graph constructor must stay on the IVF scale path: the
+    only joins are the cell_id equi-join (probe x assign) — never a
+    CartesianProduct / BroadcastNestedLoop all-pairs — and the only
+    Python stages are the two centroid-assignment GEMM projections
+    (refine scoring is pure codegen fold arithmetic)."""
+    plan = plan_of(spark, sf_dir, "sim_knn_graph")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # Catalyst evaluates a Python UDF expression once per plan
+    # reference, so the two assignment-GEMM instances plan as 3 Arrow
+    # stages here (the sibling sim_ann_ivf plans 4) — the gate pins
+    # "no worse than the established IVF family shape", and any
+    # regression to per-pair Python scoring would blow well past it.
+    assert plan.count("ArrowEvalPython") <= 3, plan
+    mutual = plan_of(spark, sf_dir, "sim_mutual_knn_clusters")
+    # the mutuality self-join reads the CHECKPOINTED kNN edges — the IVF
+    # pipeline must not appear twice (a second ArrowEvalPython pair
+    # would mean the checkpoint was lost and the GEMM re-runs per side)
+    assert mutual.count("ArrowEvalPython") == 0, mutual
+    assert "CartesianProduct" not in mutual, mutual
