@@ -383,7 +383,16 @@ def _top_cells_udf(bc, nprobe: int):
         )[:, :nprobe]
         return pd.Series(list(b_ids[order]))
 
-    return top_cells
+    # The function is PURE (fixed broadcast matrix, fixed quantizer) —
+    # the marker is a PLANNER fence, not a semantics claim: Catalyst
+    # happily re-evaluates a deterministic expression once per
+    # reference, and the equi-join's pushed isnotnull(cell_id) filter
+    # was planning a SECOND full assignment GEMM below the projection
+    # in every IVF consumer (sim_ann_ivf ran 4 Arrow stages instead of
+    # 2). Non-determinism pins one evaluation per subtree; the only
+    # lost optimization is pushing other predicates through this
+    # projection, which sits directly on the gated scan anyway.
+    return top_cells.asNondeterministic()
 
 
 def dedup_embedding_cosine_bucketed(
