@@ -108,6 +108,13 @@ QUERIES = [
     # round 7 late: two pruned scans + per-side top-1 WindowGroupLimit +
     # co-partitioned full-outer SMJ; linear in users by construction
     "events_upsert_merge",
+    # round 10: all-vectors IVF probe — assignment N·√N, refine
+    # N²·nprobe²/√N, so the target exponent is ~1.5 at worst; a clean
+    # sweep proves the per-vector top-K never degenerates to all-pairs
+    "sim_knn_graph",
+    # round 10: knn + mutuality self-join of the checkpointed N·K edge
+    # list + union-find — must track sim_knn_graph's growth
+    "sim_mutual_knn_clusters",
 ]
 
 
