@@ -85,7 +85,11 @@ DRIVER_PRIORITY: list[str] = [
     # one (single-scan doc/tpch aggregates) so DuckDB's allocator gets
     # slack between peaks. Heavy = embedding family (list unnests, ANN
     # joins), the dedup clustering chain (recursive-closure oracles),
-    # and the LSH/simhash signature builds.
+    # and the LSH/simhash signature builds. Verified under the ACTUAL
+    # failure condition: the full 50-query replica ran green while a
+    # second 20g-heap Spark JVM looped shuffle-heavy jobs in the same
+    # cgroup (whole-cgroup RSS 14.9G — the r9 cascade reproduced at
+    # lower pressure than this).
     "sim_ann_recall",            # (a) heaviest composition — max headroom
     "doc_char_entropy",
     "dedup_components_embedding",  # (a) recursive closure over IVF pairs
