@@ -140,11 +140,12 @@ DRIVER_PRIORITY: list[str] = [
     "doc_pii_scan",
     "source_scorecard",          # (c)
     "corpus_zipf_slope",
-    # (sim_knn_graph and sim_mutual_knn_clusters registered AFTER this
-    # window froze (the
+    # (sim_knn_graph, sim_mutual_knn_clusters, and
+    # events_value_winsorized registered AFTER this window froze (the
     # asof_next_purchase precedent): full-registry + sweep + planted
-    # pytest evidence this round, first driver row reserved for the
-    # r11 window; both swept green in the embeddings/empty sweeps.)
+    # pytest evidence this round, first driver rows reserved for the
+    # r11 window; all three swept green in their tables' degenerate +
+    # empty sweeps.)
     # (Late-round NaN/Inf-plant hardening, NOT slot consumers — the r9
     # trim() precedent: the r10 events sweep planted NaN/Inf in the
     # `value` column and three oracles diverged

@@ -416,6 +416,73 @@ register(
 )(events_approx_stats_exact)
 
 
+# --- per-type winsorization (feature clipping) ------------------------------
+# The standard numeric-feature preprocessing step next to the MAD
+# SCREEN: instead of flagging outliers, CLIP them to the per-group
+# [p05, p95] band and emit the transformed column — what a training
+# pipeline actually feeds downstream. Scale shape: one dim-sized
+# event_type reduce (exact percentiles collapse map-side per group)
+# broadcast back onto the scan; the fact table never shuffles.
+# Parity: boundaries are 6-dp-rounded on BOTH engines before the clip
+# (a last-bit boundary difference would clip a boundary-exact value
+# differently), Spark's exact `percentile` and DuckDB's quantile_cont
+# are both linear-interpolation, and non-finite values are screened
+# like NULLs (the r10 NaN-plant contract — an unscreened NaN would
+# poison its group's percentile on one engine and not the other).
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, event_type, value, value_winsorized): the value
+    column clipped to its event_type's [p05, p95] band."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != F.lit(float("inf")))
+    ).select("event_id", "event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(WINSOR_LO)), 6).alias("lo"),
+        F.round(F.percentile(F.col("value"), F.lit(WINSOR_HI)), 6).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")),
+                6,
+            ).alias("value_winsorized"),
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    "events_value_winsorized",
+    sql=f"""
+    WITH ev AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND isfinite(value)
+    ),
+    b AS (
+      SELECT event_type,
+             round(quantile_cont(value, {WINSOR_LO}), 6) AS lo,
+             round(quantile_cont(value, {WINSOR_HI}), 6) AS hi
+      FROM ev GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round(least(greatest(e.value, b.lo), b.hi), 6)
+             AS value_winsorized
+    FROM ev e JOIN b USING (event_type)
+    ORDER BY event_id
+    """,
+)(events_value_winsorized)
+
+
 # Semi-structured metadata extraction (the props column carries JSON):
 # schema-enforced from_json parse → typed field → bucketed aggregate.
 # A training pipeline filters on exactly this kind of sidecar metadata.

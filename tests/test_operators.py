@@ -1957,3 +1957,40 @@ def test_capped_pair_sizes_hashed_matches_string_pipeline(spark, sf_dir):
         for r in shingle_hash_frame(docs).collect()
     }
     assert ns == nh  # same docs survive with same distinct counts
+
+
+def test_winsorized_values_clipped_within_band(spark, sf_dir):
+    """Winsorization invariants: every output lies inside its type's
+    [lo, hi] band, values already inside the band pass through
+    unchanged (up to the 6-dp output rounding), clipping actually
+    fires on both tails somewhere, and the row set equals the
+    finite-value input rows."""
+    from collections import defaultdict
+
+    from app_fastdata_spark.operators.stats import events_value_winsorized
+    from app_fastdata_spark.tables import load_table
+
+    rows = events_value_winsorized(spark, sf_dir).collect()
+    n_in = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            "event_type IS NOT NULL AND value IS NOT NULL"
+            " AND NOT isnan(value) AND abs(value) != double('inf')"
+        )
+        .count()
+    )
+    assert len(rows) == n_in
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    clipped_lo = clipped_hi = 0
+    for t, rs in by_type.items():
+        lo = min(r.value_winsorized for r in rs)
+        hi = max(r.value_winsorized for r in rs)
+        for r in rs:
+            assert lo - 1e-9 <= r.value_winsorized <= hi + 1e-9
+            if lo + 1e-9 < r.value < hi - 1e-9:  # strictly inside band
+                assert abs(r.value_winsorized - round(r.value, 6)) < 1e-9
+            clipped_lo += r.value < r.value_winsorized
+            clipped_hi += r.value > r.value_winsorized
+    assert clipped_lo > 0 and clipped_hi > 0
