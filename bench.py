@@ -112,6 +112,7 @@ HEADLINE = [
     # round-10 additions
     "sim_knn_graph",
     "sim_mutual_knn_clusters",
+    "events_value_winsorized",
 ]
 
 
