@@ -432,32 +432,44 @@ register(
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
-def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_id, event_type, value, value_winsorized): the value
-    column clipped to its event_type's [p05, p95] band."""
-    ev = load_table(spark, sf_dir, "events").filter(
+def _finite_events(ev: DataFrame) -> DataFrame:
+    return ev.filter(
         F.col("event_type").isNotNull()
         & F.col("value").isNotNull()
         & ~F.isnan("value")
         & (F.abs("value") != F.lit(float("inf")))
     ).select("event_id", "event_type", "value")
-    b = ev.groupBy("event_type").agg(
+
+
+def winsorize_bounds(ev: DataFrame) -> DataFrame:
+    """Per-type [lo, hi] clip boundaries over a (finite-screened)
+    events frame — the offline FIT half, shared by the batch query and
+    the fit-offline/apply-at-ingest streaming twin."""
+    return ev.groupBy("event_type").agg(
         F.round(F.percentile(F.col("value"), F.lit(WINSOR_LO)), 6).alias("lo"),
         F.round(F.percentile(F.col("value"), F.lit(WINSOR_HI)), 6).alias("hi"),
     )
-    return (
-        ev.join(F.broadcast(b), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            F.round(
-                F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")),
-                6,
-            ).alias("value_winsorized"),
-        )
-        .orderBy("event_id")
+
+
+def winsorize_apply(ev: DataFrame, bounds: DataFrame) -> DataFrame:
+    """The APPLY half: broadcast the dim-sized boundary table onto the
+    frame and clip — a stateless projection, identical for a batch scan
+    and a stream."""
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6
+        ).alias("value_winsorized"),
     )
+
+
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, event_type, value, value_winsorized): the value
+    column clipped to its event_type's [p05, p95] band."""
+    ev = _finite_events(load_table(spark, sf_dir, "events"))
+    return winsorize_apply(ev, winsorize_bounds(ev)).orderBy("event_id")
 
 
 register(

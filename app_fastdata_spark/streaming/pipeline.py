@@ -592,6 +592,22 @@ def boilerplate_filter_stream(
     )
 
 
+def winsorize_stream(events: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Streaming feature clipping at ingest: arriving event values are
+    clipped to OFFLINE-fitted per-type [p05, p95] boundaries
+    (stats.winsorize_bounds) — the fit-offline/apply-at-ingest pattern
+    the DSIR and boilerplate gates use, applied to numeric feature
+    preprocessing. The boundary table is dim-sized and broadcast into a
+    stream-static join, so the gate is a stateless projection: no state
+    store, no watermark, scan-bound at any scale. Re-fitting on a new
+    reference window = rebuild the query with a new bounds frame (the
+    ST7 hot-model pattern). Non-finite values are screened like NULLs
+    (the shared r10 contract — the batch twin's exclusion)."""
+    from ..operators.stats import _finite_events, winsorize_apply
+
+    return winsorize_apply(_finite_events(events), bounds)
+
+
 def dsir_gate_stream(
     new_docs: DataFrame, lrs: list, min_log_importance: float = 0.0
 ) -> DataFrame:

@@ -1192,3 +1192,27 @@ def test_stateful_asof_checkpoint_restart(spark, sf_dir, tmp_path):
         w = want[eid]
         assert r.purchases_so_far == w.purchases_so_far, eid
         assert r.last_purchase_ts == w.last_purchase_ts, eid
+
+
+def test_winsorize_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming winsorize gate (offline-fitted boundaries applied
+    at ingest) equals the batch events_value_winsorized over the same
+    table — stateless stream-static broadcast-join parity."""
+    from app_fastdata_spark.operators.stats import (
+        _finite_events,
+        events_value_winsorized,
+        winsorize_bounds,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    bounds = winsorize_bounds(
+        _finite_events(load_table(spark, sf_dir, "events"))
+    ).collect()
+    bounds_df = spark.createDataFrame(
+        bounds, "event_type string, lo double, hi double"
+    )
+    stream = P.winsorize_stream(P.events_stream(spark, sf_dir), bounds_df)
+    got = P.run_to_memory(stream, "winsorize_gate")
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in events_value_winsorized(spark, sf_dir).collect()}
+    assert g == w and g
