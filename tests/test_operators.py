@@ -1994,3 +1994,30 @@ def test_winsorized_values_clipped_within_band(spark, sf_dir):
             clipped_lo += r.value < r.value_winsorized
             clipped_hi += r.value > r.value_winsorized
     assert clipped_lo > 0 and clipped_hi > 0
+
+
+def test_capped_pair_sources_fail_loudly_past_packing_range(spark, tmp_path):
+    """The (doc_id << 20 | n) packing guard must ABORT, not silently
+    corrupt, on a doc_id past 2^43 — in BOTH pair-source variants: the
+    hashed default raises from _pack_dn inside the tokenizer UDF, the
+    string twin from the raise_error branch of its packed expression."""
+    import pytest as _pt
+
+    from app_fastdata_spark.operators.dedup import (
+        capped_pair_sizes,
+        capped_pair_sizes_string,
+    )
+
+    d = str(tmp_path / "big_ids")
+    spark.createDataFrame(
+        [
+            (1 << 43, "alpha beta gamma delta", "en", "srcX", 22),
+            (7, "alpha beta gamma delta", "en", "srcX", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    with _pt.raises(Exception, match="packing range exceeded"):
+        capped_pair_sizes(spark, d).collect()
+    with _pt.raises(Exception, match="packing range exceeded"):
+        capped_pair_sizes_string(spark, d).collect()
