@@ -140,12 +140,15 @@ DRIVER_PRIORITY: list[str] = [
     "doc_pii_scan",
     "source_scorecard",          # (c)
     "corpus_zipf_slope",
-    # (sim_knn_graph, sim_mutual_knn_clusters, and
-    # events_value_winsorized registered AFTER this window froze (the
+    # (sim_knn_graph, sim_mutual_knn_clusters, events_value_winsorized,
+    # and sim_ann_pq registered AFTER this window froze (the
     # asof_next_purchase precedent): full-registry + sweep + planted
     # pytest evidence this round, first driver rows reserved for the
-    # r11 window; all three swept green in their tables' degenerate +
-    # empty sweeps.)
+    # r11 window; all four swept green in their tables' degenerate +
+    # empty sweeps. sim_ann_pq is a HEAVY oracle (per-subspace
+    # codeword assignment joins) — when it enters the r11 window,
+    # interleave it with the light queries per this round's adjacency
+    # rule.)
     # (Late-round NaN/Inf-plant hardening, NOT slot consumers — the r9
     # trim() precedent: the r10 events sweep planted NaN/Inf in the
     # `value` column and three oracles diverged

@@ -1390,3 +1390,256 @@ def embedding_pca_project(
 
 
 register("embedding_pca_project")(embedding_pca_project)
+
+
+# --- product-quantized ANN (ADC scan) ---------------------------------------
+# The third leg of the quantized-scan family: int8 cuts bytes/vector 4x;
+# product quantization cuts them to M code ids (M * log2(C) bits — at
+# C=sqrt(N), M=8 that is ~60 bits/vector at N=10^9 vs 256 bytes of
+# float32), which is what makes a RAM-resident index over 100 TB of
+# embeddings possible at all (Jegou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011). The 64-dim vector splits into
+# PQ_M contiguous subspaces; each subspace gets its own codebook, and a
+# vector is stored as its per-subspace nearest-codeword ids. Scoring is
+# asymmetric (ADC): the RAW query against the DECODED candidate — one
+# codebook lookup per subspace, no candidate-side float math at scan
+# time.
+#
+# Determinism/oracle strategy (this is the load-bearing part): real PQ
+# trains per-subspace k-means; here the codebooks are the subvectors of
+# every stride-th vector (stride = floor(sqrt N) — the exact convention
+# the IVF coarse quantizer already pins, so both engines derive the
+# same codebooks from the data alone). Codeword ASSIGNMENT ranks
+# left-folded squared L2 distances quantized by the shared 6-dp half-up
+# quantizer with code_id tiebreak — the same parity contract as IVF
+# cell assignment. Unlike IVF (where centroids only RANK), decoded
+# values feed the output hash, so normalization must be bit-identical
+# across engines: the numpy side folds the squared-norm left-to-right
+# (np.linalg.norm's pairwise sum differs at ~1e-16) before the exact
+# per-component divide, mirroring the oracle's nrm fold.
+
+PQ_M = 8                     # subspaces; DIM/PQ_M = 8 dims each
+PQ_SUB = DIM // PQ_M
+
+_PQ_BC: dict = {}
+
+
+def _fold_sq_norm(X: "np.ndarray") -> "np.ndarray":
+    """Row-wise squared norm with STRICT left-to-right accumulation —
+    the vectorized twin of the `dot(a, a)` foldLeft / _sql_dot sum, so
+    normalized components are bit-identical on both engines."""
+    acc = np.zeros(len(X), dtype=np.float64)
+    for i in range(X.shape[1]):
+        acc = acc + X[:, i] * X[:, i]
+    return acc
+
+
+def _pq_codebook_broadcast(spark: SparkSession, sf_dir: str):
+    """(code_ids, left-fold-normalized stride-vector matrix) broadcast:
+    the PQ codebooks, one slice per subspace. Same lifecycle discipline
+    as _centroid_broadcast (keyed by app + file stamp, superseded
+    versions unpersisted); kept separate because the IVF broadcast
+    normalizes via np.linalg.norm, which is fine for ranking but not
+    for values that reach the output hash."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        file_stamp(f"{sf_dir}/embeddings.parquet"),
+    )
+    if key not in _PQ_BC:
+        for old in [k for k in _PQ_BC if k[:2] == key[:2]]:
+            _PQ_BC.pop(old).unpersist(blocking=False)
+        emb = load_vectors(spark, sf_dir, nonzero=True)
+        stride = _ivf_stride(emb.count())
+        rows = (
+            emb.filter(F.col("vec_id") % stride == 0)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        S = np.array([r.embedding for r in rows], dtype=np.float64)
+        if S.size:
+            Sn = S / np.sqrt(_fold_sq_norm(S))[:, None]
+        else:
+            Sn = S.reshape(0, 0)
+        _PQ_BC[key] = spark.sparkContext.broadcast((ids, Sn))
+    return _PQ_BC[key]
+
+
+def _pq_decode_udf(bc):
+    """Pandas UDF: encode each vector against the broadcast codebooks
+    and emit the DECODED (reconstructed) vector — the per-subspace
+    nearest codewords, concatenated. Encoding and decoding fuse into
+    one projection because the downstream ADC cosine needs codeword
+    VALUES, not ids; the ids themselves are implicit (stored form at
+    scale would keep only them). asNondeterministic for the same
+    planner-fence reason as _top_cells_udf."""
+
+    @F.pandas_udf("array<double>")
+    def decode(embedding: pd.Series) -> pd.Series:
+        ids, Sn = bc.value
+        X = np.array(embedding.tolist(), dtype=np.float64)
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        Xn = X / np.sqrt(_fold_sq_norm(X))[:, None]
+        dec = np.empty_like(Xn)
+        for m in range(PQ_M):
+            sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+            sub, cs = Xn[:, sl], Sn[:, sl]
+            # left-fold squared L2 per (vector, codeword) — matches the
+            # oracle's 8-term left-associative sum exactly
+            acc = np.zeros((len(sub), len(cs)), dtype=np.float64)
+            for i in range(PQ_SUB):
+                d = sub[:, i : i + 1] - cs[None, :, i]
+                acc = acc + d * d
+            qd = _q_assign_np(acc)
+            # rank by (quantized dist ASC, code_id ASC): lexsort keys
+            # are last-key-primary
+            choice = np.lexsort(
+                (np.broadcast_to(ids, qd.shape), qd), axis=1
+            )[:, 0]
+            dec[:, sl] = cs[choice]
+        return pd.Series(list(dec))
+
+    return decode.asNondeterministic()
+
+
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos_pq) — top-k per query under
+    product-quantized asymmetric-distance cosine: raw query vector
+    against each candidate's decoded codewords.
+
+    Scale shape: codebooks are O(sqrt(N) * DIM) driver/broadcast bytes
+    (same bound as the IVF centroids); encode+decode is ONE Arrow-batch
+    projection (per subspace a (batch x C) GEMM-free fold — N*sqrt(N)*8
+    flops total); candidates never shuffle — queries broadcast, and the
+    only exchange is the per-query top-k window, identical to
+    sim_topk_cosine. At 100 TB the decoded projection is the scan; the
+    stored representation is M small ints per vector.
+
+    Zero-norm decoded vectors (possible when every chosen codeword
+    subvector is all-zero) are filtered on BOTH engines — ANSI Spark
+    would abort the cosine divide where DuckDB yields NULL."""
+    emb = load_vectors(spark, sf_dir, nonzero=True)
+    bc = _pq_codebook_broadcast(spark, sf_dir)
+    if len(bc.value[0]) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cos_pq double"
+        )
+    decode = _pq_decode_udf(bc)
+    cand = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            decode("embedding").alias("dec"),
+        )
+        .withColumn("dnrm", norm(F.col("dec")))
+        .filter(F.col("dnrm") > 0)
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    scored = cand.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "cos_pq",
+        dot(F.col("qvec"), F.col("dec")) / (F.col("qn") * F.col("dnrm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_pq"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round("cos_pq", 9).alias("cos_pq"),
+        )
+    )
+
+
+def _sql_pq_dist(a: str, b: str) -> str:
+    """Left-associative 8-term squared-L2 over already-double slices."""
+    return " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+        for i in range(1, PQ_SUB + 1)
+    )
+
+
+# The PQ tail as a standalone fragment (same factoring convention as
+# _TOPK_TAIL_SQL / _IVF_TAIL_SQL so a recall composition can share one
+# WITH chain). `xn` is materialized once: vs, cb, and the decoded-norm
+# pass all read it, and inlining would re-expand the normalize
+# transform at every reference (the DuckDB-side memory discipline the
+# r9 OOM cascade taught).
+_PQ_TAIL_SQL = f"""
+    stride AS (
+      SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s
+      FROM emb
+    ),
+    xn AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
+      FROM en
+    ),
+    ms AS (SELECT unnest(range({PQ_M})) AS m),
+    vsub AS (
+      SELECT vec_id, m, v[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS sub
+      FROM xn CROSS JOIN ms
+    ),
+    csub AS (
+      SELECT vec_id AS code_id, m,
+             v[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS sub
+      FROM xn CROSS JOIN ms
+      WHERE vec_id % (SELECT s FROM stride) = 0
+    ),
+    chosen AS (
+      SELECT vec_id, m, csub_v FROM (
+        SELECT v.vec_id, v.m, c.sub AS csub_v,
+               row_number() OVER (
+                 PARTITION BY v.vec_id, v.m
+                 ORDER BY {_sql_q_assign(_sql_pq_dist("v.sub", "c.sub"))}
+                          ASC, c.code_id
+               ) AS rn
+        FROM vsub v JOIN csub c ON c.m = v.m
+      ) WHERE rn = 1
+    ),
+    decoded AS (
+      SELECT vec_id, flatten(list(csub_v ORDER BY m)) AS dvec
+      FROM chosen GROUP BY vec_id
+    ),
+    dn AS (
+      SELECT vec_id, dvec, sqrt({_sql_dot("dvec", "dvec")}) AS dnrm
+      FROM decoded
+    ),
+    pq_q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM en
+      WHERE vec_id < {N_QUERIES}
+    ),
+    pq_scored AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id,
+             ({_sql_dot("q.qvec", "d.dvec")}) / (q.qn * d.dnrm) AS cos_pq
+      FROM pq_q q JOIN dn d
+        ON d.vec_id <> q.query_id AND d.dnrm > 0
+    ),
+    pq_approx AS (
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_pq DESC, neighbor_id) AS INTEGER)
+               AS rank,
+             neighbor_id, round(cos_pq, 9) AS cos_pq
+      FROM pq_scored
+      QUALIFY rank <= {TOP_K}
+    )
+"""
+
+register(
+    "sim_ann_pq",
+    sql=f"""
+    WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
+    {_PQ_TAIL_SQL}
+    SELECT query_id, rank, neighbor_id, cos_pq FROM pq_approx
+    """,
+)(sim_ann_pq)

@@ -113,6 +113,7 @@ HEADLINE = [
     "sim_knn_graph",
     "sim_mutual_knn_clusters",
     "events_value_winsorized",
+    "sim_ann_pq",
 ]
 
 

@@ -2021,3 +2021,77 @@ def test_capped_pair_sources_fail_loudly_past_packing_range(spark, tmp_path):
         capped_pair_sizes(spark, d).collect()
     with _pt.raises(Exception, match="packing range exceeded"):
         capped_pair_sizes_string(spark, d).collect()
+
+
+def test_pq_stride_vectors_decode_to_self_and_codebook_membership(
+    spark, tmp_path
+):
+    """Product quantization invariants on a planted corpus: (1) every
+    codebook-source vector (vec_id % stride == 0) decodes to its own
+    normalized self BIT-EXACTLY — its distance-0 codeword is the unique
+    argmin in every subspace; (2) every decoded subspace of every other
+    vector is byte-identical to some codeword's subvector (decoded
+    vectors live on the codebook grid by construction); (3) the ADC
+    top-k output has contiguous ranks, valid cosines, and is
+    deterministic across reruns."""
+    import math as _math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from app_fastdata_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUB,
+        TOP_K,
+        _fold_sq_norm,
+        _pq_codebook_broadcast,
+        _pq_decode_udf,
+        sim_ann_pq,
+    )
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(200, 64)).astype(np.float32)
+    rows = [(i, X[i].tolist(), None) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "pq")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    bc = _pq_codebook_broadcast(spark, d)
+    ids, Sn = bc.value
+    stride = _math.isqrt(200)
+    assert list(ids) == [i for i in range(200) if i % stride == 0]
+
+    dec_rows = (
+        spark.read.parquet(f"{d}/embeddings.parquet")
+        .select("vec_id", _pq_decode_udf(bc)("embedding").alias("dec"))
+        .collect()
+    )
+    dec = {r.vec_id: np.array(r.dec) for r in dec_rows}
+    # (1) codebook sources decode to their normalized selves bit-exactly
+    Xn = X.astype(np.float64) / np.sqrt(
+        _fold_sq_norm(X.astype(np.float64))
+    )[:, None]
+    for cid in ids:
+        assert np.array_equal(dec[cid], Xn[cid]), cid
+    # (2) every decoded subspace is exactly one codeword's subvector
+    for vid, v in dec.items():
+        for m in range(PQ_M):
+            sub = v[m * PQ_SUB : (m + 1) * PQ_SUB]
+            assert any(
+                np.array_equal(sub, Sn[c, m * PQ_SUB : (m + 1) * PQ_SUB])
+                for c in range(len(ids))
+            ), (vid, m)
+
+    out1 = sim_ann_pq(spark, d).collect()
+    by_q: dict = {}
+    for r in out1:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+        assert -1.0 - 1e-9 <= r.cos_pq <= 1.0 + 1e-9
+        assert r.neighbor_id != r.query_id
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+        assert len(ranks) <= TOP_K
+    out2 = sim_ann_pq(spark, d).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))

@@ -969,3 +969,18 @@ def test_knn_graph_plan_bucketed_no_cartesian(spark, sf_dir):
     # would mean the checkpoint was lost and the GEMM re-runs per side)
     assert mutual.count("ArrowEvalPython") == 0, mutual
     assert "CartesianProduct" not in mutual, mutual
+
+
+def test_pq_plan_one_decode_stage_broadcast_queries(spark, sf_dir):
+    """sim_ann_pq's scale contract in the physical plan: exactly ONE
+    Arrow stage (the fused encode/decode projection — a second would
+    mean the nondeterministic fence was lost and the codebook fold
+    re-runs per plan reference), the query side joins via BROADCAST
+    nested-loop (Q = N_QUERIES rows, the sim_topk_cosine shape — a
+    CartesianProduct would mean the broadcast hint was dropped and the
+    N-side shuffles), and the decoded-candidate side never exchanges
+    before the top-k window."""
+    plan = plan_of(spark, sf_dir, "sim_ann_pq")
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

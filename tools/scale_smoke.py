@@ -115,6 +115,10 @@ QUERIES = [
     # round 10: knn + mutuality self-join of the checkpointed N·K edge
     # list + union-find — must track sim_knn_graph's growth
     "sim_mutual_knn_clusters",
+    # round 10 late: PQ encode is one Arrow projection folding against
+    # √N codewords per subspace (N·√N·DIM flops) + the broadcast-query
+    # ADC scan (Q·N) — target exponent ~1.5 at worst, like the IVF legs
+    "sim_ann_pq",
 ]
 
 
