@@ -141,14 +141,15 @@ DRIVER_PRIORITY: list[str] = [
     "source_scorecard",          # (c)
     "corpus_zipf_slope",
     # (sim_knn_graph, sim_mutual_knn_clusters, events_value_winsorized,
-    # and sim_ann_pq registered AFTER this window froze (the
-    # asof_next_purchase precedent): full-registry + sweep + planted
-    # pytest evidence this round, first driver rows reserved for the
-    # r11 window; all four swept green in their tables' degenerate +
-    # empty sweeps. sim_ann_pq is a HEAVY oracle (per-subspace
-    # codeword assignment joins) — when it enters the r11 window,
-    # interleave it with the light queries per this round's adjacency
-    # rule.)
+    # sim_ann_pq, and sim_ann_pq_recall registered AFTER this window
+    # froze (the asof_next_purchase precedent): full-registry + sweep +
+    # planted pytest evidence this round, first driver rows reserved
+    # for the r11 window; all five swept green in their tables'
+    # degenerate + empty sweeps. The two PQ oracles are HEAVY
+    # (per-subspace codeword assignment joins) — when they enter the
+    # r11 window, interleave them with light queries per this round's
+    # adjacency rule; both are pinned under the same-connection 1 GB
+    # envelope test next to the r9 victims.)
     # (Late-round NaN/Inf-plant hardening, NOT slot consumers — the r9
     # trim() precedent: the r10 events sweep planted NaN/Inf in the
     # `value` column and three oracles diverged

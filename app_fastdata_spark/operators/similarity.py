@@ -1643,3 +1643,46 @@ register(
     SELECT query_id, rank, neighbor_id, cos_pq FROM pq_approx
     """,
 )(sim_ann_pq)
+
+
+def sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@K of the PQ/ADC scan against the exact
+    brute-force top-k — the distortion telemetry that decides whether a
+    codebook (or its M/subspace split) is good enough to ship, exactly
+    as sim_ann_recall does for the IVF probe path. Both sides are
+    themselves oracle-checked queries; the measurement is a semi-match
+    count over their K-row results, so it carries a full oracle too."""
+    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_ann_pq(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(TOP_K), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# One WITH chain sharing emb/norms/queries between the exact and PQ
+# sides (the sim_ann_recall shape — composing two full nested pipelines
+# back-to-back is what OOM'd the r9 driver connection).
+register(
+    "sim_ann_pq_recall",
+    sql=f"""
+    WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
+    {_TOPK_TAIL_SQL},
+    {_PQ_TAIL_SQL}
+    SELECT e.query_id,
+           count(a.neighbor_id) AS n_hits,
+           round(count(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k
+    FROM exact e LEFT JOIN pq_approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)(sim_ann_pq_recall)
