@@ -219,6 +219,76 @@ register(
 )(doc_mixture_weights)
 
 
+# --- temperature-scaled source sampling -------------------------------------
+# The OTHER standard mixing knob next to doc_mixture_weights' uniform
+# target: raise each source's token share p_i to alpha < 1 and
+# renormalize (p_i^alpha / sum p_j^alpha) — upsamples the tail without
+# flattening the head, the exponentiated-smoothing schedule multilingual
+# LM training uses for language/source balancing. alpha is fixed at 0.5
+# so the power IS sqrt: correctly-rounded IEEE on both engines (a
+# general pow() has no such guarantee), and p_i^0.5 / sum p_j^0.5
+# reduces to sqrt(tokens_i) / sum sqrt(tokens_j) — the corpus total
+# cancels, so every per-row value derives from one exact BIGINT count.
+# The cross-source sums fold a dim-sized handful of doubles; the 6-dp
+# output rounding absorbs fold-order noise (the embedding_dim_stats
+# contract).
+
+
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: doc/token counts, raw token share, the alpha=0.5
+    temperature share, and the resulting sampling boost
+    (temp_frac / token_frac — >1 means the source is upsampled).
+    Aggregates first; the windows only touch the source-sized rollup,
+    so at 100 TB this is one map-side-combined hash agg over the scan
+    plus arithmetic on a handful of rows."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    cells = (
+        docs.select("source", n_tokens.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    total = Window.partitionBy()
+    tok_frac = F.col("n_tokens") / F.sum("n_tokens").over(total)
+    s = F.sqrt(F.col("n_tokens").cast("double"))
+    temp_frac = s / F.sum(s).over(total)
+    return cells.select(
+        "source", "n_docs", "n_tokens",
+        F.round(tok_frac, 6).alias("token_frac"),
+        F.round(temp_frac, 6).alias("temp_frac"),
+        F.round(temp_frac / tok_frac, 6).alias("boost"),
+    ).orderBy("source")
+
+
+register(
+    "doc_temperature_mixture",
+    sql="""
+    WITH cells AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(lower(text), ' '), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / sum(n_tokens) OVER (), 6) AS token_frac,
+           round(sqrt(CAST(n_tokens AS DOUBLE))
+                 / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6)
+             AS temp_frac,
+           round((sqrt(CAST(n_tokens AS DOUBLE))
+                  / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER ())
+                 / (n_tokens / sum(n_tokens) OVER ()), 6) AS boost
+    FROM cells
+    ORDER BY source
+    """,
+)(doc_temperature_mixture)
+
+
 # --- bigram-LM cross-entropy quality score --------------------------------
 
 

@@ -1686,3 +1686,77 @@ register(
     ORDER BY e.query_id
     """,
 )(sim_ann_pq_recall)
+
+
+# --- Johnson-Lindenstrauss random projection --------------------------------
+# The dimensionality-reduction leg that sits UPSTREAM of the quantized
+# scans: project 64 dims to RP_K=16 with a fixed dense random matrix, so
+# downstream ANN/clustering pay a quarter of the bytes and flops while
+# pairwise geometry survives within the JL distortion bound. The matrix
+# reuses the _hyperplanes determinism convention (fixed LCG, entries are
+# exact binary fractions k/4096 - 1/2) with a DIFFERENT seed, scaled by
+# sqrt(12/RP_K) so E[||proj||^2] = ||x||^2 (uniform(-1/2,1/2) entries
+# have variance 1/12); the scale is folded into the entries in Python,
+# and the same repr-round-tripped doubles appear as Spark literals and
+# in the oracle text — one source of truth, bit-identical on both
+# engines. The projection itself is PURE CODEGEN: RP_K left-fold
+# dot products per vector (zip_with + aggregate), no Python stage, no
+# exchange until the output ordering — at 100 TB this is a map-only
+# projection fused into whatever scan feeds it.
+
+RP_K = 16
+
+
+def _rp_matrix(k: int = RP_K, dim: int = DIM) -> list[list[float]]:
+    scale = math.sqrt(12.0 / k)
+    out: list[list[float]] = []
+    state = 0x9E3779B97F4A7C15  # distinct seed from _hyperplanes
+    for _ in range(k):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((((state >> 33) % 4096) / 4096 - 0.5) * scale)
+        out.append(row)
+    return out
+
+
+_RP = _rp_matrix()
+
+
+def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, proj_1..proj_16) — each vector's JL projection, flat
+    columns per the driver-contract convention (the PCA precedent).
+    Magnitude-based (zero vectors legitimately project to the origin),
+    so the validity gate applies but the nonzero gate does not."""
+    emb = load_vectors(spark, sf_dir)
+    cols = [F.col("vec_id")]
+    for j in range(RP_K):
+        r = F.array(*[F.lit(v) for v in _RP[j]])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), r, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(proj, 9).alias(f"proj_{j + 1}"))
+    return emb.select(*cols).orderBy("vec_id")
+
+
+def _sql_rp_proj(j: int) -> str:
+    return " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * ({v!r})"
+        for i, v in enumerate(_RP[j])
+    )
+
+
+register(
+    "embedding_rp_project",
+    sql=f"""
+    SELECT vec_id,
+           {", ".join(f"round({_sql_rp_proj(j)}, 9) AS proj_{j + 1}"
+                      for j in range(RP_K))}
+    FROM embeddings WHERE {SQL_EMB_VALID}
+    ORDER BY vec_id
+    """,
+)(embedding_rp_project)

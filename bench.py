@@ -114,6 +114,8 @@ HEADLINE = [
     "sim_mutual_knn_clusters",
     "events_value_winsorized",
     "sim_ann_pq",
+    "doc_temperature_mixture",
+    "embedding_rp_project",
 ]
 
 

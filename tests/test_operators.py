@@ -2095,3 +2095,61 @@ def test_pq_stride_vectors_decode_to_self_and_codebook_membership(
         assert len(ranks) <= TOP_K
     out2 = sim_ann_pq(spark, d).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_rp_projection_preserves_norms_within_jl_band(spark, tmp_path):
+    """JL sanity on a seeded gaussian corpus: with entries of variance
+    1/12 scaled by sqrt(12/K), E[||proj||^2] = ||x||^2 — per-vector
+    ratios concentrate around 1 (chi^2-ish, K=16 dof), so the corpus
+    MEAN ratio must sit well inside [0.8, 1.2] and every ratio inside
+    the wide [0.2, 3.0] band. Deterministic: fixed rng seed, fixed
+    projection matrix."""
+    import numpy as np
+
+    from app_fastdata_spark.operators.similarity import (
+        RP_K,
+        embedding_rp_project,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(300, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), None) for i in range(300)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path / "rp")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    rows = embedding_rp_project(spark, d).collect()
+    assert len(rows) == 300
+    ratios = []
+    for r in rows:
+        p = np.array([r[f"proj_{j + 1}"] for j in range(RP_K)])
+        x = X[r.vec_id].astype(np.float64)
+        ratios.append(float(p @ p) / float(x @ x))
+    ratios = np.array(ratios)
+    assert 0.8 < ratios.mean() < 1.2, ratios.mean()
+    assert (ratios > 0.2).all() and (ratios < 3.0).all()
+
+
+def test_temperature_mixture_boost_monotone_in_share(spark, sf_dir):
+    """alpha=0.5 temperature weighting is share-monotone by algebra
+    (boost ∝ token_frac^-1/2): ordering sources by ascending token
+    share must order boosts descending, shares and temp shares each
+    sum to ~1, and every below-average source is upsampled (boost>1)
+    iff its share is below the corpus's 1/n_sources pivot... exactly:
+    boost > 1 iff share < (sum sqrt(t))^-2 * total — asserted via the
+    pairwise monotonicity + sum checks, which pin the algebra without
+    re-deriving the pivot."""
+    from app_fastdata_spark.operators.curation import (
+        doc_temperature_mixture,
+    )
+
+    rows = doc_temperature_mixture(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.token_frac for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.temp_frac for r in rows) - 1.0) < 1e-3
+    by_share = sorted(rows, key=lambda r: r.token_frac)
+    boosts = [r.boost for r in by_share]
+    for a, b in zip(boosts, boosts[1:]):
+        assert a >= b - 1e-9, boosts
