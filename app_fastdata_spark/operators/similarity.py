@@ -1504,6 +1504,20 @@ def _pq_decode_udf(bc):
     return decode.asNondeterministic()
 
 
+def pq_decode_frame(gated: DataFrame, bc) -> DataFrame:
+    """The candidate-side PQ stage over an ALREADY-GATED vector frame:
+    fused encode/decode projection + decoded norm + zero-norm screen.
+    Factored so the streaming ingest twin (streaming.pipeline.
+    pq_encode_stream) applies the IDENTICAL projection the batch
+    scorer consumes — one arithmetic, two execution modes."""
+    decode = _pq_decode_udf(bc)
+    return (
+        gated.select("vec_id", decode("embedding").alias("dec"))
+        .withColumn("dnrm", norm(F.col("dec")))
+        .filter(F.col("dnrm") > 0)
+    )
+
+
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, rank, neighbor_id, cos_pq) — top-k per query under
     product-quantized asymmetric-distance cosine: raw query vector
@@ -1526,14 +1540,8 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, cos_pq double"
         )
-    decode = _pq_decode_udf(bc)
-    cand = (
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            decode("embedding").alias("dec"),
-        )
-        .withColumn("dnrm", norm(F.col("dec")))
-        .filter(F.col("dnrm") > 0)
+    cand = pq_decode_frame(emb, bc).select(
+        F.col("vec_id").alias("neighbor_id"), "dec", "dnrm"
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

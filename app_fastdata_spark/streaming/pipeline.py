@@ -608,6 +608,43 @@ def winsorize_stream(events: DataFrame, bounds: DataFrame) -> DataFrame:
     return winsorize_apply(_finite_events(events), bounds)
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over arriving embedding shards — the vector
+    analogue of events_stream/docs ingest (an embedding pipeline
+    receives shards from an upstream encoder exactly like the log
+    pipeline receives event files). Same checkpointed-file-source
+    handoff semantics (S11)."""
+    import os as _os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    reader = spark.readStream.schema(SCHEMAS["embeddings"])
+    if _os.path.isdir(path):
+        src = path
+    else:
+        reader = reader.option("pathGlobFilter", "embeddings.parquet")
+        src = sf_dir
+    return reader.parquet(src)
+
+
+def pq_encode_stream(vectors: DataFrame, bc) -> DataFrame:
+    """Streaming PQ encode at ingest: arriving embedding rows pass the
+    SHARED validity+nonzero gate and the SHARED fused encode/decode
+    projection against OFFLINE-trained codebooks
+    (similarity._pq_codebook_broadcast) — "train the index offline,
+    encode at ingest", the ST7 hot-model pattern applied to vector
+    storage (this is how a production IVF-PQ index absorbs new vectors
+    without retraining). Stateless: codebooks ship once per executor
+    via the broadcast, the projection is one Arrow stage, no state
+    store, no watermark, scan-bound at any scale. Retraining = rebuild
+    the query with a new broadcast (exactly a clusters model swap).
+    Emits (vec_id, dec, dnrm) — the same candidate rows the batch
+    scorer consumes (similarity.pq_decode_frame), so batch/stream
+    parity is set equality."""
+    from ..operators.similarity import pq_decode_frame, vec_nonzero, vec_valid
+
+    return pq_decode_frame(vectors.filter(vec_valid() & vec_nonzero()), bc)
+
+
 def dsir_gate_stream(
     new_docs: DataFrame, lrs: list, min_log_importance: float = 0.0
 ) -> DataFrame:

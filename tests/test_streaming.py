@@ -1216,3 +1216,30 @@ def test_winsorize_stream_matches_batch(spark, sf_dir, tmp_path):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in events_value_winsorized(spark, sf_dir).collect()}
     assert g == w and g
+
+
+def test_pq_encode_stream_matches_batch(spark, sf_dir):
+    """The streaming PQ-encode gate (offline-trained codebooks applied
+    at ingest) emits EXACTLY the candidate rows the batch scorer
+    consumes — shared gate, shared fused encode/decode projection,
+    decoded vectors and norms bit-identical (set equality on full
+    tuples, doubles included)."""
+    from app_fastdata_spark.operators.similarity import (
+        _pq_codebook_broadcast,
+        load_vectors,
+        pq_decode_frame,
+    )
+
+    bc = _pq_codebook_broadcast(spark, sf_dir)
+    stream = P.pq_encode_stream(P.embeddings_stream(spark, sf_dir), bc)
+    got = P.run_to_memory(stream, "pq_encode_gate")
+    g = {
+        (r.vec_id, tuple(r.dec), r.dnrm) for r in got.collect()
+    }
+    want = {
+        (r.vec_id, tuple(r.dec), r.dnrm)
+        for r in pq_decode_frame(
+            load_vectors(spark, sf_dir, nonzero=True), bc
+        ).collect()
+    }
+    assert g == want and g
