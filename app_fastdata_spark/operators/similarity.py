@@ -1575,18 +1575,22 @@ def _sql_pq_dist(a: str, b: str) -> str:
     )
 
 
-# The PQ tail as a standalone fragment (same factoring convention as
-# _TOPK_TAIL_SQL / _IVF_TAIL_SQL so a recall composition can share one
-# WITH chain). `xn` is materialized once: vs, cb, and the decoded-norm
-# pass all read it, and inlining would re-expand the normalize
-# transform at every reference (the DuckDB-side memory discipline the
-# r9 OOM cascade taught).
-_PQ_TAIL_SQL = f"""
-    stride AS (
+# The PQ tail, factored into reusable fragments (same convention as
+# _TOPK_TAIL_SQL / _IVF_TAIL_SQL so compositions share one WITH chain):
+# _SQL_STRIDE_CTE is the shared ⌊√N⌋ scalar (identical text to
+# _IVF_TAIL_SQL's stride — factored so the IVF-PQ composition defines
+# it ONCE), _PQ_ENC_SQL is the encode/decode chain (assumes `stride`
+# is in scope), and _PQ_TAIL_SQL adds the brute-force ADC scoring.
+# `xn` is materialized once: vsub, csub, and the decoded-norm pass all
+# read it, and inlining would re-expand the normalize transform at
+# every reference (the DuckDB-side memory discipline the r9 OOM
+# cascade taught).
+_SQL_STRIDE_CTE = """stride AS (
       SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s
       FROM emb
-    ),
-    xn AS MATERIALIZED (
+    )"""
+
+_PQ_ENC_SQL = f"""xn AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
       FROM en
@@ -1620,7 +1624,11 @@ _PQ_TAIL_SQL = f"""
     dn AS (
       SELECT vec_id, dvec, sqrt({_sql_dot("dvec", "dvec")}) AS dnrm
       FROM decoded
-    ),
+    )"""
+
+_PQ_TAIL_SQL = f"""
+    {_SQL_STRIDE_CTE},
+    {_PQ_ENC_SQL},
     pq_q AS (
       SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM en
       WHERE vec_id < {N_QUERIES}
@@ -1768,3 +1776,135 @@ register(
     ORDER BY vec_id
     """,
 )(embedding_rp_project)
+
+
+# --- IVF-PQ: cell-pruned scan over PQ-compressed candidates -----------------
+# The composition production billion-scale indexes actually ship
+# (FAISS's IVFPQ): the IVF coarse quantizer prunes the scan to nprobe
+# cells AND product quantization compresses what the scan reads —
+# multiplicative savings (N/√N·nprobe of the vectors touched, each at
+# M code ids instead of DIM floats). Both building blocks keep their
+# established parity contracts: cell assignment/probing ranks via the
+# shared 6-dp half-up quantizer (the sim_ann_ivf contract), candidate
+# values come from the fold-normalized decoded codewords (the
+# sim_ann_pq contract), ADC cosines are exact left-folded doubles
+# rounded to 9 dp.
+
+
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos_pq) — top-k per query scanning
+    only the query's nprobe IVF cells, scored against each candidate's
+    PQ-decoded form (asymmetric distance: raw query, compressed
+    candidate).
+
+    Scale shape: ONE Arrow projection on the candidate side computes
+    both the cell id (GEMM against broadcast centroids) and the decoded
+    codewords (fold against broadcast codebooks); candidates shuffle
+    once on cell_id; refine work is the IVF bound (N²·nprobe/√N dots)
+    at PQ bytes. At 100 TB the stored index is cell_id + M code ids per
+    vector — the scan never touches raw floats."""
+    emb = load_vectors(spark, sf_dir, nonzero=True)
+    bc_c = _centroid_broadcast(spark, sf_dir)
+    bc_pq = _pq_codebook_broadcast(spark, sf_dir)
+    if len(bc_c.value[0]) == 0 or len(bc_pq.value[0]) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cos_pq double"
+        )
+    # one candidate-side projection evaluates BOTH broadcast folds
+    # (cell GEMM + codeword decode) — pq_decode_frame is not reused
+    # here because it projects cell_id away
+    assign = (
+        emb.select(
+            "vec_id",
+            _top_cells_udf(bc_c, 1)("embedding")[0].alias("cell_id"),
+            _pq_decode_udf(bc_pq)("embedding").alias("dec"),
+        )
+        .withColumn("dnrm", norm(F.col("dec")))
+        .filter(F.col("dnrm") > 0)
+    )
+    nprobe = min(IVF_NPROBE, len(bc_c.value[0]))
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            norm(F.col("embedding")).alias("qn"),
+            F.explode(_top_cells_udf(bc_c, nprobe)("embedding")).alias(
+                "cell_id"
+            ),
+        )
+    )
+    scored = (
+        probes.join(assign, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_pq",
+            dot(F.col("qvec"), F.col("dec")) / (F.col("qn") * F.col("dnrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_pq"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_pq", 9).alias("cos_pq"),
+        )
+    )
+
+
+register(
+    "sim_ann_ivfpq",
+    sql=f"""
+    WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
+    {_SQL_STRIDE_CTE},
+    centroids AS (
+      SELECT vec_id AS cell_id, embedding AS cvec, nrm AS cnrm FROM en
+      WHERE vec_id % (SELECT s FROM stride) = 0
+    ),
+    cells AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_q_assign(
+                     _sql_cos_n("e.embedding", "e.nrm", "c.cvec", "c.cnrm"))}
+                          DESC, c.cell_id
+               ) AS rn
+        FROM en e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    {_PQ_ENC_SQL},
+    probes AS (
+      SELECT query_id, qvec, qn, cell_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, e.nrm AS qn,
+               c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_q_assign(
+                     _sql_cos_n("e.embedding", "e.nrm", "c.cvec", "c.cnrm"))}
+                          DESC, c.cell_id
+               ) AS rn
+        FROM en e CROSS JOIN centroids c
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    ivfpq_scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ({_sql_dot("p.qvec", "d.dvec")}) / (p.qn * d.dnrm) AS cos_pq
+      FROM probes p
+      JOIN cells a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+      JOIN dn d ON d.vec_id = a.vec_id AND d.dnrm > 0
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_pq DESC, neighbor_id) AS INTEGER)
+             AS rank,
+           neighbor_id, round(cos_pq, 9) AS cos_pq
+    FROM ivfpq_scored
+    QUALIFY rank <= {TOP_K}
+    """,
+)(sim_ann_ivfpq)

@@ -116,6 +116,7 @@ HEADLINE = [
     "sim_ann_pq",
     "doc_temperature_mixture",
     "embedding_rp_project",
+    "sim_ann_ivfpq",
 ]
 
 

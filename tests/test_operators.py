@@ -2153,3 +2153,43 @@ def test_temperature_mixture_boost_monotone_in_share(spark, sf_dir):
     boosts = [r.boost for r in by_share]
     for a, b in zip(boosts, boosts[1:]):
         assert a >= b - 1e-9, boosts
+
+
+def test_ivfpq_planted_dups_recalled(spark, tmp_path):
+    """IVF-PQ on planted near-identical pairs: a copy of query vector q
+    shares q's nearest cells (IVF contract) AND decodes to (nearly) the
+    same codewords (PQ contract), so it must appear in q's top-k for
+    the overwhelming majority of plants; ranks are contiguous and
+    cosines valid."""
+    import numpy as np
+
+    from app_fastdata_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        sim_ann_ivfpq,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(200, 64)).astype(np.float32)
+    rows = [(i, base[i].tolist(), None) for i in range(200)]
+    for i in range(N_QUERIES):
+        noisy = base[i] + rng.normal(scale=0.01, size=64)
+        rows.append((200 + i, noisy.astype(np.float32).tolist(), None))
+    d = str(tmp_path / "ivfpq")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    out = sim_ann_ivfpq(spark, d).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert -1.0 - 1e-9 <= r.cos_pq <= 1.0 + 1e-9
+    ranks: dict = {}
+    for r in out:
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    for qid, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1)), qid
+        assert len(rs) <= TOP_K
+    hits = sum(1 for i in range(N_QUERIES) if 200 + i in by_q.get(i, set()))
+    assert hits >= N_QUERIES - 2, hits

@@ -734,11 +734,12 @@ def test_r9_oom_victim_oracles_run_under_tight_memory_cap():
         "sim_ann_ivf",
         "sim_ann_int8",
         "sim_ann_recall",
-        # not r9 victims — the round-10 PQ oracles join the same-
-        # connection envelope pin because they are the two heaviest
+        # not r9 victims — the round-10 PQ/IVF-PQ oracles join the
+        # same-connection envelope pin because they are the heaviest
         # additions since (per-subspace codeword assignment joins)
         "sim_ann_pq",
         "sim_ann_pq_recall",
+        "sim_ann_ivfpq",
     ]
     for name in victims:
         rows = con.execute(os_[name]).fetchdf()

@@ -987,3 +987,16 @@ def test_pq_plan_one_decode_stage_broadcast_queries(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_plan_two_arrow_stages_equi_join(spark, sf_dir):
+    """sim_ann_ivfpq stays on the composed scale path: the candidate
+    side is ONE fused Arrow projection (cell GEMM + codeword decode
+    evaluate in a single stage) plus the probe-cells projection — 2
+    Arrow stages total; the only join is the cell_id EQUI-join (plans
+    as BroadcastHashJoin at this SF — never a CartesianProduct /
+    BroadcastNestedLoop all-pairs)."""
+    plan = plan_of(spark, sf_dir, "sim_ann_ivfpq")
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

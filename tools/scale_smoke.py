@@ -119,6 +119,10 @@ QUERIES = [
     # √N codewords per subspace (N·√N·DIM flops) + the broadcast-query
     # ADC scan (Q·N) — target exponent ~1.5 at worst, like the IVF legs
     "sim_ann_pq",
+    # round 10 late: the IVF x PQ composition — cell-pruned refine at
+    # PQ bytes; growth must track sim_ann_ivf's (the probe join), with
+    # the encode projection adding the sim_ann_pq leg's N·√N fold
+    "sim_ann_ivfpq",
 ]
 
 
