@@ -1855,11 +1855,9 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "sim_ann_ivfpq",
-    sql=f"""
-    WITH {SQL_EMB_CTE},
-    {SQL_EN_CTE},
+# Factored as a tail (CTE names disjoint from _TOPK_TAIL_SQL's) so the
+# end-to-end recall composition shares one WITH chain.
+_IVFPQ_TAIL_SQL = f"""
     {_SQL_STRIDE_CTE},
     centroids AS (
       SELECT vec_id AS cell_id, embedding AS cvec, nrm AS cnrm FROM en
@@ -1898,13 +1896,66 @@ register(
       FROM probes p
       JOIN cells a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
       JOIN dn d ON d.vec_id = a.vec_id AND d.dnrm > 0
+    ),
+    ivfpq_approx AS (
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_pq DESC, neighbor_id) AS INTEGER)
+               AS rank,
+             neighbor_id, round(cos_pq, 9) AS cos_pq
+      FROM ivfpq_scored
+      QUALIFY rank <= {TOP_K}
     )
-    SELECT query_id,
-           CAST(row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos_pq DESC, neighbor_id) AS INTEGER)
-             AS rank,
-           neighbor_id, round(cos_pq, 9) AS cos_pq
-    FROM ivfpq_scored
-    QUALIFY rank <= {TOP_K}
+"""
+
+register(
+    "sim_ann_ivfpq",
+    sql=f"""
+    WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
+    {_IVFPQ_TAIL_SQL}
+    SELECT query_id, rank, neighbor_id, cos_pq FROM ivfpq_approx
     """,
 )(sim_ann_ivfpq)
+
+
+def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@K of the composed IVF-PQ scan against the exact
+    brute-force top-k — the END-TO-END quality number a production
+    index deployment watches (cell-miss and quantization-distortion
+    losses combined), next to the per-mechanism recalls
+    (sim_ann_recall for the probe path, sim_ann_pq_recall for the
+    codebook)."""
+    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_ann_ivfpq(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(TOP_K), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# One WITH chain sharing emb/norms/queries between the exact and
+# composed sides (the established recall memory shape).
+register(
+    "sim_ann_ivfpq_recall",
+    sql=f"""
+    WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
+    {_TOPK_TAIL_SQL},
+    {_IVFPQ_TAIL_SQL}
+    SELECT e.query_id,
+           count(a.neighbor_id) AS n_hits,
+           round(count(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k
+    FROM exact e LEFT JOIN ivfpq_approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)(sim_ann_ivfpq_recall)
