@@ -142,15 +142,16 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_zipf_slope",
     # (sim_knn_graph, sim_mutual_knn_clusters, events_value_winsorized,
     # sim_ann_pq, sim_ann_pq_recall, sim_ann_ivfpq,
-    # sim_ann_ivfpq_recall, doc_temperature_mixture, and
-    # embedding_rp_project registered AFTER this window froze (the
-    # asof_next_purchase precedent): full-registry + sweep + planted
-    # pytest evidence this round, first driver rows reserved for the
-    # r11 window; all nine swept green in their tables' degenerate +
-    # empty sweeps. The four PQ-family oracles are HEAVY (per-subspace
-    # codeword assignment joins) — when they enter the r11 window,
+    # sim_ann_ivfpq_recall, sim_semantic_survivors,
+    # doc_temperature_mixture, and embedding_rp_project registered
+    # AFTER this window froze (the asof_next_purchase precedent):
+    # full-registry + sweep + planted pytest evidence this round, first
+    # driver rows reserved for the r11 window; all ten swept green in
+    # their tables' degenerate + empty sweeps. The four PQ-family
+    # oracles plus sim_semantic_survivors (recursive closure nested
+    # over the kNN chain) are HEAVY — when they enter the r11 window,
     # interleave them with light queries per this round's adjacency
-    # rule; all four are pinned under the same-connection 1 GB envelope
+    # rule; all five are pinned under the same-connection 1 GB envelope
     # test next to the r9 victims. temperature_mixture and rp_project
     # are LIGHT (codegen-only, no Python stage) — natural interleave
     # spacers.)

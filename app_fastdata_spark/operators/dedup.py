@@ -1346,25 +1346,89 @@ def sim_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _register_mutual_knn_clusters() -> None:
+def _mutual_knn_pairs_sql() -> str:
+    """The mutual-kNN (doc_a, doc_b) pair source as oracle SQL — shared
+    by the cluster labeling and the SemDeDup survivor selection."""
     from .similarity import _KNN_SQL
 
-    pairs_sql = (
+    return (
         f"WITH knn AS MATERIALIZED ({_KNN_SQL}) "
         "SELECT a.vec_id AS doc_a, a.neighbor_id AS doc_b "
         "FROM knn a JOIN knn b "
         "ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id "
         "WHERE a.vec_id < a.neighbor_id"
     )
+
+
+def _register_mutual_knn_clusters() -> None:
     register(
         "sim_mutual_knn_clusters",
-        sql=_SQL_COMPONENTS.format(pairs_sql=pairs_sql)
+        sql=_SQL_COMPONENTS.format(pairs_sql=_mutual_knn_pairs_sql())
         + "    SELECT u AS vec_id, min(v) AS component FROM reach"
         "    GROUP BY u ORDER BY u",
     )(sim_mutual_knn_clusters)
 
 
 _register_mutual_knn_clusters()
+
+
+# --- SemDeDup: semantic survivor selection ---------------------------------
+def sim_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the highest-quality doc per mutual-kNN SEMANTIC cluster and
+    drop the rest — the SemDeDup pipeline (cluster by embedding
+    geometry, prune all but one representative per cluster), under the
+    corpus contract that `embeddings.vec_id` IS `documents.doc_id`.
+    The semantic twin of dedup_survivors_best_quality: same ttr scorer
+    (textops.quality_frame), same per-component argmax with doc_id
+    tiebreak, same loser anti-join — only the pair source differs
+    (thresholdless mutual-kNN edges instead of text shingles), so the
+    two survivor sets diverge exactly where paraphrases share meaning
+    but not tokens.
+
+    Scale: cluster membership is bounded by the mutual-kNN edge set
+    (≤ N·K/2 edges — the kNN cap), scoring runs only on members, and
+    the joins key on doc_id (AQE sizes broadcast vs shuffle at
+    runtime). A cluster member whose doc has NULL text scores a NULL
+    ttr and ranks LAST on both engines (Spark desc = nulls-last,
+    DuckDB default nulls-last) — pinned by the shared oracle tail."""
+    from pyspark.sql import Window
+
+    from .textops import quality_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = sim_mutual_knn_clusters(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "component"
+    )
+    members = docs.join(comp.select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    scored = quality_frame(members).select("doc_id", "ttr").join(
+        comp, "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("ttr"), F.asc("doc_id")
+    )
+    losers = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _register_semantic_survivors() -> None:
+    register(
+        "sim_semantic_survivors",
+        sql=_SQL_COMPONENTS.format(pairs_sql=_mutual_knn_pairs_sql())
+        + _SQL_SURVIVORS_BEST_TAIL,
+    )(sim_semantic_survivors)
+
+
+_register_semantic_survivors()
 
 
 # --- fixed-iteration PageRank over the near-dup graph ---------------------

@@ -117,6 +117,7 @@ HEADLINE = [
     "doc_temperature_mixture",
     "embedding_rp_project",
     "sim_ann_ivfpq",
+    "sim_semantic_survivors",
 ]
 
 

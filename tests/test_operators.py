@@ -2193,3 +2193,47 @@ def test_ivfpq_planted_dups_recalled(spark, tmp_path):
         assert len(rs) <= TOP_K
     hits = sum(1 for i in range(N_QUERIES) if 200 + i in by_q.get(i, set()))
     assert hits >= N_QUERIES - 2, hits
+
+
+def test_semantic_survivors_one_per_cluster(spark, sf_dir):
+    """SemDeDup invariants: exactly ONE survivor per mutual-kNN
+    component, every unclustered doc survives, and the survivor of
+    each cluster is its (ttr desc, doc_id asc) argmax — recomputed
+    independently via quality_frame."""
+    from app_fastdata_spark.operators.dedup import (
+        sim_mutual_knn_clusters,
+        sim_semantic_survivors,
+    )
+    from app_fastdata_spark.operators.textops import quality_frame
+    from app_fastdata_spark.tables import load_table
+
+    comp = {
+        r.vec_id: r.component
+        for r in sim_mutual_knn_clusters(spark, sf_dir).collect()
+    }
+    surv = {r.doc_id for r in sim_semantic_survivors(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    ttr = {
+        r.doc_id: r.ttr
+        for r in quality_frame(docs).select("doc_id", "ttr").collect()
+    }
+    # unclustered docs all survive
+    unclustered = all_ids - set(comp)
+    assert unclustered <= surv
+    # exactly one survivor per component, and it is the quality argmax
+    by_comp: dict = {}
+    for vid, c in comp.items():
+        if vid in all_ids:  # vectors without a doc row can't survive
+            by_comp.setdefault(c, []).append(vid)
+    for c, members in by_comp.items():
+        kept = [m for m in members if m in surv]
+        assert len(kept) == 1, (c, kept)
+        best = sorted(
+            members,
+            key=lambda d: (
+                -(ttr[d] if ttr[d] is not None else float("-inf")),
+                d,
+            ),
+        )[0]
+        assert kept[0] == best, (c, kept[0], best)

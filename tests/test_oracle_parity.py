@@ -741,6 +741,7 @@ def test_r9_oom_victim_oracles_run_under_tight_memory_cap():
         "sim_ann_pq_recall",
         "sim_ann_ivfpq",
         "sim_ann_ivfpq_recall",
+        "sim_semantic_survivors",
     ]
     for name in victims:
         rows = con.execute(os_[name]).fetchdf()

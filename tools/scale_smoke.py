@@ -123,6 +123,10 @@ QUERIES = [
     # PQ bytes; growth must track sim_ann_ivf's (the probe join), with
     # the encode projection adding the sim_ann_pq leg's N·√N fold
     "sim_ann_ivfpq",
+    # round 10 late: SemDeDup — mutual-kNN clusters + member-only
+    # quality scoring + anti-join; must track sim_mutual_knn_clusters
+    # plus a linear member-scoring leg
+    "sim_semantic_survivors",
 ]
 
 
