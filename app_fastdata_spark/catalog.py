@@ -174,10 +174,31 @@ DRIVER_PRIORITY: list[str] = [
     # (ADVICE r9): the r8-plan overlap count should have read 5, not 4 —
     # dedup_embedding_cosine_bucketed_loose was also listed r5-stale in
     # the r8 plan while holding a fresh r8 row; the 50-entry total was
-    # unaffected. The r7 cohort (~46 entries, led by top_src_dests,
-    # events_by_second, dedup_exact and the doc_* r7 rows) hits the
-    # stale boundary next and leads round 11. Rows-only queries stay
-    # out permanently per the standing policy.)
+    # unaffected.)
+    #
+    # ROUND-11 PLAN (precomputed late r10 from CORRECTNESS_r01..r09 +
+    # this window; re-derive against CORRECTNESS_r10 before freezing).
+    # Newest-green audit found a BOOKKEEPING GAP no earlier rotation
+    # caught: doc_token_stats, events_pivot_daily, and multimodal_resize
+    # have had NO driver row since ROUND 3 (seven rounds — every
+    # rotation skipped them; all three pass today's full sf0.01/sf0.1
+    # gates, they just never got slots). They go FIRST in r11.
+    # Slot math: 3 ancient (above) + 10 never-green first-rows
+    # (sim_knn_graph, sim_mutual_knn_clusters, events_value_winsorized,
+    # sim_ann_pq, sim_ann_pq_recall, sim_ann_ivfpq,
+    # sim_ann_ivfpq_recall, sim_semantic_survivors,
+    # doc_temperature_mixture, embedding_rp_project) + the 4
+    # twice-bumped r6 entries (dedup_ngram_jaccard, doc_pii_scrub,
+    # events_by_cluster_window, ip_roundtrip — their standing-evidence
+    # bumps should not become a third round) + the 36-entry r7-stale
+    # cohort = 53 candidates for 50 slots → bump 3 r7 entries with the
+    # strongest standing evidence (suggest: dedup_components_uncapped —
+    # anchor twin of in-window components; events_debounce_stateful —
+    # same oracle as batch debounce, cross-batch pytest; bpe_train_merges
+    # — pinned by in-cohort bpe_merge_step + bpe_compression). Keep the
+    # r10 adjacency rule: the 5 heavy embedding oracles among the
+    # never-green (PQ family + semantic survivors) interleave with
+    # light doc/events entries, heaviest first.)
 ]
 
 
