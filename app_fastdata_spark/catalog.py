@@ -143,11 +143,12 @@ DRIVER_PRIORITY: list[str] = [
     # (sim_knn_graph, sim_mutual_knn_clusters, events_value_winsorized,
     # sim_ann_pq, sim_ann_pq_recall, sim_ann_ivfpq,
     # sim_ann_ivfpq_recall, sim_semantic_survivors,
-    # doc_temperature_mixture, and embedding_rp_project registered
-    # AFTER this window froze (the asof_next_purchase precedent):
-    # full-registry + sweep + planted pytest evidence this round, first
-    # driver rows reserved for the r11 window; all ten swept green in
-    # their tables' degenerate + empty sweeps. The four PQ-family
+    # doc_temperature_mixture, embedding_rp_project, and
+    # doc_quality_confusion registered AFTER this window froze (the
+    # asof_next_purchase precedent): full-registry + sweep + planted
+    # pytest evidence this round, first driver rows reserved for the
+    # r11 window; all eleven swept green in their tables' degenerate +
+    # empty sweeps. The four PQ-family
     # oracles plus sim_semantic_survivors (recursive closure nested
     # over the kNN chain) are HEAVY — when they enter the r11 window,
     # interleave them with light queries per this round's adjacency
@@ -183,22 +184,25 @@ DRIVER_PRIORITY: list[str] = [
     # have had NO driver row since ROUND 3 (seven rounds — every
     # rotation skipped them; all three pass today's full sf0.01/sf0.1
     # gates, they just never got slots). They go FIRST in r11.
-    # Slot math: 3 ancient (above) + 10 never-green first-rows
+    # Slot math: 3 ancient (above) + 11 never-green first-rows
     # (sim_knn_graph, sim_mutual_knn_clusters, events_value_winsorized,
     # sim_ann_pq, sim_ann_pq_recall, sim_ann_ivfpq,
     # sim_ann_ivfpq_recall, sim_semantic_survivors,
-    # doc_temperature_mixture, embedding_rp_project) + the 4
-    # twice-bumped r6 entries (dedup_ngram_jaccard, doc_pii_scrub,
-    # events_by_cluster_window, ip_roundtrip — their standing-evidence
-    # bumps should not become a third round) + the 36-entry r7-stale
-    # cohort = 53 candidates for 50 slots → bump 3 r7 entries with the
-    # strongest standing evidence (suggest: dedup_components_uncapped —
-    # anchor twin of in-window components; events_debounce_stateful —
-    # same oracle as batch debounce, cross-batch pytest; bpe_train_merges
-    # — pinned by in-cohort bpe_merge_step + bpe_compression). Keep the
-    # r10 adjacency rule: the 5 heavy embedding oracles among the
-    # never-green (PQ family + semantic survivors) interleave with
-    # light doc/events entries, heaviest first.)
+    # doc_temperature_mixture, embedding_rp_project,
+    # doc_quality_confusion) + the 4 twice-bumped r6 entries
+    # (dedup_ngram_jaccard, doc_pii_scrub, events_by_cluster_window,
+    # ip_roundtrip — their standing-evidence bumps should not become a
+    # third round) + the 36-entry r7-stale cohort = 54 candidates for
+    # 50 slots → bump 4 r7 entries with the strongest standing evidence
+    # (suggest: dedup_components_uncapped — anchor twin of in-window
+    # components; events_debounce_stateful — same oracle as batch
+    # debounce, cross-batch pytest; bpe_train_merges — pinned by
+    # in-cohort bpe_merge_step + bpe_compression; doc_quality_report —
+    # thin rollup of in-cohort doc_quality/doc_classifier_score
+    # machinery, planted-violation pytest). Keep the r10 adjacency
+    # rule: the 5 heavy embedding oracles among the never-green (PQ
+    # family + semantic survivors) interleave with light doc/events
+    # entries, heaviest first.)
 ]
 
 

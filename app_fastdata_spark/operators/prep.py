@@ -214,6 +214,106 @@ register(
 )(doc_classifier_score)
 
 
+# --- classifier-vs-heuristic agreement report -------------------------------
+def doc_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row 2x2 confusion of the LEARNED quality filter
+    (classifier_frame's `keep`) against the RULE-BASED heuristic
+    (textops.quality_frame's `passes_quality` as reference) — the
+    validation a pipeline runs before letting a trained filter replace
+    its rules: tp/fp/fn/tn counts plus precision/recall/accuracy of
+    the classifier treating the heuristic as ground truth. Restricted
+    to docs both scorers label (the classifier's non-empty-text
+    domain). Scale: two codegen projections over one scan each, a
+    doc_id equi-join, and a single global aggregate — output is one
+    row; zero-denominator rates are NULL (guarded CASE on both
+    engines, never an ANSI divide abort)."""
+    from .textops import quality_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = quality_frame(docs).select("doc_id", "passes_quality")
+    c = classifier_frame(docs).select("doc_id", "keep")
+    j = c.join(h, "doc_id").where(
+        F.col("keep").isNotNull() & F.col("passes_quality").isNotNull()
+    )
+    k, p = F.col("keep"), F.col("passes_quality")
+    agg = j.agg(
+        F.count("*").alias("n_scored"),
+        F.sum((k & p).cast("long")).alias("tp"),
+        F.sum((k & ~p).cast("long")).alias("fp"),
+        F.sum((~k & p).cast("long")).alias("fn"),
+        F.sum((~k & ~p).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    rate = lambda num, den: F.when(den > 0, F.round(num / den, 6))
+    return agg.select(
+        "n_scored", "tp", "fp", "fn", "tn",
+        rate(tp, tp + fp).alias("precision_vs_rules"),
+        rate(tp, tp + fn).alias("recall_vs_rules"),
+        rate(tp + tn, F.col("n_scored")).alias("accuracy"),
+    )
+
+
+register(
+    "doc_quality_confusion",
+    sql=f"""
+    WITH ct AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text), ' '), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cu AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks,
+               x -> (('0x' || substr(md5(x), 1, 8))::BIGINT % {CLS_BUCKETS}
+                     * {_CLS_MULT}) % {_CLS_MOD})) AS BIGINT) AS unit_sum
+      FROM ct WHERE len(toks) > 0
+    ),
+    cs AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-((unit_sum * 1.0 / n_tokens)
+                                      / {_CLS_SCALE} - 1.0))), 6) >= 0.5
+               AS keep
+      FROM cu
+    ),
+    qt AS (
+      SELECT doc_id,
+             (length(text) >= 100 AND len(toks) >= 20
+              AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3)
+               AS passes_quality
+      FROM (SELECT doc_id, text,
+                   string_split_regex(trim(lower(text), ' '), '\\s+') AS toks
+            FROM documents)
+    ),
+    j AS (
+      SELECT c.keep, q.passes_quality AS pq
+      FROM cs c JOIN qt q ON q.doc_id = c.doc_id
+      WHERE c.keep IS NOT NULL AND q.passes_quality IS NOT NULL
+    ),
+    agg AS (
+      SELECT count(*) AS n_scored,
+             CAST(sum(CASE WHEN keep AND pq THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp,
+             CAST(sum(CASE WHEN keep AND NOT pq THEN 1 ELSE 0 END) AS BIGINT)
+               AS fp,
+             CAST(sum(CASE WHEN NOT keep AND pq THEN 1 ELSE 0 END) AS BIGINT)
+               AS fn,
+             CAST(sum(CASE WHEN NOT keep AND NOT pq THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM j
+    )
+    SELECT n_scored, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END
+             AS precision_vs_rules,
+           CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END
+             AS recall_vs_rules,
+           CASE WHEN n_scored > 0 THEN round((tp + tn) / n_scored, 6) END
+             AS accuracy
+    FROM agg
+    """,
+)(doc_quality_confusion)
+
+
 # --- BPE tokenizer training: one merge-selection step -----------------------
 # Distributed byte-pair-encoding training is a driver loop of exactly
 # this step (mirror of the kmeans_lloyd_step pattern: the inner

@@ -118,6 +118,7 @@ HEADLINE = [
     "embedding_rp_project",
     "sim_ann_ivfpq",
     "sim_semantic_survivors",
+    "doc_quality_confusion",
 ]
 
 

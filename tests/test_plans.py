@@ -99,9 +99,10 @@ def test_scan_prunes_columns(spark, sf_dir):
         "events_user_quartiles",
         "corpus_snapshot_diff",
         "events_zorder_key",
-        # round-10 late additions — both pure codegen by design
+        # round-10 late additions — all pure codegen by design
         "doc_temperature_mixture",
         "embedding_rp_project",
+        "doc_quality_confusion",
     ],
 )
 def test_hot_path_has_no_python_eval(spark, sf_dir, name):
