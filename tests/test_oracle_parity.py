@@ -783,3 +783,47 @@ def test_known_duckdb_casing_divergences_documented(spark):
     # ...and agreement everywhere else probed (sharp-s, ligature,
     # already-final sigma)
     assert ddb[2:] == py[2:]
+
+
+def test_pq_family_parity_fuzz_random_tie_corpora(spark, tmp_path):
+    """Randomized cross-engine fuzz for the PQ parity contract (the
+    tokenizer-fuzzer precedent): three seeded corpora engineered to
+    stress the quantized-argmin boundaries — an exact duplicate of a
+    codeword-source vector (distance-0 TIE in every subspace → the
+    code_id tiebreak decides), the same direction at 1e-6 and 1e6
+    magnitude (normalization must collapse them onto the duplicate's
+    codewords exactly), and a vector equidistant-ish between two
+    near-identical codeword sources (assignment-score near-ties at the
+    6-dp half-up quantizer). sim_ann_pq, its recall, and the IVF-PQ
+    composition must all value-hash-match DuckDB on every corpus."""
+    import numpy as np
+
+    for seed in (11, 12, 13):
+        rng = np.random.default_rng(seed)
+        n = 60  # stride = 7 → codeword sources are vec_id % 7 == 0
+        X = rng.normal(size=(n, 64)).astype(np.float32)
+        X[10] = X[0]                      # exact dup of codeword source 0
+        X[11] = X[0] * np.float32(1e-6)   # same direction, tiny magnitude
+        X[12] = X[0] * np.float32(1e6)    # same direction, huge magnitude
+        # near-identical pair of codeword SOURCES (7 and 14): candidate
+        # assignment scores between them quantize onto the same 6-dp
+        # grid cell for many subspaces → code_id tiebreak exercised
+        X[14] = X[7] + rng.normal(scale=1e-7, size=64).astype(np.float32)
+        d = str(tmp_path / f"pqfuzz{seed}")
+        spark.createDataFrame(
+            [(i, X[i].tolist(), None) for i in range(n)],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+        con = duckdb.connect()
+        con.execute("SET memory_limit='2GB'")
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM"
+            f" '{d}/embeddings.parquet/*.parquet'"
+        )
+        failures = _parity_failures(
+            spark, con, d,
+            ["sim_ann_pq", "sim_ann_pq_recall", "sim_ann_ivfpq"],
+        )
+        con.close()
+        assert not failures, (seed, failures)
