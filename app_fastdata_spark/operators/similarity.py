@@ -1739,12 +1739,49 @@ def _rp_matrix(k: int = RP_K, dim: int = DIM) -> list[list[float]]:
 _RP = _rp_matrix()
 
 
-def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_rp_project(
+    spark: SparkSession, sf_dir: str, gemm: bool = False
+) -> DataFrame:
     """(vec_id, proj_1..proj_16) — each vector's JL projection, flat
     columns per the driver-contract convention (the PCA precedent).
     Magnitude-based (zero vectors legitimately project to the origin),
-    so the validity gate applies but the nonzero gate does not."""
+    so the validity gate applies but the nonzero gate does not.
+
+    Two execution modes, one matrix: the DEFAULT is the interpreted
+    left-fold (zip_with + aggregate) — it IS the cross-engine-exact
+    arithmetic the oracle pins, at ~1.2 s/20k vectors (the
+    sim_ann_int8 _quantize precedent). `gemm=True` is the OPT-IN
+    100 TB path: one Arrow-batched X @ R.T per batch (millions of
+    rows/s, the same shape as the IVF/PQ assignment stages) whose
+    pairwise-summed doubles differ from the fold at ~1e-16 — fine for
+    every real consumer (ANN pre-reduce, clustering), excluded from
+    the value-hash oracle; the |gemm − fold| ≤ 1e-9 envelope is
+    pytest-pinned (the capped_pair_sizes_hashed opt-in precedent)."""
     emb = load_vectors(spark, sf_dir)
+    if gemm:
+        R = np.array(_RP, dtype=np.float64)
+        flat_schema = "vec_id long, " + ", ".join(
+            f"proj_{j + 1} double" for j in range(RP_K)
+        )
+
+        def project(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                P = np.round(X @ R.T, 9)
+                out = {"vec_id": pdf["vec_id"]}
+                for j in range(RP_K):
+                    out[f"proj_{j + 1}"] = P[:, j]
+                import pandas as _pd
+
+                yield _pd.DataFrame(out)
+
+        return (
+            emb.select("vec_id", "embedding")
+            .mapInPandas(project, flat_schema)
+            .orderBy("vec_id")
+        )
     cols = [F.col("vec_id")]
     for j in range(RP_K):
         r = F.array(*[F.lit(v) for v in _RP[j]])

@@ -2237,3 +2237,26 @@ def test_semantic_survivors_one_per_cluster(spark, sf_dir):
             ),
         )[0]
         assert kept[0] == best, (c, kept[0], best)
+
+
+def test_rp_gemm_path_matches_fold_within_envelope(spark, sf_dir):
+    """The opt-in GEMM scale path of the JL projection must agree with
+    the oracled left-fold path within 1e-9 per component (pairwise vs
+    sequential double summation over 64 terms — ~1e-16 relative), on
+    identical row sets."""
+    from app_fastdata_spark.operators.similarity import (
+        RP_K,
+        embedding_rp_project,
+    )
+
+    fold = {r.vec_id: r for r in embedding_rp_project(spark, sf_dir).collect()}
+    gemm = {
+        r.vec_id: r
+        for r in embedding_rp_project(spark, sf_dir, gemm=True).collect()
+    }
+    assert set(fold) == set(gemm) and fold
+    for vid, fr in fold.items():
+        gr = gemm[vid]
+        for j in range(RP_K):
+            c = f"proj_{j + 1}"
+            assert abs(fr[c] - gr[c]) <= 1e-9, (vid, c, fr[c], gr[c])
