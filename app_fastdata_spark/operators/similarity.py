@@ -1510,6 +1510,17 @@ def pq_decode_frame(gated: DataFrame, bc) -> DataFrame:
     Factored so the streaming ingest twin (streaming.pipeline.
     pq_encode_stream) applies the IDENTICAL projection the batch
     scorer consumes — one arithmetic, two execution modes."""
+    if len(bc.value[0]) == 0:
+        # Empty codebook (no nonzero vec_id divisible by the stride):
+        # _pq_decode_udf would hit cs[None, :, i] on a zero-size axis
+        # for any non-empty batch. Emit nothing — and do it as a
+        # transformation of `gated` (not a createDataFrame literal) so
+        # the streaming twin (pq_encode_stream) stays a streaming plan.
+        return gated.filter(F.lit(False)).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("dec"),
+            F.lit(0.0).alias("dnrm"),
+        )
     decode = _pq_decode_udf(bc)
     return (
         gated.select("vec_id", decode("embedding").alias("dec"))

@@ -1243,3 +1243,28 @@ def test_pq_encode_stream_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert g == want and g
+
+
+def test_pq_encode_stream_empty_codebook_emits_nothing(spark, sf_dir):
+    """A (0, 0) codebook (possible when no nonzero vec_id is divisible
+    by the stride) must make the streaming encode gate emit ZERO rows
+    with the (vec_id, dec, dnrm) schema — not fail the streaming query
+    with an IndexError inside the decode UDF (r10 ADVICE). Batch and
+    stream share the guard, so both paths are pinned here."""
+    import numpy as np
+
+    from app_fastdata_spark.operators.similarity import (
+        load_vectors,
+        pq_decode_frame,
+    )
+
+    class FakeBc:
+        value = (np.array([], dtype=np.int64), np.zeros((0, 0)))
+
+    batch = pq_decode_frame(load_vectors(spark, sf_dir, nonzero=True), FakeBc())
+    assert batch.columns == ["vec_id", "dec", "dnrm"]
+    assert batch.count() == 0
+    stream = P.pq_encode_stream(P.embeddings_stream(spark, sf_dir), FakeBc())
+    assert stream.isStreaming
+    got = P.run_to_memory(stream, "pq_encode_gate_empty_cb")
+    assert got.count() == 0

@@ -18,6 +18,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
@@ -152,6 +153,12 @@ def main() -> int:
         )
     qs, os_ = queries(), oracles()
     n_pass = n_fail = n_rowsonly = 0
+    # Per-query memory telemetry, written to ORACLE_RSS_LAST.json
+    # (gitignored scratch) at the end of every run; the round's
+    # certification run gets copied to the tracked ORACLE_RSS.json so
+    # memory-adjacency regressions are diffable round-over-round
+    # instead of rediscovered at the next driver OOM.
+    rss_log: dict[str, dict] = {}
     items = list(qs.items())[:50] if window_mode else sorted(qs.items())
     if only:
         missing = only - {n for n, _ in items}
@@ -216,6 +223,32 @@ def main() -> int:
                 f"rss {_rss_gib():.1f}G, oracle-peak {pk.peak:.1f}G)"
             )
             n_pass += 1
+        rss_log[name] = {
+            "wall_s": round(time.time() - t0, 2),
+            "oracle_peak_gib": round(pk.peak, 2),
+            "rss_after_gib": round(_rss_gib(), 2),
+        }
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "ORACLE_RSS_LAST.json",
+            ),
+            "w",
+        ) as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(rss_log),
+                    "window_mode": window_mode,
+                    "queries": rss_log,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+    except OSError:
+        pass
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
     return 1 if n_fail else 0
 
