@@ -295,6 +295,16 @@ NEAR_DUP_NPROBE = 2     # each vector lands in its 2 nearest cells
 _ASSIGN_DP = 6          # assignment scores quantized before ranking (parity)
 _GEMM_BLOCK = 1024      # rows per GEMM block inside a cell (bounds memory)
 
+# Default-at-scale seam for the two interpreted-HOF oracle anchors (JL
+# fold, int8 quantized scan): at or above this row count the operator
+# takes its Arrow GEMM shape automatically; below it, the left-fold
+# arithmetic the cross-engine oracle pins. Same cheap-driver-count
+# pattern as dedup.UNCAPPED_MAX_DOCS. Every driver testdata SF sits
+# far below (2k vectors at sf0.1), so the correctness gate always
+# exercises the pinned fold; the envelope tests pin fold==GEMM (exact
+# for the integer int8 path, <=1e-9 for the JL doubles).
+GEMM_MIN_ROWS = 100_000
+
 
 # Assignment-score quantizer, defined ONCE for both engines so the
 # tie-break mode cannot diverge: floor(x·1e6 + 0.5)/1e6 is half-UP in
@@ -983,36 +993,104 @@ def _quantize(col):
     return F.transform(col, lambda x: F.round(x.cast("double") / s).cast("long"))
 
 
-def sim_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quantize_np(X: np.ndarray) -> np.ndarray:
+    """numpy twin of _quantize, arithmetic-identical: same IEEE ops in
+    the same order (abs-max is order-free, /127, greatest with 1e-30,
+    one double divide), and HALF-UP rounding away from zero — numpy's
+    np.round is half-to-EVEN, which would diverge from Spark/DuckDB
+    round() exactly on the engineered .5 ties the PQ fuzz corpora
+    plant. Quantized magnitudes are ≤127ish, so the +0.5 trick cannot
+    lose precision."""
+    s = np.maximum(np.abs(X).max(axis=1), 1e-30) / 127.0
+    V = X / s[:, None]
+    return (np.sign(V) * np.floor(np.abs(V) + 0.5)).astype(np.int64)
+
+
+def sim_ann_int8(
+    spark: SparkSession, sf_dir: str, gemm: bool | None = None
+) -> DataFrame:
     """Top-k neighbors per query under int8-quantized cosine — the
     brute-force scan in quantized arithmetic. Same broadcast-query shape
     as sim_topk_cosine: candidates never shuffle; the only exchange is
-    the per-query top-k window over N_QUERIES * N scored rows."""
+    the per-query top-k window over N_QUERIES * N scored rows.
+
+    Auto seam (gemm=None): below GEMM_MIN_ROWS the codegen left-fold
+    the oracle pins; at scale, one Arrow-batched int64 GEMM per
+    candidate batch against the broadcast quantized query matrix.
+    Unlike the JL seam this one is EXACT, not an envelope: every dot
+    is a 64-bit integer sum (order-free), the quantizer twin
+    (_quantize_np) reproduces the fold's arithmetic bit-for-bit, and
+    the final divide/sqrt are the same two IEEE ops — the seam test
+    asserts set EQUALITY of full result tuples."""
     emb = load_vectors(spark, sf_dir, nonzero=True)
-    qemb = emb.select("vec_id", _quantize(F.col("embedding")).alias("q"))
-    qn = F.aggregate(
-        F.transform(F.col("q"), lambda x: x * x), F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    queries = qemb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qa"),
-        qn.alias("qna"),
-    ).filter(F.col("query_id") < N_QUERIES)
-    cand = qemb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), qn.alias("qnb")
-    )
-    idot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = cand.join(
-        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
-    ).withColumn(
-        "qcos",
-        idot / (F.sqrt(F.col("qna").cast("double")) * F.sqrt(F.col("qnb").cast("double"))),
-    )
+    if gemm is None:
+        gemm = emb.count() >= GEMM_MIN_ROWS
+    if gemm:
+        qrows = sorted(
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
+        )  # bounded: ≤ N_QUERIES rows by construction
+        if not qrows:
+            return spark.createDataFrame(
+                [], "query_id long, rank int, neighbor_id long, qcos double"
+            )
+        qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+        Qm = _quantize_np(np.array([r.embedding for r in qrows], dtype=np.float64))
+        qn2 = (Qm * Qm).sum(axis=1)
+        bq = spark.sparkContext.broadcast((qids, Qm, qn2))
+
+        def score(batches):
+            ids_, Qm_, qn2_ = bq.value
+            qrt = np.sqrt(qn2_.astype(np.float64))
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                C = _quantize_np(X)
+                n2 = (C * C).sum(axis=1)
+                # denominator factor order matches the fold:
+                # sqrt(query_n2) * sqrt(neighbor_n2)
+                qcos = (C @ Qm_.T) / (qrt[None, :] * np.sqrt(n2.astype(np.float64))[:, None])
+                nb = pdf["vec_id"].to_numpy()
+                out = pd.DataFrame(
+                    {
+                        "query_id": np.tile(ids_, len(nb)),
+                        "neighbor_id": np.repeat(nb, len(ids_)),
+                        "qcos": qcos.ravel(),
+                    }
+                )
+                yield out[out.query_id != out.neighbor_id]
+
+        scored = emb.select("vec_id", "embedding").mapInPandas(
+            score, "query_id long, neighbor_id long, qcos double"
+        )
+    else:
+        qemb = emb.select("vec_id", _quantize(F.col("embedding")).alias("q"))
+        qn = F.aggregate(
+            F.transform(F.col("q"), lambda x: x * x), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        queries = qemb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qa"),
+            qn.alias("qna"),
+        ).filter(F.col("query_id") < N_QUERIES)
+        cand = qemb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), qn.alias("qnb")
+        )
+        idot = F.aggregate(
+            F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = cand.join(
+            F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+        ).withColumn(
+            "qcos",
+            idot / (F.sqrt(F.col("qna").cast("double")) * F.sqrt(F.col("qnb").cast("double"))),
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1751,24 +1829,28 @@ _RP = _rp_matrix()
 
 
 def embedding_rp_project(
-    spark: SparkSession, sf_dir: str, gemm: bool = False
+    spark: SparkSession, sf_dir: str, gemm: bool | None = None
 ) -> DataFrame:
     """(vec_id, proj_1..proj_16) — each vector's JL projection, flat
     columns per the driver-contract convention (the PCA precedent).
     Magnitude-based (zero vectors legitimately project to the origin),
     so the validity gate applies but the nonzero gate does not.
 
-    Two execution modes, one matrix: the DEFAULT is the interpreted
+    Two execution modes, one matrix, auto-selected by input size
+    (gemm=None, the default): below GEMM_MIN_ROWS the interpreted
     left-fold (zip_with + aggregate) — it IS the cross-engine-exact
     arithmetic the oracle pins, at ~1.2 s/20k vectors (the
-    sim_ann_int8 _quantize precedent). `gemm=True` is the OPT-IN
-    100 TB path: one Arrow-batched X @ R.T per batch (millions of
-    rows/s, the same shape as the IVF/PQ assignment stages) whose
+    sim_ann_int8 _quantize precedent) — and at or above it the 100 TB
+    path: one Arrow-batched X @ R.T per batch (millions of rows/s,
+    the same shape as the IVF/PQ assignment stages) whose
     pairwise-summed doubles differ from the fold at ~1e-16 — fine for
     every real consumer (ANN pre-reduce, clustering), excluded from
     the value-hash oracle; the |gemm − fold| ≤ 1e-9 envelope is
-    pytest-pinned (the capped_pair_sizes_hashed opt-in precedent)."""
+    pytest-pinned on BOTH sides of the seam. Pass gemm=True/False to
+    force a mode (tests; reproducing an oracle row at scale)."""
     emb = load_vectors(spark, sf_dir)
+    if gemm is None:
+        gemm = emb.count() >= GEMM_MIN_ROWS
     if gemm:
         R = np.array(_RP, dtype=np.float64)
         flat_schema = "vec_id long, " + ", ".join(

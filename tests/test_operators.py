@@ -2240,16 +2240,20 @@ def test_semantic_survivors_one_per_cluster(spark, sf_dir):
 
 
 def test_rp_gemm_path_matches_fold_within_envelope(spark, sf_dir):
-    """The opt-in GEMM scale path of the JL projection must agree with
-    the oracled left-fold path within 1e-9 per component (pairwise vs
+    """The GEMM scale path of the JL projection must agree with the
+    oracled left-fold path within 1e-9 per component (pairwise vs
     sequential double summation over 64 terms — ~1e-16 relative), on
-    identical row sets."""
+    identical row sets. Both sides of the GEMM_MIN_ROWS seam forced
+    explicitly so the envelope holds whichever one auto-select picks."""
     from app_fastdata_spark.operators.similarity import (
         RP_K,
         embedding_rp_project,
     )
 
-    fold = {r.vec_id: r for r in embedding_rp_project(spark, sf_dir).collect()}
+    fold = {
+        r.vec_id: r
+        for r in embedding_rp_project(spark, sf_dir, gemm=False).collect()
+    }
     gemm = {
         r.vec_id: r
         for r in embedding_rp_project(spark, sf_dir, gemm=True).collect()
@@ -2260,3 +2264,47 @@ def test_rp_gemm_path_matches_fold_within_envelope(spark, sf_dir):
         for j in range(RP_K):
             c = f"proj_{j + 1}"
             assert abs(fr[c] - gr[c]) <= 1e-9, (vid, c, fr[c], gr[c])
+
+
+def test_int8_gemm_path_is_exact(spark, sf_dir):
+    """The int64-GEMM scale path of the quantized brute-force scan is
+    EXACT, not an envelope: integer dots are order-free, _quantize_np
+    reproduces the fold's quantizer (incl. HALF-UP at .5 — numpy's
+    default half-to-even would diverge on engineered ties), and the
+    divide/sqrt are the same two IEEE ops. Full-tuple set equality,
+    rounded qcos included."""
+    from app_fastdata_spark.operators.similarity import sim_ann_int8
+
+    fold = {tuple(r) for r in sim_ann_int8(spark, sf_dir, gemm=False).collect()}
+    gemm = {tuple(r) for r in sim_ann_int8(spark, sf_dir, gemm=True).collect()}
+    assert fold == gemm and fold
+
+
+def test_quantize_np_half_up_on_ties():
+    """Pin the rounding mode of the numpy quantizer twin on exact .5
+    quotients, both signs — the one place np.round would silently
+    disagree with Spark/DuckDB round()."""
+    import numpy as np
+
+    from app_fastdata_spark.operators.similarity import _quantize_np
+
+    # max|x| = 127 → s = 1.0 → quotients are the raw values
+    X = np.array([[127.0, 2.5, -2.5, 0.5, -0.5, 0.0]])
+    assert _quantize_np(X).tolist() == [[127, 3, -3, 1, -1, 0]]
+
+
+def test_gemm_seam_auto_selects_by_row_count(spark, sf_dir, monkeypatch):
+    """gemm=None picks the fold below GEMM_MIN_ROWS (what every driver
+    testdata SF exercises — the oracle anchor) and the Arrow GEMM at or
+    above it (what a 100 TB read takes). Observed via the physical
+    plan: the GEMM path has a Python/Arrow stage, the fold is pure
+    codegen."""
+    from app_fastdata_spark.operators import similarity as S
+
+    def has_python_stage(df):
+        return "mapinpandas" in df._jdf.queryExecution().executedPlan().toString().lower()
+
+    assert not has_python_stage(S.embedding_rp_project(spark, sf_dir))
+    monkeypatch.setattr(S, "GEMM_MIN_ROWS", 1)
+    assert has_python_stage(S.embedding_rp_project(spark, sf_dir))
+    assert has_python_stage(S.sim_ann_int8(spark, sf_dir))
