@@ -1314,20 +1314,20 @@ _register_components_embedding()
 
 def sim_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, component) over the mutual-kNN edge set. The kNN edge
-    list (N·K rows) is localCheckpoint'ed before the mutuality
-    self-join — without it the whole IVF assign/probe/refine pipeline
-    would execute once per join side (the dedup_graph_stats
-    precedent); with it the join reads N·K materialized rows twice.
-    Mutuality then prunes to a<b pairs and the component labels come
-    from the same adaptive local/distributed union-find every other
-    pair source uses."""
-    from .similarity import sim_knn_graph
+    list (N·K rows) comes from the SESSION-MATERIALIZED graph
+    (similarity.knn_edges — localCheckpoint'ed once per input stamp):
+    without materialization the whole IVF assign/probe/refine pipeline
+    would execute once per join side (the dedup_graph_stats precedent),
+    and without the session cache it re-ran per CONSUMER — this
+    query, sim_knn_graph, sim_semantic_survivors, and the graph-ANN
+    leg all read the same stored edges now, mirroring the
+    build-once/store contract a 100 TB kNN graph has. Mutuality then
+    prunes to a<b pairs and the component labels come from the same
+    adaptive local/distributed union-find every other pair source
+    uses."""
+    from .similarity import knn_edges
 
-    knn = (
-        sim_knn_graph(spark, sf_dir)
-        .select("vec_id", "neighbor_id")
-        .localCheckpoint()
-    )
+    knn = knn_edges(spark, sf_dir).select("vec_id", "neighbor_id")
     a, b = knn.alias("a"), knn.alias("b")
     mutual = (
         a.join(

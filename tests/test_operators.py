@@ -2293,6 +2293,21 @@ def test_quantize_np_half_up_on_ties():
     assert _quantize_np(X).tolist() == [[127, 3, -3, 1, -1, 0]]
 
 
+def test_knn_edges_session_cache_and_parity(spark, sf_dir):
+    """The session-materialized kNN graph (the shared pair source of
+    sim_knn_graph / mutual-kNN clusters / SemDeDup survivors) must be
+    (a) computed once — repeat calls return the SAME checkpointed
+    frame — and (b) row-identical to the pure pipeline it caches."""
+    from app_fastdata_spark.operators import similarity as S
+
+    e1 = S.knn_edges(spark, sf_dir)
+    e2 = S.knn_edges(spark, sf_dir)
+    assert e1 is e2
+    cached = {tuple(r) for r in e1.collect()}
+    pure = {tuple(r) for r in S.sim_knn_graph(spark, sf_dir).collect()}
+    assert cached == pure and cached
+
+
 def test_gemm_seam_auto_selects_by_row_count(spark, sf_dir, monkeypatch):
     """gemm=None picks the fold below GEMM_MIN_ROWS (what every driver
     testdata SF exercises — the oracle anchor) and the Arrow GEMM at or
