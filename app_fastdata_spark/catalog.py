@@ -146,7 +146,12 @@ DRIVER_PRIORITY: list[str] = [
     # never-rowed backlog is zero for the first time since r8. The
     # r10 window (sim_ann_recall .. corpus_zipf_slope, see git history
     # for the full list) went 50/50 green under the same
-    # heavy-first/interleave discipline this ordering reuses.)
+    # heavy-first/interleave discipline this ordering reuses.
+    # sim_ann_graph registered AFTER this window froze (the standing
+    # late-registration protocol): full-registry + degenerate-sweep +
+    # walk-invariant pytest evidence this round, first driver row
+    # reserved for the r12 window — heavy oracle (recursive CTE over
+    # the nested kNN chain), so it interleaves per the adjacency rule.)
 ]
 
 

