@@ -147,11 +147,13 @@ DRIVER_PRIORITY: list[str] = [
     # r10 window (sim_ann_recall .. corpus_zipf_slope, see git history
     # for the full list) went 50/50 green under the same
     # heavy-first/interleave discipline this ordering reuses.
-    # sim_ann_graph registered AFTER this window froze (the standing
-    # late-registration protocol): full-registry + degenerate-sweep +
-    # walk-invariant pytest evidence this round, first driver row
-    # reserved for the r12 window — heavy oracle (recursive CTE over
-    # the nested kNN chain), so it interleaves per the adjacency rule.)
+    # sim_ann_graph and sim_ann_graph_recall registered AFTER this
+    # window froze (the standing late-registration protocol):
+    # full-registry + degenerate-sweep + walk-invariant pytest evidence
+    # this round, first driver rows reserved for the r12 window — both
+    # HEAVY oracles (recursive CTE over the nested kNN chain; the
+    # recall twin nests the whole walk as a CTE), so they interleave
+    # per the adjacency rule.)
 ]
 
 

@@ -256,6 +256,16 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = Window.partitionBy()
     tok_frac = F.col("n_tokens") / F.sum("n_tokens").over(total)
     s = F.sqrt(F.col("n_tokens").cast("double"))
+    # Accepted-risk note (r10 ADVICE, adjudicated acceptable): the
+    # sqrt-sum denominator is an unpartitioned double fold whose
+    # accumulation ORDER is not pinned against DuckDB's, so a value
+    # sitting within ~1e-16 of a 5e-7 rounding boundary could in
+    # principle round differently across engines. With
+    # source-cardinality-sized sums (a handful of terms) the risk is
+    # documented, not observed — the query passed every gate and sweep
+    # since registration. If a parity flake EVER appears here: compute
+    # the denominator via a deterministic fold over a sorted collected
+    # list (source-sized, driver-safe) or quantize before the divide.
     temp_frac = s / F.sum(s).over(total)
     return cells.select(
         "source", "n_docs", "n_tokens",

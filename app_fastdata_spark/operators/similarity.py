@@ -2255,12 +2255,11 @@ def _sql_graph_step_cos(nv: str, nn: str) -> str:
     return f"round({_sql_cos_n('q.qvec', 'q.qn', nv, nn)}, 9)"
 
 
-register(
-    "sim_ann_graph",
-    # Outer CTEs use gen/gq names: the nested _KNN_SQL carries its own
-    # emb/en WITH-scope and DuckDB rejects duplicate aliases across the
-    # nesting.
-    sql=f"""
+# Outer CTEs use gen/gq names: the nested _KNN_SQL carries its own
+# emb/en WITH-scope and DuckDB rejects duplicate aliases across the
+# nesting. Factored to a constant so the recall twin can nest the
+# whole walk as a materialized CTE (the _KNN_SQL precedent).
+_GRAPH_SQL = f"""
     WITH RECURSIVE gen AS MATERIALIZED (
       SELECT vec_id, embedding,
              sqrt({_sql_dot("embedding", "embedding")}) AS nrm
@@ -2309,5 +2308,75 @@ register(
     FROM walk
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY n_hops DESC) = 1
     ORDER BY query_id
+    """
+
+register("sim_ann_graph", sql=_GRAPH_SQL)(sim_ann_graph)
+
+
+
+def sim_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, graph_best, exact_best, hit, cos_gap) — how often the
+    greedy walk's local optimum IS the global top-1, and how far off it
+    sits in cosine when it is not: the quality number that decides
+    whether a single graph entry point suffices or the deployment needs
+    beam width / multiple seeds. Completes the recall family
+    (probe path / codebook / composition / graph). Both sides reuse
+    their oracled constituents; the gap subtracts two values already on
+    the shared 9-dp grid and re-rounds to absorb representation noise."""
+    g = sim_ann_graph(spark, sf_dir)
+    e1 = (
+        sim_topk_cosine(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("exact_best"),
+            F.col("cos").alias("exact_cos"),
+        )
+    )
+    return (
+        g.join(e1, "query_id")
+        .select(
+            "query_id",
+            F.col("best_id").alias("graph_best"),
+            "exact_best",
+            (F.col("best_id") == F.col("exact_best")).cast("int").alias("hit"),
+            F.round(F.col("exact_cos") - F.col("cos_graph"), 9).alias("cos_gap"),
+        )
+        .orderBy("query_id")
+    )
+
+
+register(
+    "sim_ann_graph_recall",
+    # x-prefixed exact-side CTEs: every name must be disjoint from the
+    # nested walk's own scopes (gen/gq/knn/bounds/walk + _KNN_SQL's
+    # emb/en/...) — DuckDB rejects duplicate aliases across the nesting.
+    sql=f"""
+    WITH graph AS MATERIALIZED ({_GRAPH_SQL}),
+    xen AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings WHERE {SQL_EMB_UNIT}
+    ),
+    xq AS (
+      SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM xen
+      WHERE vec_id < {N_QUERIES}
+    ),
+    xscored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cos_n("q.qvec", "q.qn", "e.embedding", "e.nrm")} AS cos
+      FROM xq q JOIN xen e ON e.vec_id <> q.query_id
+    ),
+    xbest AS (
+      SELECT query_id, neighbor_id AS exact_best, round(cos, 9) AS exact_cos
+      FROM xscored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) = 1
+    )
+    SELECT g.query_id, g.best_id AS graph_best, x.exact_best,
+           CAST(g.best_id = x.exact_best AS INTEGER) AS hit,
+           round(x.exact_cos - g.cos_graph, 9) AS cos_gap
+    FROM graph g JOIN xbest x ON x.query_id = g.query_id
+    ORDER BY g.query_id
     """,
-)(sim_ann_graph)
+)(sim_ann_graph_recall)

@@ -119,10 +119,12 @@ HEADLINE = [
     "sim_ann_ivfpq",
     "sim_semantic_survivors",
     "doc_quality_confusion",
-    # round-11 addition: greedy graph search over the materialized kNN
+    # round-11 additions: greedy graph search over the materialized kNN
     # edges — the serving read of the graph the three queries above
-    # build, so it benches right after them (cache-warm, as deployed)
+    # build, so it benches right after them (cache-warm, as deployed) —
+    # and its recall@1 twin vs the exact optimum
     "sim_ann_graph",
+    "sim_ann_graph_recall",
 ]
 
 

@@ -127,6 +127,10 @@ QUERIES = [
     # quality scoring + anti-join; must track sim_mutual_knn_clusters
     # plus a linear member-scoring leg
     "sim_semantic_survivors",
+    # round 11: greedy graph search — per hop O(Q·K) scoring over the
+    # materialized edge list; growth must track sim_knn_graph's build
+    # (which the session cache amortizes) with a flat serving tail
+    "sim_ann_graph",
 ]
 
 
