@@ -2151,28 +2151,19 @@ register(
 GRAPH_MAX_HOPS = 8
 
 
-def sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, best_id, cos_graph, n_hops) — the greedy best-first
-    local optimum each query reaches on the kNN graph, with the hop
-    count it took. Uses the session-materialized edges (knn_edges), so
-    after any other graph consumer this is pure serving work."""
-    emb = load_vectors(spark, sf_dir, nonzero=True)
-    en = emb.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    out_schema = "query_id long, best_id long, cos_graph double, n_hops int"
-    heads = [r[0] for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()]
-    if len(heads) < 2:
-        # <2 nodes: the only possible entry is the query itself —
-        # no walk exists; both engines emit nothing
-        return spark.createDataFrame([], out_schema)
-    e0, e1 = heads
-    edges = knn_edges(spark, sf_dir).select("vec_id", "neighbor_id")
-    queries = en.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        F.col("nrm").alias("qn"),
-    )
+def graph_walk_frame(
+    queries: DataFrame,
+    edges: DataFrame,
+    en: DataFrame,
+    e0: int,
+    e1: int,
+) -> DataFrame:
+    """The greedy walk itself over an arbitrary (query_id, qvec, qn)
+    frame — factored so the batch query (sim_ann_graph) and the
+    ingest-time serving twin (streaming.pipeline.graph_search_stream)
+    run the IDENTICAL unrolled loop against the same stored edges.
+    Entry seeding: e0 unless the query IS e0, then e1 (the two smallest
+    node ids, computed by the caller from the static corpus)."""
     state = (
         queries.withColumn(
             "node",
@@ -2246,7 +2237,33 @@ def sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("best_id"),
         F.col("cos").alias("cos_graph"),
         F.col("n_hops").cast("int").alias("n_hops"),
-    ).orderBy("query_id")
+    )
+
+
+def sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, best_id, cos_graph, n_hops) — the greedy best-first
+    local optimum each query reaches on the kNN graph, with the hop
+    count it took. Uses the session-materialized edges (knn_edges), so
+    after any other graph consumer this is pure serving work."""
+    emb = load_vectors(spark, sf_dir, nonzero=True)
+    en = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    out_schema = "query_id long, best_id long, cos_graph double, n_hops int"
+    heads = [r[0] for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()]
+    if len(heads) < 2:
+        # <2 nodes: the only possible entry is the query itself —
+        # no walk exists; both engines emit nothing
+        return spark.createDataFrame([], out_schema)
+    edges = knn_edges(spark, sf_dir).select("vec_id", "neighbor_id")
+    queries = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+    return graph_walk_frame(queries, edges, en, heads[0], heads[1]).orderBy(
+        "query_id"
+    )
 
 
 def _sql_graph_step_cos(nv: str, nn: str) -> str:

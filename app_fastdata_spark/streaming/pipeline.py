@@ -645,6 +645,57 @@ def pq_encode_stream(vectors: DataFrame, bc) -> DataFrame:
     return pq_decode_frame(vectors.filter(vec_valid() & vec_nonzero()), bc)
 
 
+def graph_search_stream(
+    spark: SparkSession, sf_dir: str, vectors: DataFrame, output_path: str
+):
+    """ANN serving at ingest over the PREBUILT kNN graph: each arriving
+    vector greedily descends the session-materialized edge list
+    (similarity.knn_edges — built offline, stored; the ST7 hot-model
+    lifecycle applied to a graph index) and its local optimum is
+    appended to the sink. The walk is per-hop iterative, which no
+    stream-static join chain can express, so each micro-batch runs the
+    IDENTICAL batch walk via foreachBatch (the start_enriched_swap
+    precedent) — batch/stream parity is the same function by
+    construction, pinned by test anyway. Stateless across batches: the
+    graph is static, a query's answer depends only on its own vector.
+    Rebuilding the graph = new knn_edges stamp (a model swap)."""
+    from ..operators.similarity import (
+        graph_walk_frame,
+        knn_edges,
+        load_vectors,
+        norm,
+        vec_nonzero,
+        vec_valid,
+    )
+
+    emb = load_vectors(spark, sf_dir, nonzero=True)
+    en = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    heads = [
+        r[0] for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()
+    ]
+    edges = knn_edges(spark, sf_dir).select("vec_id", "neighbor_id")
+
+    def _walk_batch(batch: DataFrame, _epoch: int) -> None:
+        if len(heads) < 2:
+            return  # <2 graph nodes: no walk exists (batch-twin contract)
+        q = batch.filter(vec_valid() & vec_nonzero()).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            norm(F.col("embedding")).alias("qn"),
+        )
+        graph_walk_frame(q, edges, en, heads[0], heads[1]).write.mode(
+            "append"
+        ).parquet(output_path)
+
+    return (
+        vectors.writeStream.foreachBatch(_walk_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dsir_gate_stream(
     new_docs: DataFrame, lrs: list, min_log_importance: float = 0.0
 ) -> DataFrame:

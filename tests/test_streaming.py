@@ -1245,6 +1245,34 @@ def test_pq_encode_stream_matches_batch(spark, sf_dir):
     assert g == want and g
 
 
+def test_graph_search_stream_matches_batch(spark, sf_dir, tmp_path):
+    """ANN serving at ingest: streaming the embeddings table through the
+    greedy graph walk must answer every valid nonzero vector, and on
+    the batch query set (vec_id < N_QUERIES) the answers must equal
+    sim_ann_graph's rows EXACTLY (same walk function by construction —
+    this pins the wiring: gates, entry seeding, sink append)."""
+    from app_fastdata_spark.operators.similarity import (
+        N_QUERIES,
+        load_vectors,
+        sim_ann_graph,
+    )
+
+    out = str(tmp_path / "graph_serve")
+    q = P.graph_search_stream(
+        spark, sf_dir, P.embeddings_stream(spark, sf_dir), out
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    n_live = load_vectors(spark, sf_dir, nonzero=True).count()
+    assert got.count() == n_live  # every live vector answered
+    g = {
+        tuple(r)
+        for r in got.filter(F.col("query_id") < N_QUERIES).collect()
+    }
+    want = {tuple(r) for r in sim_ann_graph(spark, sf_dir).collect()}
+    assert g == want and g
+
+
 def test_pq_encode_stream_empty_codebook_emits_nothing(spark, sf_dir):
     """A (0, 0) codebook (possible when no nonzero vec_id is divisible
     by the stride) must make the streaming encode gate emit ZERO rows
