@@ -147,13 +147,15 @@ DRIVER_PRIORITY: list[str] = [
     # r10 window (sim_ann_recall .. corpus_zipf_slope, see git history
     # for the full list) went 50/50 green under the same
     # heavy-first/interleave discipline this ordering reuses.
-    # sim_ann_graph and sim_ann_graph_recall registered AFTER this
-    # window froze (the standing late-registration protocol):
+    # sim_ann_graph, sim_ann_graph_recall, and dedup_edit_distance
+    # registered AFTER this window froze (the standing
+    # late-registration protocol):
     # full-registry + degenerate-sweep + walk-invariant pytest evidence
-    # this round, first driver rows reserved for the r12 window — both
-    # HEAVY oracles (recursive CTE over the nested kNN chain; the
-    # recall twin nests the whole walk as a CTE), so they interleave
-    # per the adjacency rule.)
+    # this round, first driver rows reserved for the r12 window — the
+    # two graph oracles are HEAVY (recursive CTE over the nested kNN
+    # chain; the recall twin nests the whole walk as a CTE), so they
+    # interleave per the adjacency rule; edit-distance is moderate
+    # (LSH chain + constant-window DP).)
 ]
 
 

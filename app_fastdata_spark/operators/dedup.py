@@ -693,6 +693,93 @@ register(
 )(dedup_minhash_lsh)
 
 
+# --- edit-distance refine over LSH candidates -------------------------------
+# The "cheap candidates, exact refine" production shape with a
+# CHARACTER-level metric: MinHash-LSH proposes, Levenshtein disposes —
+# the refine a dedup pipeline runs when token-level Jaccard is too
+# coarse (templated boilerplate, OCR noise, small in-place edits).
+# Bounded at scale twice over: the pair set is the banded-LSH output
+# (never all-pairs), and the DP runs on a fixed ASCII-projected prefix
+# window, so per-pair cost is a CONSTANT (LEV_PREFIX^2), not O(doc^2).
+# The ASCII projection is parity-load-bearing, not cosmetic: Spark's
+# levenshtein counts UTF-16 code units (an astral emoji = 2 edits)
+# where DuckDB counts codepoints (= 1) — projecting [^\x00-\x7F] to ''
+# first (global on both engines) makes unit = character = byte, and
+# every remaining value derives from exact integers.
+
+LEV_PREFIX = 256        # DP window: cost ceiling LEV_PREFIX^2 per pair
+LEV_SIM_MIN = 0.5       # keep pairs at or above this prefix similarity
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, lev, sim) — Levenshtein refine of the MinHash-LSH
+    candidate pairs on the ASCII-projected LEV_PREFIX-char prefix;
+    sim = 1 - lev/max(len_a, len_b, 1), 6-dp rounded, thresholded on
+    the rounded value so both engines keep the identical pair set."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pfx = F.substring(
+        F.regexp_replace(F.col("text"), "[^\x00-\x7F]", ""), 1, LEV_PREFIX
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", pfx.alias("pfx"))
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb"))
+    lev = F.levenshtein(F.col("pa"), F.col("pb"))
+    sim = F.round(
+        F.lit(1.0)
+        - lev / F.greatest(F.length("pa"), F.length("pb"), F.lit(1)),
+        6,
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", lev.alias("lev"), sim.alias("sim"))
+        .filter(F.col("sim") >= LEV_SIM_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SQL_LEV_PFX = (
+    f"substr(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), 1, {LEV_PREFIX})"
+)
+
+register(
+    "dedup_edit_distance",
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sig AS (SELECT doc_id, [{_SQL_MINHASH_SIG}] AS sig FROM sh),
+    buckets AS (
+      SELECT doc_id, band, {_SQL_BAND_HASH} AS bh
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {LSH_BANDS})) AS band) bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    p AS (
+      SELECT doc_id, {_SQL_LEV_PFX} AS pfx
+      FROM documents WHERE text IS NOT NULL
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             levenshtein(pa.pfx, pb.pfx) AS lev,
+             round(1.0 - levenshtein(pa.pfx, pb.pfx)
+                   / greatest(length(pa.pfx), length(pb.pfx), 1), 6) AS sim
+      FROM cand c
+      JOIN p pa ON pa.doc_id = c.doc_a
+      JOIN p pb ON pb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, lev, sim FROM scored
+    WHERE sim >= {LEV_SIM_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+)(dedup_edit_distance)
+
+
 # --- SimHash --------------------------------------------------------------
 
 # Hex digit → 4-bit string lookup: positions (v*4+1 .. v*4+4) of this

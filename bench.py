@@ -125,6 +125,8 @@ HEADLINE = [
     # and its recall@1 twin vs the exact optimum
     "sim_ann_graph",
     "sim_ann_graph_recall",
+    # round-11 addition: Levenshtein refine over the LSH candidates
+    "dedup_edit_distance",
 ]
 
 

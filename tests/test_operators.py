@@ -2293,6 +2293,48 @@ def test_quantize_np_half_up_on_ties():
     assert _quantize_np(X).tolist() == [[127, 3, -3, 1, -1, 0]]
 
 
+def test_edit_distance_refine_invariants(spark, sf_dir, tmp_path):
+    """The Levenshtein refine must (a) emit a subset of the LSH
+    candidate pairs, (b) find a planted one-character edit with lev=1
+    and near-1 sim, and (c) score a planted exact duplicate at lev=0,
+    sim=1.0."""
+    import os as _os
+
+    from app_fastdata_spark.operators.dedup import (
+        dedup_edit_distance,
+        dedup_minhash_lsh,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    d = str(tmp_path / "lev")
+    _os.makedirs(d)
+    base = load_table(spark, sf_dir, "documents").limit(100)
+    text = " ".join(f"tok{i} common words here" for i in range(30))
+    extra = spark.createDataFrame(
+        [
+            (880_001, text, "en", "srcL", len(text)),
+            (880_002, text.replace("tok7", "tok7x", 1), "en", "srcL", len(text)),
+            (880_003, text, "en", "srcL", len(text)),  # exact dup of 880_001
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base.unionByName(extra).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r for r in dedup_edit_distance(spark, d).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, d).collect()
+    }
+    assert set(got) <= cand and got
+    near = got[(880_001, 880_002)]
+    # 1 insert + 1 boundary edit: the inserted char shifts the suffix,
+    # so the 256-char window's last char differs too — windowed edit
+    # distance counts both, by design
+    assert near.lev <= 2 and near.sim > 0.99
+    dup = got[(880_001, 880_003)]
+    assert dup.lev == 0 and dup.sim == 1.0
+
+
 def test_graph_ann_walk_invariants(spark, sf_dir):
     """The greedy kNN-graph search must (a) answer every live query,
     (b) never answer with the query itself, (c) respect the hop cap,
