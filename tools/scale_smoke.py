@@ -131,6 +131,10 @@ QUERIES = [
     # materialized edge list; growth must track sim_knn_graph's build
     # (which the session cache amortizes) with a flat serving tail
     "sim_ann_graph",
+    # round 11: LSH candidates + constant-window DP per pair — growth
+    # must track dedup_minhash_lsh's (linear pair growth by replica
+    # construction, constant 256^2 refine per pair)
+    "dedup_edit_distance",
 ]
 
 
