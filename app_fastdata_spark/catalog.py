@@ -156,6 +156,25 @@ DRIVER_PRIORITY: list[str] = [
     # chain; the recall twin nests the whole walk as a CTE), so they
     # interleave per the adjacency rule; edit-distance is moderate
     # (LSH chain + constant-window DP).)
+    #
+    # ROUND-12 PLAN (precomputed late r11 from CORRECTNESS_r01..r10 +
+    # this window; re-derive against CORRECTNESS_r11 before freezing).
+    # Post-r11 staleness histogram, assuming this window goes green:
+    # 50 r11, 50 r10, 41 r9, 42 r8, 4 r7, 3 never. Slot math:
+    # 4 r7 leftovers (bpe_train_merges, dedup_components_uncapped,
+    # doc_quality_report, events_debounce_stateful — the r11 bumps;
+    # they are now the oldest evidence in the registry and MUST lead,
+    # a bump must not become a third round) + 3 never-rowed
+    # (sim_ann_graph, sim_ann_graph_recall, dedup_edit_distance) +
+    # the full 42-entry r8-stale cohort = 49, leaving 1 slot for the
+    # r9 entry with the weakest standing evidence (suggest
+    # corpus_health: a multi-metric rollup whose only non-driver
+    # evidence is the generic sf0.001 parity test). Keep the adjacency
+    # rule: the two graph oracles are the heaviest ever registered
+    # (recursive CTE over the nested kNN chain) — slot them SECOND and
+    # FOURTH with light r8 events entries between; the r8 cohort's
+    # heavies (tpch_q7/q8/q9 multi-joins, doc_seq_packing,
+    # events_funnel) spread among its lights as in this window.)
 ]
 
 
