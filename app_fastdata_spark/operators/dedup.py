@@ -86,16 +86,18 @@ def _py_shingles(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def shingle_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles) over an arbitrary documents frame — callers
-    that only need a SLICE of the corpus (e.g. contamination's 20
-    benchmark docs) filter BEFORE calling, so the Arrow UDF never runs
-    over rows the query discards (a doc_id filter placed above the UDF
-    does not push through the Python eval node)."""
+def shingle_frame(docs: DataFrame, keep: tuple = ()) -> DataFrame:
+    """(doc_id, [keep...,] shingles) over an arbitrary documents frame —
+    callers that only need a SLICE of the corpus (e.g. contamination's
+    20 benchmark docs) filter BEFORE calling, so the Arrow UDF never
+    runs over rows the query discards (a doc_id filter placed above the
+    UDF does not push through the Python eval node). `keep` columns
+    pass through untouched (the streaming refine gate carries its
+    Levenshtein prefix alongside the signature this way)."""
     sh = F.pandas_udf(_py_shingles, "array<string>")
-    return docs.select("doc_id", sh(F.col("text")).alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    return docs.select(
+        "doc_id", *keep, sh(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,6 +609,38 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_perm(i: int):
+    # closure factory, NOT `lambda x, i=i: ...` — a default-arg lambda
+    # is silently treated as the 2-arg (element, index) HOF form
+    return lambda x: (F.lit(_MH_A[i]) * x + F.lit(_MH_B[i])) % F.lit(_MH_P)
+
+
+def minhash_sig_frame(docs: DataFrame, keep: tuple = ()) -> DataFrame:
+    """(doc_id, [keep...,] sig) — PER-ROW minhash signatures over an
+    arbitrary documents frame: each doc's 16 values are array_min folds
+    over its own shingle array, pure codegen projections with no
+    explode/groupBy. Bit-identical to minhash_signatures (min over the
+    same permuted longs, order-free) — pinned by test — but STATELESS,
+    which is what lets the incremental refine gate compute arriving
+    docs' signatures inside a streaming query where the batch shape's
+    groupBy would demand aggregation state. The batch shape stays the
+    corpus-side default: one md5 per exploded shingle + a map-side-
+    combined min beats per-row interpreted HOFs on a full-corpus scan."""
+    sh = shingle_frame(docs, keep=keep)
+    v = sh.select(
+        "doc_id",
+        *keep,
+        F.transform(
+            "shingles",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("vs"),
+    )
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("vs"), _mh_perm(i))) for i in range(MINHASH_K)]
+    )
+    return v.select("doc_id", *keep, sig.alias("sig"))
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: band the signature, hash each band, join on
     (band_idx, band_hash). Oracle-checked (signatures match DuckDB
@@ -711,19 +745,28 @@ LEV_PREFIX = 256        # DP window: cost ceiling LEV_PREFIX^2 per pair
 LEV_SIM_MIN = 0.5       # keep pairs at or above this prefix similarity
 
 
+def lev_prefix_col(col: Column | None = None) -> Column:
+    """The ASCII-projected LEV_PREFIX-char prefix — ONE definition
+    shared by the batch refine and the streaming gate so the DP always
+    runs on identical strings."""
+    return F.substring(
+        F.regexp_replace(col if col is not None else F.col("text"),
+                         "[^\\x00-\\x7F]", ""),
+        1,
+        LEV_PREFIX,
+    )
+
+
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, lev, sim) — Levenshtein refine of the MinHash-LSH
     candidate pairs on the ASCII-projected LEV_PREFIX-char prefix;
     sim = 1 - lev/max(len_a, len_b, 1), 6-dp rounded, thresholded on
     the rounded value so both engines keep the identical pair set."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    pfx = F.substring(
-        F.regexp_replace(F.col("text"), "[^\x00-\x7F]", ""), 1, LEV_PREFIX
-    )
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
-        .select("doc_id", pfx.alias("pfx"))
+        .select("doc_id", lev_prefix_col().alias("pfx"))
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb"))

@@ -645,6 +645,117 @@ def pq_encode_stream(vectors: DataFrame, bc) -> DataFrame:
     return pq_decode_frame(vectors.filter(vec_valid() & vec_nonzero()), bc)
 
 
+def corpus_minhash_refine_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static side of the edit-distance refine gate: the existing
+    corpus's minhash signatures plus each doc's Levenshtein prefix. At
+    scale this is precomputed once and stored (the corpus_simhash_index
+    contract); here it is derived on demand."""
+    from ..operators.dedup import lev_prefix_col, minhash_signatures
+    from ..tables import load_table
+
+    pfx = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", lev_prefix_col().alias("c_pfx"))
+    )
+    return (
+        minhash_signatures(spark, sf_dir)
+        .join(pfx, "doc_id")
+        .select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            F.col("sig").alias("c_sig"),
+            "c_pfx",
+        )
+    )
+
+
+def near_dup_refine_stream(
+    new_docs: DataFrame, corpus_index: DataFrame
+) -> DataFrame:
+    """Incremental edit-distance near-dedup: each arriving document is
+    checked against the EXISTING corpus via MinHash band LSH + prefix-
+    Levenshtein refine — the character-level sibling of
+    near_dup_gate_stream's SimHash+Hamming gate, for the boilerplate/
+    OCR/small-edit duplicates token Jaccard misses.
+
+    Stateless by construction: arriving signatures come from
+    minhash_sig_frame's PER-ROW array_min folds (the batch shape's
+    explode+groupBy would demand aggregation state on the stream), the
+    probe is a stream-static equi-join on (band, band_hash), pair
+    uniqueness is the same first-matching-band codegen predicate as the
+    batch LSH (no DISTINCT state), and the refine is one projection.
+    Emits (doc_id, corpus_doc_id, lev, sim) for every arriving doc
+    within LEV_SIM_MIN of a corpus doc."""
+    from ..operators.dedup import (
+        LEV_SIM_MIN,
+        LSH_BANDS,
+        LSH_ROWS,
+        lev_prefix_col,
+        minhash_sig_frame,
+    )
+
+    gated = new_docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", lev_prefix_col().alias("pfx"), "text"
+    )
+    sigs = minhash_sig_frame(gated, keep=("pfx",))
+
+    def banded(frame: DataFrame, idc: str, sigc: str, pfxc: str) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(sigc)[b * LSH_ROWS + r].cast("string")
+                                for r in range(LSH_ROWS)
+                            ],
+                        )
+                    ).alias("bh"),
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
+        return frame.select(
+            idc, sigc, pfxc, F.explode(bands).alias("b")
+        ).select(
+            idc, sigc, pfxc,
+            F.col("b.band").alias("band"), F.col("b.bh").alias("bh"),
+        )
+
+    a = banded(sigs, "doc_id", "sig", "pfx").alias("a")
+    c = banded(corpus_index, "corpus_doc_id", "c_sig", "c_pfx").alias("c")
+    earlier = F.lit(False)
+    for j in range(LSH_BANDS - 1):
+        m = F.col("a.band") > F.lit(j)
+        for r in range(LSH_ROWS):
+            m = m & (
+                F.col("a.sig")[j * LSH_ROWS + r]
+                == F.col("c.c_sig")[j * LSH_ROWS + r]
+            )
+        earlier = earlier | m
+    lev = F.levenshtein(F.col("a.pfx"), F.col("c.c_pfx"))
+    sim = F.round(
+        F.lit(1.0)
+        - lev / F.greatest(F.length("a.pfx"), F.length("c.c_pfx"), F.lit(1)),
+        6,
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bh") == F.col("c.bh"))
+            & (F.col("a.doc_id") != F.col("c.corpus_doc_id"))
+            & ~earlier,
+        )
+        .select(
+            "doc_id", "corpus_doc_id", lev.alias("lev"), sim.alias("sim")
+        )
+        .filter(F.col("sim") >= LEV_SIM_MIN)
+    )
+
+
 def graph_search_stream(
     spark: SparkSession, sf_dir: str, vectors: DataFrame, output_path: str
 ):

@@ -1245,6 +1245,55 @@ def test_pq_encode_stream_matches_batch(spark, sf_dir):
     assert g == want and g
 
 
+def test_minhash_sig_frame_matches_batch_signatures(spark, sf_dir):
+    """The per-row (streaming-safe) minhash twin must produce
+    BIT-IDENTICAL signatures to the batch explode+groupBy shape — min
+    over the same permuted longs, order-free."""
+    from app_fastdata_spark.operators.dedup import (
+        minhash_sig_frame,
+        minhash_signatures,
+    )
+    from app_fastdata_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_row = {
+        r.doc_id: tuple(r.sig) for r in minhash_sig_frame(docs).collect()
+    }
+    batch = {
+        r.doc_id: tuple(r.sig)
+        for r in minhash_signatures(spark, sf_dir).collect()
+    }
+    assert per_row == batch and per_row
+
+
+def test_near_dup_refine_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming the corpus through the edit-distance refine gate
+    against its own index must surface exactly the batch
+    dedup_edit_distance pairs — in both directions (the gate answers
+    per arriving doc; the batch emits each unordered pair once) — with
+    identical lev and sim values."""
+    import shutil
+
+    from app_fastdata_spark.operators.dedup import dedup_edit_distance
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "a.parquet")
+    idx = P.corpus_minhash_refine_index(spark, sf_dir)
+    stream = P.near_dup_refine_stream(
+        P.documents_stream(spark, str(src)), idx
+    )
+    got = {
+        (r.doc_id, r.corpus_doc_id, r.lev, r.sim)
+        for r in P.run_to_memory(stream, "lev_refine_gate").collect()
+    }
+    want = set()
+    for r in dedup_edit_distance(spark, sf_dir).collect():
+        want.add((r.doc_a, r.doc_b, r.lev, r.sim))
+        want.add((r.doc_b, r.doc_a, r.lev, r.sim))
+    assert got == want and got
+
+
 def test_graph_search_stream_matches_batch(spark, sf_dir, tmp_path):
     """ANN serving at ingest: streaming the embeddings table through the
     greedy graph walk must answer every valid nonzero vector, and on
