@@ -90,6 +90,10 @@ DRIVER_PRIORITY: list[str] = [
     # replica ran green at sf0.01 while a second 20g-heap Spark JVM
     # looped shuffle-heavy jobs in the same cgroup (r10 pre-flight
     # protocol; peak whole-cgroup RSS recorded in ORACLE_RSS.json).
+    # RE-VALIDATED at round close on the FINAL tree (after the kNN
+    # session cache, GEMM seam, and prefix refactor touched in-window
+    # impls): plain replica 50/50, contention replica 50/50 at peak
+    # 16.72 GiB — identical envelope to the pre-freeze run.
     "doc_token_stats",           # (a) r3-stale — seven rounds, leads
     "sim_ann_ivfpq_recall",      # (b) heaviest oracle — max headroom
     "events_pivot_daily",        # (a) r3-stale
