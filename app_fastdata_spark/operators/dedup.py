@@ -641,7 +641,7 @@ def minhash_sig_frame(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     return v.select("doc_id", *keep, sig.alias("sig"))
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_lsh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: band the signature, hash each band, join on
     (band_idx, band_hash). Oracle-checked (signatures match DuckDB
     bit-for-bit); tests additionally assert candidates ⊇ all pairs with
@@ -694,6 +694,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                & ~earlier_band_matched)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
+
+
+
+# Session-materialized LSH candidate pair list — the knn_edges precedent
+# (cache.session_get) applied to the OTHER shared pair source (r11
+# verdict Next #2): dedup_minhash_lsh, the Levenshtein refine and the
+# MinHash-estimate-error report all consume the same banded-join output,
+# and each re-ran the full shingle→signature→band chain (~2 s at sf0.1)
+# to get a few-hundred-row pair list. At 100 TB this IS the candidate
+# file a dedup run writes next to the corpus; localCheckpoint is the
+# in-session stand-in, bounded by the banded-LSH output size.
+
+
+def lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized (doc_a, doc_b) MinHash-LSH candidate pairs,
+    computed at most once per (session, documents stamp)."""
+    from ..cache import session_get, stamp_key
+
+    return session_get(
+        "lsh_pairs",
+        stamp_key(spark, sf_dir, "documents"),
+        lambda: _minhash_lsh_frame(spark, sf_dir).localCheckpoint(),
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: the cached pair list (see lsh_pairs)."""
+    return lsh_pairs(spark, sf_dir)
 
 
 _SQL_MINHASH_SIG = ", ".join(
@@ -762,7 +790,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs on the ASCII-projected LEV_PREFIX-char prefix;
     sim = 1 - lev/max(len_a, len_b, 1), 6-dp rounded, thresholded on
     the rounded value so both engines keep the identical pair set."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = lsh_pairs(spark, sf_dir)
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -1660,7 +1688,7 @@ register("dedup_pagerank", sql=_pagerank_sql())(dedup_pagerank)
 
 def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(spark, sf_dir)
-    cand = dedup_minhash_lsh(spark, sf_dir)
+    cand = lsh_pairs(spark, sf_dir)
     true_j = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
     est = (
         F.size(

@@ -25,8 +25,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import session_get, stamp_key
 from ..registry import register
-from ..tables import file_stamp, load_table
+from ..tables import load_table, parquet_num_rows
 
 DIM = 64
 N_QUERIES = 20          # vec_id < 20 are the query set
@@ -306,6 +307,22 @@ _GEMM_BLOCK = 1024      # rows per GEMM block inside a cell (bounds memory)
 GEMM_MIN_ROWS = 100_000
 
 
+def _gemm_seam(spark: SparkSession, sf_dir: str, emb: DataFrame) -> bool:
+    """The gemm=None auto-seam decision WITHOUT a Spark job: the row
+    count comes from the parquet footer (cached per path+stamp), not an
+    emb.count() action — the count was a full-scan job paid on every
+    invocation of the two seam queries (r11 ADVICE). The footer counts
+    RAW rows where emb filters invalid/zero vectors, so the seam can
+    only flip EARLIER (footer ≥ filtered count) — harmless for a pure
+    performance threshold whose two sides are envelope-pinned equal.
+    Falls back to emb.count() only when no footer is readable (e.g. a
+    non-parquet test frame)."""
+    n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    if n is None:
+        n = emb.count()
+    return n >= GEMM_MIN_ROWS
+
+
 # Assignment-score quantizer, defined ONCE for both engines so the
 # tie-break mode cannot diverge: floor(x·1e6 + 0.5)/1e6 is half-UP in
 # numpy AND in any SQL engine (np.round is half-to-even, DuckDB's round
@@ -330,27 +347,18 @@ def _ivf_stride(n_vec: int) -> int:
 
 # Centroid broadcasts, one per (app, sf_dir, file stamp): repeated
 # invocations (bench loops, driver re-runs) reuse the broadcast instead
-# of accumulating new broadcast blocks on executors. Keyed by
-# applicationId so a new session never sees a stale handle, and by the
-# source file's (mtime, size) so rewriting embeddings.parquet in place
-# within one app re-collects instead of serving stale centroids.
-_CENTROID_BC: dict = {}
+# of accumulating new broadcast blocks on executors. Lifecycle lives in
+# cache.session_get: keyed by applicationId so a new session never sees
+# a stale handle, by the source file's stamp so an in-place rewrite
+# re-collects, superseded/dead-app entries unpersisted on insert.
 
 
 def _centroid_broadcast(spark: SparkSession, sf_dir: str):
     """(cell_ids, normalized centroid matrix) broadcast for sf_dir's
     embeddings, collected and shipped at most once per Spark app (per
-    file version — see _CENTROID_BC key note)."""
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        file_stamp(f"{sf_dir}/embeddings.parquet"),
-    )
-    if key not in _CENTROID_BC:
-        # drop superseded versions of the same (app, sf_dir) so a rewrite
-        # loop can't accumulate dead broadcast blocks on executors
-        for old in [k for k in _CENTROID_BC if k[:2] == key[:2]]:
-            _CENTROID_BC.pop(old).unpersist(blocking=False)
+    file version — see the session_get lifecycle note above)."""
+
+    def build():
         emb = load_vectors(spark, sf_dir, nonzero=True)
         stride = _ivf_stride(emb.count())
         cent = (
@@ -367,8 +375,14 @@ def _centroid_broadcast(spark: SparkSession, sf_dir: str):
             # a (0, 0) matrix keeps every downstream GEMM/assignment a
             # well-formed empty result instead of an axis error
             Cn = C.reshape(0, 0)
-        _CENTROID_BC[key] = spark.sparkContext.broadcast((cell_ids, Cn))
-    return _CENTROID_BC[key]
+        return spark.sparkContext.broadcast((cell_ids, Cn))
+
+    return session_get(
+        "centroid_bc",
+        stamp_key(spark, sf_dir, "embeddings"),
+        build,
+        release=lambda bc: bc.unpersist(blocking=False),
+    )
 
 
 def _top_cells_udf(bc, nprobe: int):
@@ -871,17 +885,16 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # In-session materialization of the kNN edge list, keyed like the
-# centroid/codebook broadcasts (app + sf_dir + file stamp). The graph
-# is the shared pair source of THREE registered queries (sim_knn_graph,
+# centroid/codebook broadcasts (cache.session_get: app + sf_dir + file
+# stamp, superseded/dead-app eviction). The graph is the shared pair
+# source of THREE registered queries (sim_knn_graph,
 # sim_mutual_knn_clusters, sim_semantic_survivors) plus the graph-ANN
 # search leg; without this each consumer re-ran the whole IVF
 # assign/probe/refine pipeline (~2.5 s of the semantic-survivors 4.3 s
 # solo wall at sf0.1, r11 profiling). At 100 TB the same object is the
 # kNN graph a pipeline builds once and STORES (the docstring contract
 # below); localCheckpoint is its in-session stand-in. Bounded: N·K
-# (vec_id, rank, neighbor_id, cos) rows. Superseded entries are
-# dropped; the ContextCleaner reclaims the checkpoint blocks.
-_KNN_EDGES: dict = {}
+# (vec_id, rank, neighbor_id, cos) rows.
 
 
 def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,16 +903,11 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamp) and truncated with localCheckpoint so downstream self-joins
     read N·K stored rows instead of re-executing the IVF pipeline per
     reference."""
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        file_stamp(f"{sf_dir}/embeddings.parquet"),
+    return session_get(
+        "knn_edges",
+        stamp_key(spark, sf_dir, "embeddings"),
+        lambda: sim_knn_graph(spark, sf_dir).localCheckpoint(),
     )
-    if key not in _KNN_EDGES:
-        for old in [k for k in _KNN_EDGES if k[:2] == key[:2]]:
-            del _KNN_EDGES[old]
-        _KNN_EDGES[key] = sim_knn_graph(spark, sf_dir).localCheckpoint()
-    return _KNN_EDGES[key]
 
 
 # Factored so the mutual-kNN clustering oracle (dedup.py) can nest the
@@ -1059,7 +1067,7 @@ def sim_ann_int8(
     asserts set EQUALITY of full result tuples."""
     emb = load_vectors(spark, sf_dir, nonzero=True)
     if gemm is None:
-        gemm = emb.count() >= GEMM_MIN_ROWS
+        gemm = _gemm_seam(spark, sf_dir, emb)
     if gemm:
         qrows = sorted(
             emb.filter(F.col("vec_id") < N_QUERIES)
@@ -1534,8 +1542,6 @@ register("embedding_pca_project")(embedding_pca_project)
 PQ_M = 8                     # subspaces; DIM/PQ_M = 8 dims each
 PQ_SUB = DIM // PQ_M
 
-_PQ_BC: dict = {}
-
 
 def _fold_sq_norm(X: "np.ndarray") -> "np.ndarray":
     """Row-wise squared norm with STRICT left-to-right accumulation —
@@ -1550,18 +1556,11 @@ def _fold_sq_norm(X: "np.ndarray") -> "np.ndarray":
 def _pq_codebook_broadcast(spark: SparkSession, sf_dir: str):
     """(code_ids, left-fold-normalized stride-vector matrix) broadcast:
     the PQ codebooks, one slice per subspace. Same lifecycle discipline
-    as _centroid_broadcast (keyed by app + file stamp, superseded
-    versions unpersisted); kept separate because the IVF broadcast
-    normalizes via np.linalg.norm, which is fine for ranking but not
-    for values that reach the output hash."""
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        file_stamp(f"{sf_dir}/embeddings.parquet"),
-    )
-    if key not in _PQ_BC:
-        for old in [k for k in _PQ_BC if k[:2] == key[:2]]:
-            _PQ_BC.pop(old).unpersist(blocking=False)
+    as _centroid_broadcast (cache.session_get); kept separate because
+    the IVF broadcast normalizes via np.linalg.norm, which is fine for
+    ranking but not for values that reach the output hash."""
+
+    def build():
         emb = load_vectors(spark, sf_dir, nonzero=True)
         stride = _ivf_stride(emb.count())
         rows = (
@@ -1575,8 +1574,14 @@ def _pq_codebook_broadcast(spark: SparkSession, sf_dir: str):
             Sn = S / np.sqrt(_fold_sq_norm(S))[:, None]
         else:
             Sn = S.reshape(0, 0)
-        _PQ_BC[key] = spark.sparkContext.broadcast((ids, Sn))
-    return _PQ_BC[key]
+        return spark.sparkContext.broadcast((ids, Sn))
+
+    return session_get(
+        "pq_codebook_bc",
+        stamp_key(spark, sf_dir, "embeddings"),
+        build,
+        release=lambda bc: bc.unpersist(blocking=False),
+    )
 
 
 def _pq_decode_udf(bc):
@@ -1885,7 +1890,7 @@ def embedding_rp_project(
     force a mode (tests; reproducing an oracle row at scale)."""
     emb = load_vectors(spark, sf_dir)
     if gemm is None:
-        gemm = emb.count() >= GEMM_MIN_ROWS
+        gemm = _gemm_seam(spark, sf_dir, emb)
     if gemm:
         R = np.array(_RP, dtype=np.float64)
         flat_schema = "vec_id long, " + ", ".join(
@@ -2240,30 +2245,53 @@ def graph_walk_frame(
     )
 
 
+def graph_walk_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized output of the corpus-query greedy walk —
+    (query_id, best_id, cos_graph, n_hops), UNORDERED. The walk is the
+    shared upstream of sim_ann_graph AND sim_ann_graph_recall (which
+    previously re-ran the whole 3-s walk the bench had just executed,
+    r11 verdict Next #2); its output is ≤N_QUERIES rows, so the
+    localCheckpoint stores a trivially small frame. Same lifecycle as
+    knn_edges (cache.session_get keyed on the embeddings stamp)."""
+
+    def build():
+        emb = load_vectors(spark, sf_dir, nonzero=True)
+        en = emb.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+        )
+        out_schema = (
+            "query_id long, best_id long, cos_graph double, n_hops int"
+        )
+        heads = [
+            r[0]
+            for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()
+        ]
+        if len(heads) < 2:
+            # <2 nodes: the only possible entry is the query itself —
+            # no walk exists; both engines emit nothing
+            return spark.createDataFrame([], out_schema)
+        edges = knn_edges(spark, sf_dir).select("vec_id", "neighbor_id")
+        queries = en.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("nrm").alias("qn"),
+        )
+        return graph_walk_frame(
+            queries, edges, en, heads[0], heads[1]
+        ).localCheckpoint()
+
+    return session_get(
+        "graph_walk", stamp_key(spark, sf_dir, "embeddings"), build
+    )
+
+
 def sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, best_id, cos_graph, n_hops) — the greedy best-first
     local optimum each query reaches on the kNN graph, with the hop
-    count it took. Uses the session-materialized edges (knn_edges), so
-    after any other graph consumer this is pure serving work."""
-    emb = load_vectors(spark, sf_dir, nonzero=True)
-    en = emb.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    out_schema = "query_id long, best_id long, cos_graph double, n_hops int"
-    heads = [r[0] for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()]
-    if len(heads) < 2:
-        # <2 nodes: the only possible entry is the query itself —
-        # no walk exists; both engines emit nothing
-        return spark.createDataFrame([], out_schema)
-    edges = knn_edges(spark, sf_dir).select("vec_id", "neighbor_id")
-    queries = en.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        F.col("nrm").alias("qn"),
-    )
-    return graph_walk_frame(queries, edges, en, heads[0], heads[1]).orderBy(
-        "query_id"
-    )
+    count it took. Uses the session-materialized edges (knn_edges) and
+    walk output (graph_walk_result), so after any other graph consumer
+    this is pure serving work."""
+    return graph_walk_result(spark, sf_dir).orderBy("query_id")
 
 
 def _sql_graph_step_cos(nv: str, nn: str) -> str:
@@ -2338,9 +2366,11 @@ def sim_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether a single graph entry point suffices or the deployment needs
     beam width / multiple seeds. Completes the recall family
     (probe path / codebook / composition / graph). Both sides reuse
-    their oracled constituents; the gap subtracts two values already on
-    the shared 9-dp grid and re-rounds to absorb representation noise."""
-    g = sim_ann_graph(spark, sf_dir)
+    their oracled constituents — the walk side reads the
+    session-materialized graph_walk_result instead of re-running the
+    walk; the gap subtracts two values already on the shared 9-dp grid
+    and re-rounds to absorb representation noise."""
+    g = graph_walk_result(spark, sf_dir)
     e1 = (
         sim_topk_cosine(spark, sf_dir)
         .filter(F.col("rank") == 1)

@@ -237,6 +237,35 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+@functools.lru_cache(maxsize=None)
+def _pq_num_rows_cached(path: str, stamp: tuple) -> int | None:
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    if _os.path.isdir(path):
+        parts = _list_parts(path)
+        if not parts:
+            return None
+        return sum(pq.read_metadata(p).num_rows for p in parts)
+    if _os.path.isfile(path):
+        return pq.read_metadata(path).num_rows
+    return None
+
+
+def parquet_num_rows(path: str) -> int | None:
+    """Total row count from the parquet FOOTER(s) — no Spark job, no data
+    read; cached per (path, stamp) like the ts-unit probe. None when the
+    path is absent or a footer is unreadable (callers fall back to a
+    count() action). Counts RAW rows: a caller whose frame filters rows
+    (e.g. nonzero-vector guards) gets an upper bound — fine for
+    threshold seams like GEMM_MIN_ROWS, wrong for exact cardinality."""
+    try:
+        return _pq_num_rows_cached(path, file_stamp(path))
+    except Exception:
+        return None
+
+
 # Spark's FileSourceScan packing defaults (spark.sql.files.*) — used as
 # fallbacks only; the live session's values are read per call (a session
 # that overrides them would otherwise get a silently wrong estimate and
