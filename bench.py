@@ -157,6 +157,7 @@ def compact_line(
     ingest_eps: float | None,
     cc_label_errors: int,
     artifact: str = "BENCH_LAST.json",
+    load1: list | None = None,
 ) -> str:
     """The guaranteed-parseable final stdout line: total + the serving
     queries + as many worst-by-wall-time queries as fit the budget,
@@ -179,6 +180,9 @@ def compact_line(
         "worst": {},
         "ingest_eps": ingest_eps,
         "cc_dist_label_errors": cc_label_errors,
+        # [load1 at start, load1 at end] vs n_cpus — the contention
+        # regime in the line the driver actually records
+        "load1": load1,
         "full": artifact,
     }
     for k in worst:
@@ -202,9 +206,54 @@ def compact_line(
     return line
 
 
+def sample_load() -> dict:
+    """Machine-load snapshot, so the artifact is self-describing about
+    the regime it ran under (the r11 verdict Next #3: driver-round runs
+    execute beside the test suite and read 1.2-2x slow on short
+    scan-bound queries; a judge should see "load 28/32" in the artifact
+    instead of reconstructing the regime from common-set ratios).
+    loadavg is the classic 1/5/15-min runqueue; cpu_some_avg10 is the
+    cgroup-aware PSI share (% of the last 10 s in which at least one
+    task stalled waiting for CPU) — the PSI number reacts in seconds,
+    so the before/after pair brackets the run."""
+    out: dict = {"ncpu": os.cpu_count()}
+    try:
+        out["loadavg"] = [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        out["loadavg"] = None
+    try:
+        with open("/proc/pressure/cpu") as f:
+            for ln in f:
+                parts = dict(
+                    kv.split("=") for kv in ln.split()[1:] if "=" in kv
+                )
+                out[f"cpu_{ln.split()[0]}_avg10"] = float(parts["avg10"])
+    except (OSError, ValueError, KeyError):
+        pass
+    return out
+
+
+def _git_head() -> str | None:
+    """HEAD commit of the repo this bench.py sits in — stamped into the
+    artifact so a promoted BENCH_FULL.json that predates the current
+    tree is detectable (r11 ADVICE: the curated artifact could silently
+    go stale once ordinary runs stopped overwriting it)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_before = sample_load()
     spark = get_spark("bench")
     qs = queries()
     timings: dict[str, float] = {}
@@ -340,6 +389,7 @@ def main() -> None:
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
+    load_after = sample_load()
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -357,6 +407,11 @@ def main() -> None:
         "cc_distributed_label_errors": dcc_bad,
         "ingest_events_per_sec": ingest_eps,
         "ingest_events_per_sec_peak": ingest_eps_peak,
+        # contention self-description (see sample_load): loadavg[0]
+        # near ncpu at 'before' = a concurrent suite/JVM was running and
+        # short scan-bound timings are inflated 1.2-2x (README protocol)
+        "load": {"before": load_before, "after": load_after},
+        "commit": _git_head(),
     }
     # Full per-query dump: an EARLIER stdout line plus an artifact file.
     # The driver captures only the last ~2000 chars of output and parses
@@ -386,6 +441,10 @@ def main() -> None:
     line = compact_line(
         total, timings, float(sf), RUNS, ingest_eps, dcc_bad,
         artifact=artifact,
+        load1=[
+            (lb or [None])[0]
+            for lb in (load_before.get("loadavg"), load_after.get("loadavg"))
+        ],
     )
     print(line, flush=True)
 

@@ -17,11 +17,15 @@ def _fake_timings(names):
 
 def test_compact_line_fits_and_parses_for_current_headline():
     timings = _fake_timings(HEADLINE)
-    line = compact_line(123.456, timings, 0.1, 2, 92252.1, 0)
+    line = compact_line(
+        123.456, timings, 0.1, 2, 92252.1, 0, load1=[31.12, 2.4]
+    )
     assert len(line) <= COMPACT_HARD_CAP
     d = json.loads(line)
     assert d["metric"] == "headline_queries_total_wall"
     assert d["n_queries"] == len(HEADLINE)
+    # the contention self-description must survive into the final line
+    assert d["load1"] == [31.12, 2.4]
     # every serving query present at 2dp
     for s in SERVING:
         assert s in d["queries"], s
