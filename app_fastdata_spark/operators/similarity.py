@@ -849,36 +849,76 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per side — the oracle reuses the shared en CTE."""
     emb = load_vectors(spark, sf_dir, nonzero=True)
     bc = _centroid_broadcast(spark, sf_dir)
-    assign = emb.select(
+    return _knn_graph_frame(emb, bc)
+
+
+def _ivf_assign_frame(emb: DataFrame, bc) -> DataFrame:
+    """(vec_id, embedding, nrm, cell_id) — each vector stored in its
+    top-1 cell under quantizer `bc`: the IVF index layout itself."""
+    return emb.select(
         "vec_id",
         "embedding",
         norm(F.col("embedding")).alias("nrm"),
         _top_cells_udf(bc, 1)("embedding")[0].alias("cell_id"),
     )
+
+
+def _ivf_probe_frame(emb: DataFrame, bc) -> DataFrame:
+    """(query_id, qvec, qn, cell_id) — each vector exploded across its
+    nprobe nearest cells under quantizer `bc`: the stored probe lists
+    reverse maintenance needs (which cells each vertex LOOKS AT)."""
     nprobe = min(IVF_NPROBE, len(bc.value[0]))
-    probes = emb.select(
+    return emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         norm(F.col("embedding")).alias("qn"),
         F.explode(_top_cells_udf(bc, nprobe)("embedding")).alias("cell_id"),
     )
-    scored = (
+
+
+def _score_probe_pairs(probes: DataFrame, assign: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, cos) for every (probe, assigned-vector)
+    pair that shares a cell — the single co-located equi-join both the
+    batch build and the incremental delta scoring run."""
+    return (
         probes.join(assign, "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cos",
-            dot(F.col("qvec"), F.col("embedding"))
-            / (F.col("qn") * F.col("nrm")),
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+
+
+def _knn_graph_frame(
+    emb: DataFrame, bc, rank_on_grid: bool = False
+) -> DataFrame:
+    """The batch kNN-graph build against an EXPLICIT quantizer — shared
+    by sim_knn_graph (quantizer from the same corpus) and the
+    incremental-maintenance twins (quantizer frozen on the base corpus
+    while emb has grown). rank_on_grid=True ranks candidates on the
+    9-dp ROUNDED cosine — the stored-index grid the incremental
+    maintenance and its oracle rank on (see the maintenance contract
+    note below); the default ranks on the raw double like the
+    sim_knn_graph oracle."""
+    scored = _score_probe_pairs(_ivf_probe_frame(emb, bc),
+                                _ivf_assign_frame(emb, bc))
+    if rank_on_grid:
+        scored = scored.withColumn("cos", F.round("cos", 9))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
         .select(
             F.col("query_id").alias("vec_id"),
             "rank",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             F.round("cos", 9).alias("cos"),
         )
     )
@@ -968,6 +1008,211 @@ _KNN_SQL = f"""
 # that runs sim_mutual_knn_clusters / sim_semantic_survivors before (or
 # after) this query pays for the IVF pipeline exactly once.
 register("sim_knn_graph", sql=_KNN_SQL)(knn_edges)
+
+
+# --- incremental kNN-graph maintenance (insert at ingest) -------------------
+# The vector-store analogue of the reference's incremental view
+# maintenance (db/ddl.sql:92-143 — counts maintained per arriving event,
+# never recomputed): arriving vectors are INSERTED into the stored kNN
+# graph instead of triggering a rebuild. The coarse quantizer is FROZEN
+# at base-build time (the ST7 hot-model contract — retraining the
+# quantizer is a model swap, a new index stamp), which is what makes the
+# maintenance EXACT: under a fixed quantizer, a vertex's candidate set
+# only ever GROWS, so its new top-K is derivable from its stored top-K
+# plus the delta — a candidate outside the old top-K can never re-enter
+# (K better candidates existed then and still exist).
+#
+# Per-batch work is delta-bounded, never corpus-sized: arriving vectors
+# score against the contents of their probe cells (|B|·cell·nprobe
+# dots, one co-located equi-join on cell_id), existing vertices gain
+# candidates only from arrivals landing in their STORED probe lists
+# (the same equi-join with sides swapped), and only TOUCHED vertices
+# re-rank — untouched adjacency rows pass through by anti-join. At 10⁹
+# vectors a micro-batch touches O(|B|·√N) stored rows; the corpus scan
+# appears nowhere. Ranking uses the stored 9-dp scores (the index IS
+# the 9-dp grid — both the oracle and the batch twin rank on the same
+# grid, so the contract has no unrounded shadow ranking; a pair of true
+# cosines within 5e-10 of each other collapsing to a tiebreak is the
+# documented quantization of the stored index, not a bug).
+
+INC_ARRIVAL_MOD = 7
+INC_ARRIVAL_REM = 3     # arrivals for the registered split: vec_id%7==3
+
+
+def _arrival_pred() -> Column:
+    return F.col("vec_id") % INC_ARRIVAL_MOD == INC_ARRIVAL_REM
+
+
+def _centroid_broadcast_from(spark: SparkSession, base: DataFrame):
+    """Quantizer frozen on an explicit base frame: same stride/member
+    convention as _centroid_broadcast (every ⌊√N⌋-th vec_id of the
+    base), same normalization, but NOT tied to the whole-corpus file —
+    the base-index builder collects it once per session via the
+    inc_index store."""
+    stride = _ivf_stride(base.count())
+    cent = (
+        base.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cell_ids = np.array([r.vec_id for r in cent], dtype=np.int64)
+    C = np.array([r.embedding for r in cent], dtype=np.float64)
+    Cn = (
+        C / np.linalg.norm(C, axis=1, keepdims=True)
+        if C.size
+        else C.reshape(0, 0)
+    )
+    return spark.sparkContext.broadcast((cell_ids, Cn))
+
+
+def knn_graph_insert_frame(
+    edges: DataFrame,
+    assign: DataFrame,
+    probes: DataFrame,
+    arriving: DataFrame,
+    bc,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One insert step: (edges, assign, probes) is the stored index,
+    `arriving` a (vec_id, embedding) batch of NEW vectors (insert, not
+    upsert — ids are assumed fresh), `bc` the frozen quantizer.
+    Returns the post-insert (edges', assign', probes') — same schemas,
+    so steps chain across micro-batches."""
+    arr = arriving.filter(vec_valid() & vec_nonzero()).select(
+        "vec_id", "embedding"
+    )
+    arr_assign = _ivf_assign_frame(arr, bc)
+    arr_probes = _ivf_probe_frame(arr, bc)
+    new_assign = assign.unionByName(arr_assign)
+    new_probes = probes.unionByName(arr_probes)
+    # forward delta: each arrival scores the FULL contents of its probe
+    # cells (base + this batch's arrivals — arr-arr pairs land here);
+    # reverse delta: stored probe lists catch arrivals landing in them
+    delta = _score_probe_pairs(arr_probes, new_assign).unionByName(
+        _score_probe_pairs(probes, arr_assign)
+    ).select("query_id", "neighbor_id", F.round("cos", 9).alias("cos"))
+    touched = delta.select(F.col("query_id").alias("vec_id")).distinct()
+    kept = edges.join(touched, "vec_id", "left_anti")
+    rerank_in = (
+        edges.join(touched, "vec_id", "left_semi")
+        .select(
+            F.col("vec_id").alias("query_id"), "neighbor_id", "cos"
+        )
+        .unionByName(delta)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    reranked = (
+        rerank_in.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(F.col("query_id").alias("vec_id"), "rank", "neighbor_id",
+                "cos")
+    )
+    return kept.unionByName(reranked), new_assign, new_probes
+
+
+def inc_base_index(spark: SparkSession, sf_dir: str):
+    """The session-materialized base index of the registered incremental
+    split: quantizer, cell store, probe lists and graph built from the
+    base subset (vec_id % 7 != 3) — what a deployment has on disk
+    before the day's arrivals show up."""
+
+    def build():
+        base = load_vectors(spark, sf_dir, nonzero=True).filter(
+            ~_arrival_pred()
+        )
+        bc = _centroid_broadcast_from(spark, base)
+        assign = _ivf_assign_frame(base, bc).localCheckpoint()
+        probes = _ivf_probe_frame(base, bc).localCheckpoint()
+        edges = _knn_graph_frame(base, bc, rank_on_grid=True).localCheckpoint()
+        return (edges, assign, probes, bc)
+
+    return session_get(
+        "inc_index", stamp_key(spark, sf_dir, "embeddings"), build
+    )
+
+
+def sim_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, rank, neighbor_id, cos) — the kNN graph after the
+    held-out arrivals (vec_id % 7 == 3) are INSERTED into the stored
+    base index, one maintenance step against the frozen base quantizer.
+    The oracle computes the same object the other way — a direct batch
+    build over the grown corpus with centroids/stride pinned to the
+    base subset — so a green row certifies the maintenance algebra
+    end-to-end across engines."""
+    edges, assign, probes, bc = inc_base_index(spark, sf_dir)
+    arrivals = load_vectors(spark, sf_dir, nonzero=True).filter(
+        _arrival_pred()
+    )
+    out, _, _ = knn_graph_insert_frame(edges, assign, probes, arrivals, bc)
+    return out.orderBy("vec_id", "rank")
+
+
+# The oracle is _KNN_SQL with ONE change: stride and centroid membership
+# come from the base subset (the frozen quantizer), while assign/probes/
+# scored run over the full corpus — i.e. the batch rebuild the insert
+# must reproduce. Ranking happens on the 9-dp stored grid on BOTH
+# engines (see the maintenance contract note above).
+_KNN_INC_SQL = f"""
+    WITH {SQL_EMB_CTE},
+    {SQL_EN_CTE},
+    base AS (
+      SELECT * FROM en
+      WHERE vec_id % {INC_ARRIVAL_MOD} <> {INC_ARRIVAL_REM}
+    ),
+    stride AS (
+      SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s
+      FROM base
+    ),
+    centroids AS (
+      SELECT vec_id AS cell_id, embedding AS cvec, nrm AS cnrm FROM base
+      WHERE vec_id % (SELECT s FROM stride) = 0
+    ),
+    assign AS (
+      SELECT vec_id, embedding, nrm, cell_id FROM (
+        SELECT e.vec_id, e.embedding, e.nrm, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_q_assign(
+                     _sql_cos_n("e.embedding", "e.nrm", "c.cvec", "c.cnrm"))}
+                          DESC, c.cell_id
+               ) AS rn
+        FROM en e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, qn, cell_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, e.nrm AS qn,
+               c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_q_assign(
+                     _sql_cos_n("e.embedding", "e.nrm", "c.cvec", "c.cnrm"))}
+                          DESC, c.cell_id
+               ) AS rn
+        FROM en e CROSS JOIN centroids c
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round({_sql_cos_n("p.qvec", "p.qn", "a.embedding", "a.nrm")},
+                   9) AS cos
+      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id AS vec_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS INTEGER)
+             AS rank,
+           neighbor_id, cos
+    FROM scored
+    QUALIFY rank <= {KNN_K}
+    ORDER BY vec_id, rank
+    """
+
+register("sim_knn_graph_incremental", sql=_KNN_INC_SQL)(
+    sim_knn_graph_incremental
+)
 
 
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2156,39 +2401,13 @@ register(
 GRAPH_MAX_HOPS = 8
 
 
-def graph_walk_frame(
-    queries: DataFrame,
-    edges: DataFrame,
-    en: DataFrame,
-    e0: int,
-    e1: int,
-) -> DataFrame:
-    """The greedy walk itself over an arbitrary (query_id, qvec, qn)
-    frame — factored so the batch query (sim_ann_graph) and the
-    ingest-time serving twin (streaming.pipeline.graph_search_stream)
-    run the IDENTICAL unrolled loop against the same stored edges.
-    Entry seeding: e0 unless the query IS e0, then e1 (the two smallest
-    node ids, computed by the caller from the static corpus)."""
-    state = (
-        queries.withColumn(
-            "node",
-            F.when(F.col("query_id") == e0, F.lit(e1)).otherwise(F.lit(e0)),
-        )
-        .join(en.alias("n"), F.col("node") == F.col("n.vec_id"))
-        .select(
-            "query_id",
-            "qvec",
-            "qn",
-            "node",
-            F.round(
-                dot(F.col("qvec"), F.col("n.embedding"))
-                / (F.col("qn") * F.col("n.nrm")),
-                9,
-            ).alias("cos"),
-            F.lit(0).alias("n_hops"),
-        )
-        .localCheckpoint()
-    )
+def _walk_loop(state: DataFrame, edges: DataFrame, en: DataFrame) -> DataFrame:
+    """The unrolled greedy descent over a prepared (query_id, seed,
+    qvec, qn, node, cos, n_hops) state frame — each (query_id, seed)
+    pair walks independently, so the single-entry walk (seed=0
+    everywhere) and the multi-seed variant run the IDENTICAL loop with
+    the same per-hop cost shape: one equi-join into the stored
+    adjacency list, Q·S·K candidate scores, Q·S-row state."""
     for _ in range(GRAPH_MAX_HOPS):
         nbr = (
             state.alias("s")
@@ -2204,7 +2423,7 @@ def graph_walk_frame(
                 ),
             )
         )
-        w = Window.partitionBy("s.query_id").orderBy(
+        w = Window.partitionBy("s.query_id", "s.seed").orderBy(
             F.desc("ncos"), F.asc("e.neighbor_id")
         )
         best = (
@@ -2214,18 +2433,20 @@ def graph_walk_frame(
             .filter((F.col("rn") == 1) & (F.col("ncos") > F.col("s.cos")))
             .select(
                 F.col("s.query_id").alias("query_id"),
+                F.col("s.seed").alias("seed"),
                 F.col("e.neighbor_id").alias("bid"),
                 "ncos",
             )
             .localCheckpoint()
         )
         if best.isEmpty():
-            break  # every query is at its local optimum; stay-steps are no-ops
+            break  # every walk is at its local optimum; stay-steps are no-ops
         state = (
             state.alias("s")
-            .join(best.alias("b"), "query_id", "left")
+            .join(best.alias("b"), ["query_id", "seed"], "left")
             .select(
                 "query_id",
+                "seed",
                 "qvec",
                 "qn",
                 F.coalesce(F.col("b.bid"), F.col("s.node")).alias("node"),
@@ -2237,7 +2458,44 @@ def graph_walk_frame(
             )
             .localCheckpoint()
         )
-    return state.select(
+    return state
+
+
+def graph_walk_frame(
+    queries: DataFrame,
+    edges: DataFrame,
+    en: DataFrame,
+    e0: int,
+    e1: int,
+) -> DataFrame:
+    """The single-entry greedy walk over an arbitrary (query_id, qvec,
+    qn) frame — factored so the batch query (sim_ann_graph) and the
+    ingest-time serving twin (streaming.pipeline.graph_search_stream)
+    run the IDENTICAL unrolled loop against the same stored edges.
+    Entry seeding: e0 unless the query IS e0, then e1 (the two smallest
+    node ids, computed by the caller from the static corpus)."""
+    state = (
+        queries.withColumn(
+            "node",
+            F.when(F.col("query_id") == e0, F.lit(e1)).otherwise(F.lit(e0)),
+        )
+        .join(en.alias("n"), F.col("node") == F.col("n.vec_id"))
+        .select(
+            "query_id",
+            F.lit(0).alias("seed"),
+            "qvec",
+            "qn",
+            "node",
+            F.round(
+                dot(F.col("qvec"), F.col("n.embedding"))
+                / (F.col("qn") * F.col("n.nrm")),
+                9,
+            ).alias("cos"),
+            F.lit(0).alias("n_hops"),
+        )
+        .localCheckpoint()
+    )
+    return _walk_loop(state, edges, en).select(
         "query_id",
         F.col("node").alias("best_id"),
         F.col("cos").alias("cos_graph"),
@@ -2427,3 +2685,239 @@ register(
     ORDER BY g.query_id
     """,
 )(sim_ann_graph_recall)
+
+
+# --- multi-seed graph search (the entry-point adjudication) -----------------
+# The single-entry recall artifact answered the question it was built to
+# answer (r11 verdict Next #6), and the answer is NO: recall@1 is 0/20
+# at BOTH sf0.01 and sf0.1 (avg cos_gap ~0.22/0.26, walks terminating
+# after ~1.3 hops). The testdata embeddings are near-isotropic and the
+# stored graph has degree KNN_K=3, so a greedy descent from one fixed
+# entry point hits a local optimum almost immediately — the classic
+# low-degree navigability failure. The production levers are graph
+# degree (DiskANN/HNSW serve at 32-64) and search width; at FIXED
+# degree the oracle-expressible width lever is MULTI-SEED (independent
+# walks from S deterministic entry points, best final state wins) —
+# true beam search needs cross-branch dedup inside the recursive step,
+# which a DuckDB recursive member cannot express (no window/aggregate
+# over the working table), so beam would be a rows-only operator while
+# multi-seed keeps the full value-hash oracle with the same
+# deterministic-tiebreak contract.
+# Measured effect at GRAPH_SEEDS=4 (the recall twin below is the
+# standing artifact; adjudication): hits 0/20 -> 1/20 at sf0.01 and
+# 0/20 -> 0/20 at sf0.1, avg cos_gap roughly HALVED (0.221 -> 0.117
+# and 0.265 -> 0.164) — width helps exactly as theory predicts but
+# cannot rescue a degree-3 graph over isotropic vectors; a deployment
+# wanting recall>0.9 raises the graph degree (KNN_K) first and adds
+# width second. The K=3 testdata graph is the correctness scaffold for
+# the walk/maintenance algebra, not a recall benchmark.
+
+GRAPH_SEEDS = 4
+
+
+def _seeded_queries(en: DataFrame) -> DataFrame:
+    """(query_id, seed, qvec, qn, entry): each query paired with the
+    GRAPH_SEEDS smallest node ids that are not the query itself —
+    deterministic, corpus-derived entry points (the fixed-entry
+    convention of the single-seed walk, widened)."""
+    heads = (
+        en.select("vec_id").orderBy("vec_id").limit(GRAPH_SEEDS + 1)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("entry"))
+    return (
+        en.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("nrm").alias("qn"),
+        )
+        .join(
+            F.broadcast(heads.select(F.col("vec_id").alias("entry"))),
+            F.col("entry") != F.col("query_id"),
+        )
+        .withColumn("seed", F.row_number().over(w))
+        .filter(F.col("seed") <= GRAPH_SEEDS)
+    )
+
+
+def sim_ann_graph_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, best_id, cos_graph, n_hops, seed) — the best local
+    optimum across GRAPH_SEEDS independent greedy walks per query; seed
+    is the 1-based rank of the winning entry point. Ties across seeds
+    resolve by (cos DESC, node ASC, n_hops ASC, seed ASC) on both
+    engines. Runs over the same session-materialized edge list as the
+    single-seed walk; per-hop cost is Q·S·K candidate scores."""
+    emb = load_vectors(spark, sf_dir, nonzero=True)
+    en = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    seeded = _seeded_queries(en)
+    edges = knn_edges(spark, sf_dir).select("vec_id", "neighbor_id")
+    state = (
+        seeded.join(en.alias("n"), F.col("entry") == F.col("n.vec_id"))
+        .select(
+            "query_id",
+            "seed",
+            "qvec",
+            "qn",
+            F.col("entry").alias("node"),
+            F.round(
+                dot(F.col("qvec"), F.col("n.embedding"))
+                / (F.col("qn") * F.col("n.nrm")),
+                9,
+            ).alias("cos"),
+            F.lit(0).alias("n_hops"),
+        )
+        .localCheckpoint()
+    )
+    final = _walk_loop(state, edges, en)
+    wbest = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("node"), F.asc("n_hops"), F.asc("seed")
+    )
+    return (
+        final.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("node").alias("best_id"),
+            F.col("cos").alias("cos_graph"),
+            F.col("n_hops").cast("int").alias("n_hops"),
+            F.col("seed").cast("int").alias("seed"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# Same structure as _GRAPH_SQL with the walk keyed on (query_id, seed):
+# gq pairs each query with its GRAPH_SEEDS smallest non-self entries,
+# the recursive member carries the seed through, and the closing
+# QUALIFY picks the per-seed terminal state then the cross-seed best.
+_GRAPH_MULTI_SQL = f"""
+    WITH RECURSIVE gen AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings WHERE {SQL_EMB_UNIT}
+    ),
+    knn AS MATERIALIZED ({_KNN_SQL}),
+    heads AS (
+      SELECT vec_id FROM gen ORDER BY vec_id LIMIT {GRAPH_SEEDS + 1}
+    ),
+    gq AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, e.nrm AS qn,
+               h.vec_id AS entry,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY h.vec_id) AS seed
+        FROM gen e JOIN heads h ON h.vec_id <> e.vec_id
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE seed <= {GRAPH_SEEDS}
+    ),
+    walk(query_id, seed, node, cos, n_hops) AS (
+      SELECT q.query_id, q.seed, q.entry,
+             round({_sql_cos_n("q.qvec", "q.qn", "n.embedding", "n.nrm")}, 9),
+             0
+      FROM gq q JOIN gen n ON n.vec_id = q.entry
+      UNION ALL
+      SELECT w.query_id, w.seed, e.neighbor_id,
+             {_sql_graph_step_cos("n.embedding", "n.nrm")},
+             w.n_hops + 1
+      FROM walk w
+      JOIN gq q ON q.query_id = w.query_id AND q.seed = w.seed
+      JOIN knn e ON e.vec_id = w.node AND e.neighbor_id <> w.query_id
+      JOIN gen n ON n.vec_id = e.neighbor_id
+      WHERE w.n_hops < {GRAPH_MAX_HOPS}
+        AND {_sql_graph_step_cos("n.embedding", "n.nrm")} > w.cos
+        AND NOT EXISTS (
+          SELECT 1 FROM knn e2 JOIN gen n2 ON n2.vec_id = e2.neighbor_id
+          WHERE e2.vec_id = w.node AND e2.neighbor_id <> w.query_id
+            AND ({_sql_graph_step_cos("n2.embedding", "n2.nrm")}
+                   > {_sql_graph_step_cos("n.embedding", "n.nrm")}
+                 OR ({_sql_graph_step_cos("n2.embedding", "n2.nrm")}
+                       = {_sql_graph_step_cos("n.embedding", "n.nrm")}
+                     AND e2.neighbor_id < e.neighbor_id))
+        )
+    ),
+    finals AS (
+      SELECT query_id, seed, node, cos, n_hops
+      FROM walk
+      QUALIFY row_number() OVER (PARTITION BY query_id, seed
+                                 ORDER BY n_hops DESC) = 1
+    )
+    SELECT query_id, node AS best_id, cos AS cos_graph,
+           CAST(n_hops AS INTEGER) AS n_hops, CAST(seed AS INTEGER) AS seed
+    FROM finals
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, node, n_hops, seed) = 1
+    ORDER BY query_id
+    """
+
+register("sim_ann_graph_multiseed", sql=_GRAPH_MULTI_SQL)(
+    sim_ann_graph_multiseed
+)
+
+
+def sim_ann_graph_multiseed_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(query_id, graph_best, exact_best, hit, cos_gap) — recall@1 of
+    the multi-seed walk against the exact optimum: the adjudication
+    artifact for the entry-point question (see the section note above
+    for the measured single- vs multi-seed numbers)."""
+    g = sim_ann_graph_multiseed(spark, sf_dir)
+    e1 = (
+        sim_topk_cosine(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("exact_best"),
+            F.col("cos").alias("exact_cos"),
+        )
+    )
+    return (
+        g.join(e1, "query_id")
+        .select(
+            "query_id",
+            F.col("best_id").alias("graph_best"),
+            "exact_best",
+            (F.col("best_id") == F.col("exact_best")).cast("int").alias("hit"),
+            F.round(F.col("exact_cos") - F.col("cos_graph"), 9).alias(
+                "cos_gap"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+register(
+    "sim_ann_graph_multiseed_recall",
+    # y-prefixed exact-side CTEs: disjoint from the nested multi-seed
+    # walk's scopes (gen/gq/knn/heads/walk/finals + _KNN_SQL's own).
+    sql=f"""
+    WITH graph AS MATERIALIZED ({_GRAPH_MULTI_SQL}),
+    yen AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings WHERE {SQL_EMB_UNIT}
+    ),
+    yq AS (
+      SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM yen
+      WHERE vec_id < {N_QUERIES}
+    ),
+    yscored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cos_n("q.qvec", "q.qn", "e.embedding", "e.nrm")} AS cos
+      FROM yq q JOIN yen e ON e.vec_id <> q.query_id
+    ),
+    ybest AS (
+      SELECT query_id, neighbor_id AS exact_best, round(cos, 9) AS exact_cos
+      FROM yscored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) = 1
+    )
+    SELECT g.query_id, g.best_id AS graph_best, y.exact_best,
+           CAST(g.best_id = y.exact_best AS INTEGER) AS hit,
+           round(y.exact_cos - g.cos_graph, 9) AS cos_gap
+    FROM graph g JOIN ybest y ON y.query_id = g.query_id
+    ORDER BY g.query_id
+    """,
+)(sim_ann_graph_multiseed_recall)

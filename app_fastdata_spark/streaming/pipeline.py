@@ -769,7 +769,11 @@ def graph_search_stream(
     precedent) — batch/stream parity is the same function by
     construction, pinned by test anyway. Stateless across batches: the
     graph is static, a query's answer depends only on its own vector.
-    Rebuilding the graph = new knn_edges stamp (a model swap)."""
+    Rebuilding the graph = new knn_edges stamp (a model swap), and the
+    swap takes effect on the NEXT micro-batch: graph resolution happens
+    inside the batch callback, gated by a per-batch stamp check (a
+    driver-side stat, no Spark job), so a long-running stream picks up
+    a rebuilt index without a query restart (r11 ADVICE)."""
     from ..operators.similarity import (
         graph_walk_frame,
         knn_edges,
@@ -778,30 +782,82 @@ def graph_search_stream(
         vec_nonzero,
         vec_valid,
     )
+    from ..tables import file_stamp
 
-    emb = load_vectors(spark, sf_dir, nonzero=True)
-    en = emb.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    heads = [
-        r[0] for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()
-    ]
-    edges = knn_edges(spark, sf_dir).select("vec_id", "neighbor_id")
+    model: dict = {"stamp": None}
+
+    def _resolve() -> None:
+        stamp = file_stamp(f"{sf_dir}/embeddings.parquet")
+        if model["stamp"] == stamp:
+            return
+        emb = load_vectors(spark, sf_dir, nonzero=True)
+        en = emb.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+        )
+        model["en"] = en
+        model["heads"] = [
+            r[0]
+            for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()
+        ]
+        model["edges"] = knn_edges(spark, sf_dir).select(
+            "vec_id", "neighbor_id"
+        )
+        model["stamp"] = stamp
 
     def _walk_batch(batch: DataFrame, _epoch: int) -> None:
-        if len(heads) < 2:
+        _resolve()
+        if len(model["heads"]) < 2:
             return  # <2 graph nodes: no walk exists (batch-twin contract)
         q = batch.filter(vec_valid() & vec_nonzero()).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
             norm(F.col("embedding")).alias("qn"),
         )
-        graph_walk_frame(q, edges, en, heads[0], heads[1]).write.mode(
-            "append"
-        ).parquet(output_path)
+        graph_walk_frame(
+            q, model["edges"], model["en"], model["heads"][0],
+            model["heads"][1],
+        ).write.mode("append").parquet(output_path)
 
     return (
         vectors.writeStream.foreachBatch(_walk_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def graph_insert_stream(
+    spark: SparkSession, sf_dir: str, vectors: DataFrame, output_path: str
+):
+    """Graph-index MAINTENANCE at ingest — the leg graph_search_stream
+    serves but never wrote (r11 verdict Next #5): each arriving vector
+    batch is INSERTED into the stored kNN graph via the exact
+    frozen-quantizer maintenance step (similarity.
+    knn_graph_insert_frame — the reference's incremental-view-
+    maintenance discipline, db/ddl.sql:92-143, applied to the vector
+    index). State across batches is the index triple itself
+    (edges/assign/probes), localCheckpointed and swapped per batch like
+    the walk state; after every batch the post-insert edge list is
+    REWRITTEN to output_path — the index file a cold reader (or the
+    search stream after a swap) picks up. Per-batch cost is
+    delta-bounded (|B|·cell·nprobe scores + touched-vertex re-rank);
+    the corpus is never rescanned. Retraining the quantizer = rebuild
+    the base index (a model swap), exactly ST7."""
+    from ..operators.similarity import inc_base_index, knn_graph_insert_frame
+
+    edges0, assign0, probes0, bc = inc_base_index(spark, sf_dir)
+    state = {"edges": edges0, "assign": assign0, "probes": probes0}
+
+    def _insert_batch(batch: DataFrame, _epoch: int) -> None:
+        e2, a2, p2 = knn_graph_insert_frame(
+            state["edges"], state["assign"], state["probes"], batch, bc
+        )
+        state["edges"] = e2.localCheckpoint()
+        state["assign"] = a2.localCheckpoint()
+        state["probes"] = p2.localCheckpoint()
+        state["edges"].write.mode("overwrite").parquet(output_path)
+
+    return (
+        vectors.writeStream.foreachBatch(_insert_batch)
         .trigger(availableNow=True)
         .start()
     )

@@ -127,6 +127,13 @@ HEADLINE = [
     "sim_ann_graph_recall",
     # round-11 addition: Levenshtein refine over the LSH candidates
     "dedup_edit_distance",
+    # round-12 additions: one exact frozen-quantizer maintenance step —
+    # the held-out arrivals inserted into the stored base graph — and
+    # the multi-seed walk + its recall twin (the entry-point
+    # adjudication artifacts)
+    "sim_knn_graph_incremental",
+    "sim_ann_graph_multiseed",
+    "sim_ann_graph_multiseed_recall",
 ]
 
 

@@ -1322,6 +1322,89 @@ def test_graph_search_stream_matches_batch(spark, sf_dir, tmp_path):
     assert g == want and g
 
 
+def test_graph_insert_stream_matches_batch_rebuild(spark, sf_dir, tmp_path):
+    """Graph-index maintenance at ingest: streaming the held-out
+    arrivals (vec_id % 7 == 3) into the stored base index across TWO
+    micro-batches must leave an edge set EXACTLY equal to the batch
+    rebuild over the grown corpus with the same frozen quantizer —
+    i.e. set-equality with the oracled sim_knn_graph_incremental. This
+    pins that (a) the per-batch insert step chains (batch-2 arrivals
+    see batch-1 arrivals as candidates AND as graph vertices),
+    (b) reverse maintenance fires (a base vertex's adjacency updated by
+    an arrival landing in its probe cells), and (c) the rewritten index
+    file at output_path is the full post-insert graph."""
+    import os
+    import time
+
+    from app_fastdata_spark.operators.similarity import (
+        INC_ARRIVAL_MOD,
+        INC_ARRIVAL_REM,
+        KNN_K,
+        inc_base_index,
+        load_vectors,
+        sim_knn_graph_incremental,
+    )
+    from app_fastdata_spark.tables import SCHEMAS
+
+    arrivals = load_vectors(spark, sf_dir, nonzero=True).filter(
+        F.col("vec_id") % INC_ARRIVAL_MOD == INC_ARRIVAL_REM
+    ).select("vec_id", "embedding", "label")
+    d = str(tmp_path / "arrivals")
+    os.makedirs(d)
+    arrivals.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+    time.sleep(1.1)  # distinct mtimes: file-source batch order is by mtime
+    arrivals.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/embeddings.parquet")
+
+    out = str(tmp_path / "graph_index")
+    stream = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/embeddings.parquet")
+    )
+    q = P.graph_insert_stream(spark, sf_dir, stream, out)
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_batches >= 2  # the insert step genuinely chained
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {
+        tuple(r) for r in sim_knn_graph_incremental(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+    # reverse maintenance fired: some BASE vertex's adjacency now
+    # contains an arrival neighbor (per-batch-independent insertion of
+    # arrivals could never rewrite a base vertex's row)
+    base_edges = {tuple(r) for r in inc_base_index(spark, sf_dir)[0].collect()}
+    updated_base = {
+        (v, r, n, c)
+        for (v, r, n, c) in got
+        if v % INC_ARRIVAL_MOD != INC_ARRIVAL_REM
+        and n % INC_ARRIVAL_MOD == INC_ARRIVAL_REM
+    }
+    assert updated_base and base_edges != got
+
+    # bounded-degree invariant: every vertex has at most KNN_K
+    # out-edges with contiguous ranks 1..deg, no self-loops, no dup
+    # neighbors — the structural contract a degree-bounded ANN graph
+    # store relies on
+    by_vec: dict = {}
+    for (v, r, n, c) in got:
+        by_vec.setdefault(v, []).append((r, n))
+        assert v != n
+    for v, rows in by_vec.items():
+        ranks = sorted(r for r, _ in rows)
+        assert len(rows) <= KNN_K
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len({n for _, n in rows}) == len(rows)
+
+
 def test_pq_encode_stream_empty_codebook_emits_nothing(spark, sf_dir):
     """A (0, 0) codebook (possible when no nonzero vec_id is divisible
     by the stride) must make the streaming encode gate emit ZERO rows
