@@ -1288,10 +1288,24 @@ def _quantize_np(X: np.ndarray) -> np.ndarray:
     np.round is half-to-EVEN, which would diverge from Spark/DuckDB
     round() exactly on the engineered .5 ties the PQ fuzz corpora
     plant. Quantized magnitudes are ≤127ish, so the +0.5 trick cannot
-    lose precision."""
+    lose precision in the INTEGER part — but the SUM a+0.5 itself can
+    round up across a boundary when a sits 1 ULP below a .5 tie
+    (0.49999999999999994 + 0.5 == 1.0 in IEEE, while Spark's
+    BigDecimal-backed round() and DuckDB's binary-value round() both
+    give 0 — the r11 ADVICE hole). The explicit correction backs off
+    exactly those over-rounds: a < r - 0.5 can only be true when the
+    fp SUM crossed a boundary a's own value sits below. The comparison
+    is exact — r - 0.5 is exactly representable for every integer r
+    the int8 range produces (r ≤ ~127), unlike r - a, whose
+    subtraction re-rounds at the very boundary in question. The
+    opposite error cannot occur: a true sum ≥ k+1 never rounds below
+    k+1, so under-rounding needs no correction."""
     s = np.maximum(np.abs(X).max(axis=1), 1e-30) / 127.0
     V = X / s[:, None]
-    return (np.sign(V) * np.floor(np.abs(V) + 0.5)).astype(np.int64)
+    a = np.abs(V)
+    r = np.floor(a + 0.5)
+    r = np.where(a < r - 0.5, r - 1.0, r)
+    return (np.sign(V) * r).astype(np.int64)
 
 
 def sim_ann_int8(

@@ -2283,7 +2283,12 @@ def test_int8_gemm_path_is_exact(spark, sf_dir):
 def test_quantize_np_half_up_on_ties():
     """Pin the rounding mode of the numpy quantizer twin on exact .5
     quotients, both signs — the one place np.round would silently
-    disagree with Spark/DuckDB round()."""
+    disagree with Spark/DuckDB round() — AND on quotients sitting 1 ULP
+    BELOW a .5 tie, where the naive floor(abs+0.5) over-rounds because
+    the fp sum crosses the boundary the true value never reached
+    (0.49999999999999994 + 0.5 == 1.0 in IEEE; Spark and DuckDB both
+    round it to 0 — the r11 ADVICE hole, closed by the explicit
+    back-off in _quantize_np)."""
     import numpy as np
 
     from app_fastdata_spark.operators.similarity import _quantize_np
@@ -2291,6 +2296,10 @@ def test_quantize_np_half_up_on_ties():
     # max|x| = 127 → s = 1.0 → quotients are the raw values
     X = np.array([[127.0, 2.5, -2.5, 0.5, -0.5, 0.0]])
     assert _quantize_np(X).tolist() == [[127, 3, -3, 1, -1, 0]]
+    below = np.nextafter(0.5, 0.0)       # 0.49999999999999994
+    below25 = np.nextafter(2.5, 0.0)     # 1 ULP below an odd .5 tie
+    Y = np.array([[127.0, below, -below, below25, -below25, 0.5]])
+    assert _quantize_np(Y).tolist() == [[127, 0, 0, 2, -2, 1]]
 
 
 def test_edit_distance_refine_invariants(spark, sf_dir, tmp_path):
