@@ -76,3 +76,88 @@ def session_clear(store: Optional[str] = None) -> None:
             _STORES.clear()
         else:
             _STORES.pop(store, None)
+
+
+# --- disk-persisted index artifacts -----------------------------------------
+# The "build once, STORE, serve" shape the session dicts stand in for
+# (r11 verdict Next #8): an artifact worth materializing in-session is,
+# at 100 TB, a parquet index directory written next to the corpus and
+# read back by every later job — a cold session must serve from it
+# without recomputing the build pipeline. Layout:
+#   <root>/<store>/<sha1(sf_dir)>/<sha1(stamp)>/  (a parquet dir)
+# The input file stamp is IN THE PATH, so a corpus rewrite naturally
+# misses the old index and rebuilds; superseded stamp dirs of the same
+# corpus are pruned after a successful publish. Writes are atomic
+# (write to a tmp dir, rename into place) and every disk failure falls
+# back to the in-session localCheckpoint — a read-only checkout keeps
+# working, it just loses cross-process reuse.
+
+INDEX_DIR_ENV = "SPARK_GRAFT_INDEX_DIR"
+
+
+def _index_root() -> str:
+    import os
+
+    root = os.environ.get(INDEX_DIR_ENV)
+    if root:
+        return root
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".index"
+    )
+
+
+def _index_path(store: str, sf_dir: str, stamp: tuple) -> str:
+    import hashlib
+    import os
+
+    sfh = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    sth = hashlib.sha1(repr(stamp).encode()).hexdigest()[:16]
+    return os.path.join(_index_root(), store, sfh, sth)
+
+
+def persisted_get(
+    store: str,
+    spark,
+    sf_dir: str,
+    table: str,
+    schema: str,
+    build: Callable[[], object],
+):
+    """session_get with a disk read-through: on a cache miss, serve the
+    stored parquet index if one exists for this exact input stamp;
+    otherwise run ``build()``, publish its result atomically, and serve
+    the published copy (so the returned frame is scan-backed and
+    restart-safe, not checkpoint-backed)."""
+    import os
+    import shutil
+
+    key = stamp_key(spark, sf_dir, table)
+
+    def build_or_load():
+        path = _index_path(store, sf_dir, key[2])
+        if not os.path.isdir(path):
+            df = build()
+            tmp = f"{path}.tmp-{os.getpid()}"
+            try:
+                df.write.mode("overwrite").parquet(tmp)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost a race
+            except Exception:
+                shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.isdir(path):
+                parent = os.path.dirname(path)
+                for sib in os.listdir(parent):
+                    if sib != os.path.basename(path):
+                        shutil.rmtree(
+                            os.path.join(parent, sib), ignore_errors=True
+                        )
+            else:
+                # publish failed (read-only checkout, disk full): keep
+                # the in-session artifact, lose only cross-process reuse
+                return df.localCheckpoint()
+        return spark.read.schema(schema).parquet(path)
+
+    return session_get(store, key, build_or_load)

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cache import session_get, stamp_key
+from ..cache import persisted_get, session_get, stamp_key
 from ..registry import register
 from ..tables import load_table, parquet_num_rows
 
@@ -939,14 +939,25 @@ def _knn_graph_frame(
 
 def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized (vec_id, rank, neighbor_id, cos) kNN edge list —
-    sim_knn_graph's result, computed at most once per (session, input
-    stamp) and truncated with localCheckpoint so downstream self-joins
-    read N·K stored rows instead of re-executing the IVF pipeline per
-    reference."""
-    return session_get(
-        "knn_edges",
-        stamp_key(spark, sf_dir, "embeddings"),
-        lambda: sim_knn_graph(spark, sf_dir).localCheckpoint(),
+    sim_knn_graph's result, computed at most once per input stamp and
+    PUBLISHED as a parquet index directory (cache.persisted_get): a
+    cold session reads the stored index back instead of re-running the
+    IVF pipeline, which is the actual build-once/store/serve shape the
+    graph serving legs assume. Falls back to an in-session
+    localCheckpoint when the index root is unwritable.
+
+    The store name carries the graph parameters plus a manual version —
+    BUMP the version on any semantic change to the build pipeline, or a
+    cross-process reader serves the old algorithm's edges (the oracle
+    gate would catch it loudly, since DuckDB recomputes from scratch,
+    but the bump avoids ever publishing the mismatch)."""
+    return persisted_get(
+        f"knn_edges-v1-K{KNN_K}-np{IVF_NPROBE}",
+        spark,
+        sf_dir,
+        "embeddings",
+        "vec_id long, rank int, neighbor_id long, cos double",
+        lambda: sim_knn_graph(spark, sf_dir),
     )
 
 

@@ -11,6 +11,17 @@ from app_fastdata_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Hermetic index root: tests build persisted index artifacts
+# (cache.persisted_get) for throwaway tmp corpora; pointing the root at
+# a per-run tmp dir keeps the repo's .index/ clean and every test run
+# cold. Set BEFORE any SparkSession work so all consumers agree.
+if "SPARK_GRAFT_INDEX_DIR" not in os.environ:
+    import tempfile
+
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = tempfile.mkdtemp(
+        prefix="spark_graft_index_"
+    )
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -2384,6 +2384,27 @@ def test_knn_edges_session_cache_and_parity(spark, sf_dir):
     assert cached == pure and cached
 
 
+def test_knn_edges_cold_session_serves_stored_index(spark, sf_dir, monkeypatch):
+    """The kNN edge list is a PERSISTED index artifact: after one build
+    publishes it to the index directory, a cold session (simulated by
+    clearing the in-session store) must serve the identical edge set
+    from DISK — the IVF build pipeline must not run again (pinned by
+    poisoning it), which is the build-once/store/serve contract the
+    graph serving legs assume at scale."""
+    from app_fastdata_spark.cache import session_clear
+    from app_fastdata_spark.operators import similarity as S
+
+    warm = {tuple(r) for r in S.knn_edges(spark, sf_dir).collect()}
+    session_clear("knn_edges")
+
+    def poisoned(*a, **k):
+        raise AssertionError("cold session recomputed the IVF pipeline")
+
+    monkeypatch.setattr(S, "sim_knn_graph", poisoned)
+    cold = {tuple(r) for r in S.knn_edges(spark, sf_dir).collect()}
+    assert cold == warm and cold
+
+
 def test_gemm_seam_auto_selects_by_row_count(spark, sf_dir, monkeypatch):
     """gemm=None picks the fold below GEMM_MIN_ROWS (what every driver
     testdata SF exercises — the oracle anchor) and the Arrow GEMM at or
