@@ -135,6 +135,15 @@ QUERIES = [
     # must track dedup_minhash_lsh's (linear pair growth by replica
     # construction, constant 256^2 refine per pair)
     "dedup_edit_distance",
+    # round 12: one frozen-quantizer maintenance step — base build
+    # (N·√N like sim_knn_graph) + delta scoring bounded by the arrival
+    # share (1/7 of each replica) times probe-cell contents; must track
+    # sim_knn_graph's exponent, never exceed it
+    "sim_knn_graph_incremental",
+    # round 12: S=4 independent walks per query — per hop O(Q·S·K)
+    # scoring over the stored edges; corpus-size-free serving like
+    # sim_ann_graph (the edge-list build is the only growing leg)
+    "sim_ann_graph_multiseed",
 ]
 
 
