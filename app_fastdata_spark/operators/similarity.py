@@ -353,18 +353,40 @@ def _ivf_stride(n_vec: int) -> int:
 # re-collects, superseded/dead-app entries unpersisted on insert.
 
 
+def _stride_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ⌊√N⌋-stride (vec_id, embedding) rows — the RAW model rows
+    behind BOTH the IVF centroid broadcast and the PQ codebooks (same
+    stride convention, same membership). Persisted as a parquet index
+    directory (cache.persisted_get, like knn_edges): a cold session
+    collects the stored √N rows instead of paying the nonzero count()
+    plus the filtered corpus scan — the trained-quantizer artifact a
+    deployment keeps next to its index files."""
+
+    def build():
+        emb = load_vectors(spark, sf_dir, nonzero=True)
+        stride = _ivf_stride(emb.count())
+        return emb.filter(F.col("vec_id") % stride == 0).select(
+            "vec_id", "embedding"
+        )
+
+    return persisted_get(
+        "ivf_model-v1",
+        spark,
+        sf_dir,
+        "embeddings",
+        "vec_id long, embedding array<float>",
+        build,
+    )
+
+
 def _centroid_broadcast(spark: SparkSession, sf_dir: str):
     """(cell_ids, normalized centroid matrix) broadcast for sf_dir's
     embeddings, collected and shipped at most once per Spark app (per
     file version — see the session_get lifecycle note above)."""
 
     def build():
-        emb = load_vectors(spark, sf_dir, nonzero=True)
-        stride = _ivf_stride(emb.count())
-        cent = (
-            emb.filter(F.col("vec_id") % stride == 0)
-            .select("vec_id", "embedding")
-            .collect()
+        cent = sorted(
+            _stride_rows(spark, sf_dir).collect(), key=lambda r: r.vec_id
         )
         cell_ids = np.array([r.vec_id for r in cent], dtype=np.int64)
         C = np.array([r.embedding for r in cent], dtype=np.float64)
@@ -1831,12 +1853,8 @@ def _pq_codebook_broadcast(spark: SparkSession, sf_dir: str):
     ranking but not for values that reach the output hash."""
 
     def build():
-        emb = load_vectors(spark, sf_dir, nonzero=True)
-        stride = _ivf_stride(emb.count())
-        rows = (
-            emb.filter(F.col("vec_id") % stride == 0)
-            .select("vec_id", "embedding")
-            .collect()
+        rows = sorted(
+            _stride_rows(spark, sf_dir).collect(), key=lambda r: r.vec_id
         )
         ids = np.array([r.vec_id for r in rows], dtype=np.int64)
         S = np.array([r.embedding for r in rows], dtype=np.float64)
