@@ -1119,11 +1119,17 @@ def knn_graph_insert_frame(
     new_probes = probes.unionByName(arr_probes)
     # forward delta: each arrival scores the FULL contents of its probe
     # cells (base + this batch's arrivals — arr-arr pairs land here);
-    # reverse delta: stored probe lists catch arrivals landing in them
-    delta = _score_probe_pairs(arr_probes, new_assign).unionByName(
-        _score_probe_pairs(probes, arr_assign)
+    # reverse delta: stored probe lists catch arrivals landing in them.
+    # The batch-sized side of each join carries an explicit broadcast
+    # hint — the stored index frames are checkpoint/scan-backed with no
+    # useful stats, and at scale a shuffle of the corpus-sized side per
+    # micro-batch is exactly the cost the delta shape exists to avoid.
+    delta = _score_probe_pairs(F.broadcast(arr_probes), new_assign).unionByName(
+        _score_probe_pairs(probes, F.broadcast(arr_assign))
     ).select("query_id", "neighbor_id", F.round("cos", 9).alias("cos"))
-    touched = delta.select(F.col("query_id").alias("vec_id")).distinct()
+    touched = F.broadcast(
+        delta.select(F.col("query_id").alias("vec_id")).distinct()
+    )
     kept = edges.join(touched, "vec_id", "left_anti")
     rerank_in = (
         edges.join(touched, "vec_id", "left_semi")
