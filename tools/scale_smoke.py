@@ -223,11 +223,16 @@ def main() -> None:
     factors = (
         [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [1, 2, 4, 8]
     )
+    scratch = os.path.abspath(".scale_smoke_tmp")
+    # keep persisted index artifacts for the throwaway replicas inside
+    # the scratch tree (deleted with it) instead of the repo .index/
+    os.environ.setdefault(
+        "SPARK_GRAFT_INDEX_DIR", os.path.join(scratch, "index")
+    )
     spark = get_spark("scale_smoke")
     from app_fastdata_spark.catalog import queries
 
     qs = queries()
-    scratch = os.path.abspath(".scale_smoke_tmp")
     results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
     try:
         for f in factors:
