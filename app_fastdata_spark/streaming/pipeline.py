@@ -757,7 +757,12 @@ def near_dup_refine_stream(
 
 
 def graph_search_stream(
-    spark: SparkSession, sf_dir: str, vectors: DataFrame, output_path: str
+    spark: SparkSession,
+    sf_dir: str,
+    vectors: DataFrame,
+    output_path: str,
+    edges_path: str | None = None,
+    available_now: bool = True,
 ):
     """ANN serving at ingest over the PREBUILT kNN graph: each arriving
     vector greedily descends the session-materialized edge list
@@ -773,7 +778,14 @@ def graph_search_stream(
     swap takes effect on the NEXT micro-batch: graph resolution happens
     inside the batch callback, gated by a per-batch stamp check (a
     driver-side stat, no Spark job), so a long-running stream picks up
-    a rebuilt index without a query restart (r11 ADVICE)."""
+    a rebuilt index without a query restart (r11 ADVICE).
+
+    `edges_path` points the serving stream at an explicit stored edge
+    list — e.g. the index file `graph_insert_stream` rewrites per
+    micro-batch — instead of the corpus-stamp-keyed knn_edges; the same
+    per-batch stamp check then makes each MAINTENANCE step visible to
+    the next serving batch, closing the build → store → maintain →
+    serve loop."""
     from ..operators.similarity import (
         graph_walk_frame,
         knn_edges,
@@ -787,7 +799,7 @@ def graph_search_stream(
     model: dict = {"stamp": None}
 
     def _resolve() -> None:
-        stamp = file_stamp(f"{sf_dir}/embeddings.parquet")
+        stamp = file_stamp(edges_path or f"{sf_dir}/embeddings.parquet")
         if model["stamp"] == stamp:
             return
         emb = load_vectors(spark, sf_dir, nonzero=True)
@@ -799,9 +811,14 @@ def graph_search_stream(
             r[0]
             for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()
         ]
-        model["edges"] = knn_edges(spark, sf_dir).select(
-            "vec_id", "neighbor_id"
-        )
+        if edges_path is not None:
+            model["edges"] = spark.read.schema(
+                "vec_id long, rank int, neighbor_id long, cos double"
+            ).parquet(edges_path).select("vec_id", "neighbor_id")
+        else:
+            model["edges"] = knn_edges(spark, sf_dir).select(
+                "vec_id", "neighbor_id"
+            )
         model["stamp"] = stamp
 
     def _walk_batch(batch: DataFrame, _epoch: int) -> None:
@@ -818,11 +835,14 @@ def graph_search_stream(
             model["heads"][1],
         ).write.mode("append").parquet(output_path)
 
-    return (
-        vectors.writeStream.foreachBatch(_walk_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = vectors.writeStream.foreachBatch(_walk_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        # long-running serving mode (the swap-visibility tests): keep
+        # polling the source so index swaps land on later batches
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()
 
 
 def graph_insert_stream(

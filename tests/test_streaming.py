@@ -1405,6 +1405,122 @@ def test_graph_insert_stream_matches_batch_rebuild(spark, sf_dir, tmp_path):
         assert len({n for _, n in rows}) == len(rows)
 
 
+def test_graph_maintain_then_serve_closed_loop(spark, sf_dir, tmp_path):
+    """The full index loop: BUILD the base graph, STORE it as a parquet
+    index file, MAINTAIN it (the incremental insert), and SERVE from it
+    — with the maintenance step becoming visible to a LONG-RUNNING
+    serving stream mid-flight (the r11 ADVICE re-resolve: edges_path is
+    stamp-checked per batch, so a rewritten index file takes effect on
+    the next micro-batch without a stream restart). Batch-1 answers
+    must equal the walk over the BASE edges, batch-2 answers the walk
+    over the MAINTAINED edges, and the two must genuinely differ
+    (measured: 11 of 20 queries change answer at sf0.001 once the
+    arrivals are inserted)."""
+    import os
+    import time
+
+    from app_fastdata_spark.operators.similarity import (
+        N_QUERIES,
+        graph_walk_frame,
+        inc_base_index,
+        load_vectors,
+        norm,
+        sim_knn_graph_incremental,
+    )
+    from app_fastdata_spark.tables import SCHEMAS
+
+    emb = load_vectors(spark, sf_dir, nonzero=True)
+    en = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    heads = [
+        r[0] for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()
+    ]
+    queries = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+
+    idx = str(tmp_path / "stored_index")
+    base_edges = inc_base_index(spark, sf_dir)[0]
+    base_edges.write.mode("overwrite").parquet(idx)  # STORE
+
+    want_base = {
+        tuple(r)
+        for r in graph_walk_frame(
+            queries, base_edges.select("vec_id", "neighbor_id"), en,
+            heads[0], heads[1],
+        ).collect()
+    }
+    maintained = sim_knn_graph_incremental(spark, sf_dir)
+    want_maint = {
+        tuple(r)
+        for r in graph_walk_frame(
+            queries, maintained.select("vec_id", "neighbor_id"), en,
+            heads[0], heads[1],
+        ).collect()
+    }
+    assert want_base != want_maint  # the swap must be observable
+
+    qdir = str(tmp_path / "queries")
+    os.makedirs(qdir)
+    out = str(tmp_path / "serve_out")
+    qvecs = (
+        load_vectors(spark, sf_dir, nonzero=True)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding", "label")
+    )
+    qvecs.coalesce(1).write.parquet(f"{qdir}/embeddings.parquet")
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{qdir}/embeddings.parquet")
+    )
+    q = P.graph_search_stream(
+        spark, sf_dir, stream, out, edges_path=idx, available_now=False
+    )
+    try:
+
+        def rows():
+            try:
+                return spark.read.parquet(out).collect()
+            except Exception:
+                return []
+
+        deadline = time.time() + 120
+        while len(rows()) < len(want_base) and time.time() < deadline:
+            time.sleep(1)
+        got_base = {tuple(r) for r in rows()}
+        assert got_base == want_base
+
+        # MAINTAIN: rewrite the stored index (new stamp), then drop a
+        # second query file — the stream must serve the new graph
+        maintained.write.mode("overwrite").parquet(idx)
+        time.sleep(1.1)  # distinct mtime for the second source file
+        qvecs.coalesce(1).write.mode("append").parquet(
+            f"{qdir}/embeddings.parquet"
+        )
+        deadline = time.time() + 120
+        while (
+            len(rows()) < len(want_base) + len(want_maint)
+            and time.time() < deadline
+        ):
+            time.sleep(1)
+        got_all = [tuple(r) for r in rows()]
+    finally:
+        q.stop()
+        try:
+            q.awaitTermination(30)
+        except Exception:
+            pass
+    got2 = list(got_all)
+    for t in got_base:
+        got2.remove(t)  # multiset subtraction: batch-2 rows remain
+    assert set(got2) == want_maint and got2
+
+
 def test_pq_encode_stream_empty_codebook_emits_nothing(spark, sf_dir):
     """A (0, 0) codebook (possible when no nonzero vec_id is divisible
     by the stride) must make the streaming encode gate emit ZERO rows
