@@ -1402,13 +1402,30 @@ def capped_pair_sizes_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs_from_inv(inv)
 
 
-def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _capped_jaccard_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpacked = capped_pair_sizes(spark, sf_dir)
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
         unpacked.withColumn("jaccard_lb", F.round(jac, 6))
         .filter(F.col("jaccard_lb") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "shared", "jaccard_lb")
+    )
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized (the lsh_pairs/knn_edges precedent): the
+    capped near-dup pair list is the default pair source of SIX
+    downstream consumers (connected components, both survivor variants,
+    PageRank, triangle stats, the e2e pipeline), each of which re-ran
+    the shingle→inverted-index→bucket-pair chain to get a few-hundred-
+    row thresholded pair list. Bounded by the stop-shingle cap; at
+    100 TB this IS the stored candidate file of the dedup run."""
+    from ..cache import session_get, stamp_key
+
+    return session_get(
+        "capped_jaccard",
+        stamp_key(spark, sf_dir, "documents"),
+        lambda: _capped_jaccard_frame(spark, sf_dir).localCheckpoint(),
     )
 
 

@@ -547,8 +547,8 @@ def test_components_chain_rides_capped_source(spark, tmp_path):
     still cluster (and are deduped to one survivor per cluster)."""
     from app_fastdata_spark.operators.dedup import (
         STOP_SHINGLE_CAP,
+        _capped_jaccard_frame,
         dedup_components,
-        dedup_ngram_jaccard_capped,
         dedup_survivors,
     )
 
@@ -572,8 +572,11 @@ def test_components_chain_rides_capped_source(spark, tmp_path):
     # cap in its optimized plan, so the 1210-doc stop-shingle bucket is
     # dropped before pair emission rather than exploding into ~731k
     # candidate pairs.
+    # inspect the RAW builder: the registered query serves the
+    # session-materialized checkpoint, whose plan is a LogicalRDD —
+    # the cap predicate lives in the plan that executes at BUILD time
     plan = (
-        dedup_ngram_jaccard_capped(spark, d)
+        _capped_jaccard_frame(spark, d)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
