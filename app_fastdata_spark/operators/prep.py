@@ -446,7 +446,25 @@ def _two_merges(
 ) -> tuple[DataFrame, DataFrame]:
     """The unrolled two-iteration trainer core: (m1, m2) as 1-row
     (l, r, c) frames, iteration 2 depending on iteration 1's winner
-    through a 1-row broadcast."""
+    through a 1-row broadcast. Session-materialized (the lsh_pairs
+    precedent): the TRAINED MERGES are the model artifact both
+    bpe_train_merges and bpe_compression consume, and each call was
+    re-running the vocab-sized two-aggregation trainer; two 1-row
+    checkpoints are the cheapest store in the repo."""
+    from ..cache import session_get, stamp_key
+
+    return session_get(
+        "bpe_two_merges",
+        stamp_key(spark, sf_dir, "documents"),
+        lambda: tuple(
+            m.localCheckpoint() for m in _two_merges_frames(spark, sf_dir)
+        ),
+    )
+
+
+def _two_merges_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     s0 = _syms_frame(spark, sf_dir)
     m1 = (
         _pair_counts(s0)
