@@ -789,10 +789,24 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, lev, sim) — Levenshtein refine of the MinHash-LSH
     candidate pairs on the ASCII-projected LEV_PREFIX-char prefix;
     sim = 1 - lev/max(len_a, len_b, 1), 6-dp rounded, thresholded on
-    the rounded value so both engines keep the identical pair set."""
+    the rounded value so both engines keep the identical pair set.
+
+    Scale shape: only docs that APPEAR in a candidate pair get the
+    ASCII projection — a broadcast semi-join on the (tiny, session-
+    materialized) pair id set prunes the corpus before the regex runs,
+    so the refine's scan work is candidate-bounded like its DP work
+    (regexing 10⁹ docs to refine a few thousand pairs is the shape
+    this operator exists to avoid). Values are unchanged: non-pair
+    docs never contribute a row."""
     pairs = lsh_pairs(spark, sf_dir)
+    pair_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     docs = (
         load_table(spark, sf_dir, "documents")
+        .join(F.broadcast(pair_ids), "doc_id", "left_semi")
         .filter(F.col("text").isNotNull())
         .select("doc_id", lev_prefix_col().alias("pfx"))
     )
