@@ -135,14 +135,15 @@ DRIVER_PRIORITY: list[str] = [
     #
     # ROUND-13 PLAN (precompute now, re-derive against CORRECTNESS_r12
     # before freezing). Post-r12 staleness histogram, assuming this
-    # window goes green: 50 r12, 50 r11, 50 r10, 40 r9, 3 never-rowed
+    # window goes green: 50 r12, 50 r11, 50 r10, 40 r9, 4 never-rowed
     # (the r12 late registrations: sim_knn_graph_incremental,
-    # sim_ann_graph_multiseed, sim_ann_graph_multiseed_recall — all
-    # three carry full-registry check_oracle green at sf0.01 this
-    # round, the generic sf0.001 parity row, and the degenerate
-    # embeddings/empty sweeps; first driver rows reserved for r13 per
-    # the standing protocol). Slot math: 3 never-rowed + the FULL
-    # 40-entry r9-stale cohort + 7 oldest-r10 picks = 50. Heaviness:
+    # sim_ann_graph_multiseed, sim_ann_graph_multiseed_recall,
+    # sim_ann_graph_topk — all four carry full-registry check_oracle
+    # green at BOTH sf0.01 and sf0.1 this round, the generic sf0.001
+    # parity row, and the degenerate embeddings/empty sweeps; first
+    # driver rows reserved for r13 per the standing protocol). Slot
+    # math: 4 never-rowed + the FULL 40-entry r9-stale cohort + 6
+    # oldest-r10 picks = 50. Heaviness:
     # the multiseed pair are recursive CTEs of the same family as the
     # r12 graph pair (the recall twin nests the S-seed walk) — slot
     # them SECOND and FOURTH with light r9 events entries between;

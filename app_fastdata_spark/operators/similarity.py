@@ -18,6 +18,7 @@ IVF cells to avoid the O(N²) pair join.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -2450,13 +2451,20 @@ register(
 GRAPH_MAX_HOPS = 8
 
 
-def _walk_loop(state: DataFrame, edges: DataFrame, en: DataFrame) -> DataFrame:
+def _walk_loop(
+    state: DataFrame,
+    edges: DataFrame,
+    en: DataFrame,
+    trace: list | None = None,
+) -> DataFrame:
     """The unrolled greedy descent over a prepared (query_id, seed,
     qvec, qn, node, cos, n_hops) state frame — each (query_id, seed)
     pair walks independently, so the single-entry walk (seed=0
     everywhere) and the multi-seed variant run the IDENTICAL loop with
     the same per-hop cost shape: one equi-join into the stored
-    adjacency list, Q·S·K candidate scores, Q·S-row state."""
+    adjacency list, Q·S·K candidate scores, Q·S-row state. Pass a
+    `trace` list (seeded with the initial state) to collect the
+    post-hop state frames — the visited set the top-k variant ranks."""
     for _ in range(GRAPH_MAX_HOPS):
         nbr = (
             state.alias("s")
@@ -2507,6 +2515,8 @@ def _walk_loop(state: DataFrame, edges: DataFrame, en: DataFrame) -> DataFrame:
             )
             .localCheckpoint()
         )
+        if trace is not None:
+            trace.append(state)
     return state
 
 
@@ -2611,7 +2621,10 @@ def _sql_graph_step_cos(nv: str, nn: str) -> str:
 # emb/en WITH-scope and DuckDB rejects duplicate aliases across the
 # nesting. Factored to a constant so the recall twin can nest the
 # whole walk as a materialized CTE (the _KNN_SQL precedent).
-_GRAPH_SQL = f"""
+# The WITH-chain (gen/knn/bounds/gq + the recursive walk) factored from
+# the final select so the top-k variant can rank the walk TRACE —
+# every visited node — instead of only the terminal state.
+_GRAPH_WALK_CTES = f"""
     WITH RECURSIVE gen AS MATERIALIZED (
       SELECT vec_id, embedding,
              sqrt({_sql_dot("embedding", "embedding")}) AS nrm
@@ -2655,6 +2668,9 @@ _GRAPH_SQL = f"""
                      AND e2.neighbor_id < e.neighbor_id))
         )
     )
+"""
+
+_GRAPH_SQL = f"""{_GRAPH_WALK_CTES}
     SELECT query_id, node AS best_id, cos AS cos_graph,
            CAST(n_hops AS INTEGER) AS n_hops
     FROM walk
@@ -2986,3 +3002,121 @@ register(
     ORDER BY g.query_id
     """,
 )(sim_ann_graph_multiseed_recall)
+
+
+# --- graph-ANN top-k: rank the walk's visited trace -------------------------
+# Real graph serving returns K results, not one: the greedy walk's
+# VISITED SET (entry + every improving step — the recursive walk's full
+# row set) is exactly the candidate pool a DiskANN-style search ranks
+# its answers from. The trace is bounded (≤ GRAPH_MAX_HOPS+1 nodes per
+# query, strictly improving so nodes never repeat), so top-k over it
+# adds no corpus work to the walk. Fewer than K rows for a query that
+# converged early is the honest answer (the walk genuinely visited
+# fewer candidates), matching the SQL trace exactly.
+
+GRAPH_TOPK = 3
+
+
+def graph_walk_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized DISTINCT visited set of the single-entry
+    walk — (query_id, node, cos, n_hops), one row per visited node.
+    Runs the identical _walk_loop with a trace accumulator; the
+    distinct collapses the repeated terminal rows a converged query
+    carries across the unrolled hops (the SQL walk appends only
+    improving steps, so its row set IS this distinct set)."""
+
+    def build():
+        emb = load_vectors(spark, sf_dir, nonzero=True)
+        en = emb.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+        )
+        out_schema = "query_id long, node long, cos double, n_hops int"
+        heads = [
+            r[0]
+            for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()
+        ]
+        if len(heads) < 2:
+            return spark.createDataFrame([], out_schema)
+        edges = knn_edges(spark, sf_dir).select("vec_id", "neighbor_id")
+        queries = en.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("nrm").alias("qn"),
+        )
+        state = (
+            queries.withColumn(
+                "node",
+                F.when(F.col("query_id") == heads[0], F.lit(heads[1]))
+                .otherwise(F.lit(heads[0])),
+            )
+            .join(en.alias("n"), F.col("node") == F.col("n.vec_id"))
+            .select(
+                "query_id",
+                F.lit(0).alias("seed"),
+                "qvec",
+                "qn",
+                "node",
+                F.round(
+                    dot(F.col("qvec"), F.col("n.embedding"))
+                    / (F.col("qn") * F.col("n.nrm")),
+                    9,
+                ).alias("cos"),
+                F.lit(0).alias("n_hops"),
+            )
+            .localCheckpoint()
+        )
+        steps: list[DataFrame] = [state]
+        _walk_loop(state, edges, en, trace=steps)
+        trace = functools.reduce(
+            DataFrame.unionByName,
+            [st.select("query_id", "node", "cos", "n_hops") for st in steps],
+        )
+        return (
+            trace.distinct()
+            .select(
+                "query_id", "node", "cos", F.col("n_hops").cast("int")
+                .alias("n_hops"),
+            )
+            .localCheckpoint()
+        )
+
+    return session_get(
+        "graph_walk_trace", stamp_key(spark, sf_dir, "embeddings"), build
+    )
+
+
+def sim_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos) — the best GRAPH_TOPK nodes
+    the greedy walk VISITED, ranked by (cos DESC, node ASC): the
+    k-result serving answer of the graph search. rank 1 always equals
+    sim_ann_graph's terminal node (cos strictly improves along the
+    walk, so the last node is the trace argmax) — pinned by test."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
+    return (
+        graph_walk_trace(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= GRAPH_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("node").alias("neighbor_id"),
+            "cos",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+register(
+    "sim_ann_graph_topk",
+    sql=f"""{_GRAPH_WALK_CTES}
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, node AS neighbor_id, cos
+    FROM (
+      SELECT query_id, node, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, node) AS rank
+      FROM walk
+    )
+    WHERE rank <= {GRAPH_TOPK}
+    ORDER BY query_id, rank
+    """,
+)(sim_ann_graph_topk)

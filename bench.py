@@ -134,6 +134,9 @@ HEADLINE = [
     "sim_knn_graph_incremental",
     "sim_ann_graph_multiseed",
     "sim_ann_graph_multiseed_recall",
+    # round-12 late: k-result serving — top-k over the walk's visited
+    # trace (benches after the walk: cache-warm, as deployed)
+    "sim_ann_graph_topk",
 ]
 
 

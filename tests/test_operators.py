@@ -2372,6 +2372,34 @@ def test_graph_ann_walk_invariants(spark, sf_dir):
         assert r.cos_graph <= exact1[qid] + 1e-12, (qid, r, exact1[qid])
 
 
+def test_graph_topk_ranks_the_visited_trace(spark, sf_dir):
+    """The top-k graph answer must (a) have rank 1 exactly equal to the
+    single-entry walk's terminal (node, cos) — cos strictly improves
+    along the walk, so the last node IS the trace argmax; (b) carry
+    contiguous ranks with non-increasing cos and distinct nodes per
+    query; (c) never exceed GRAPH_TOPK rows per query."""
+    from app_fastdata_spark.operators.similarity import (
+        GRAPH_TOPK,
+        sim_ann_graph,
+        sim_ann_graph_topk,
+    )
+
+    best = {r.query_id: r for r in sim_ann_graph(spark, sf_dir).collect()}
+    by_q: dict = {}
+    for r in sim_ann_graph_topk(spark, sf_dir).collect():
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(best) and by_q
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= GRAPH_TOPK
+        assert rows[0].neighbor_id == best[qid].best_id
+        assert rows[0].cos == best[qid].cos_graph
+        coss = [r.cos for r in rows]
+        assert coss == sorted(coss, reverse=True)
+        assert len({r.neighbor_id for r in rows}) == len(rows)
+
+
 def test_knn_edges_session_cache_and_parity(spark, sf_dir):
     """The session-materialized kNN graph (the shared pair source of
     sim_knn_graph / mutual-kNN clusters / SemDeDup survivors) must be
