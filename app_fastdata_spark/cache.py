@@ -52,20 +52,37 @@ def session_get(
     """Return the cached value for ``key`` in ``store``, building it via
     ``build()`` on first use. ``release`` (e.g. Broadcast.unpersist) runs
     on every evicted value; checkpointed DataFrames need none — the
-    ContextCleaner reclaims their blocks once unreferenced."""
+    ContextCleaner reclaims their blocks once unreferenced.
+
+    The lock guards only the DICT, never a build: ``build()`` (often a
+    multi-second Spark pipeline) runs outside it, so concurrent callers
+    of other stores never stall behind one build. Two threads racing
+    the same key may each build once; the first insert wins and the
+    loser's value is released like an evicted entry."""
     app_id = key[0]
     with _LOCK:
         d = _STORES.setdefault(store, {})
-        if key not in d:
-            for old in [k for k in d if k[:2] == key[:2] or k[0] != app_id]:
-                v = d.pop(old)
-                if release is not None:
-                    try:
-                        release(v)
-                    except Exception:
-                        pass  # dead-context handles: nothing to release
-            d[key] = build()
-        return d[key]
+        if key in d:
+            return d[key]
+    value = build()
+    with _LOCK:
+        d = _STORES.setdefault(store, {})
+        if key in d:  # lost the build race: the first insert stands
+            if release is not None:
+                try:
+                    release(value)
+                except Exception:
+                    pass
+            return d[key]
+        for old in [k for k in d if k[:2] == key[:2] or k[0] != app_id]:
+            v = d.pop(old)
+            if release is not None:
+                try:
+                    release(v)
+                except Exception:
+                    pass  # dead-context handles: nothing to release
+        d[key] = value
+        return value
 
 
 def session_clear(store: Optional[str] = None) -> None:
@@ -148,9 +165,17 @@ def persisted_get(
             except Exception:
                 shutil.rmtree(tmp, ignore_errors=True)
             if os.path.isdir(path):
+                # prune superseded stamp dirs of the same corpus — but
+                # never another process's in-flight .tmp-<pid> build
+                # (rmtree'ing it would fail that write mid-flight).
+                # NOTE: a second process still scan-serving a
+                # superseded stamp loses its files here; an in-place
+                # corpus rewrite under live readers is already outside
+                # the stamp contract (same caveat as overwriting the
+                # parquet itself).
                 parent = os.path.dirname(path)
                 for sib in os.listdir(parent):
-                    if sib != os.path.basename(path):
+                    if sib != os.path.basename(path) and ".tmp-" not in sib:
                         shutil.rmtree(
                             os.path.join(parent, sib), ignore_errors=True
                         )

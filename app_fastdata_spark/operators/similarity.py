@@ -308,20 +308,33 @@ _GEMM_BLOCK = 1024      # rows per GEMM block inside a cell (bounds memory)
 GEMM_MIN_ROWS = 100_000
 
 
-def _gemm_seam(spark: SparkSession, sf_dir: str, emb: DataFrame) -> bool:
-    """The gemm=None auto-seam decision WITHOUT a Spark job: the row
-    count comes from the parquet footer (cached per path+stamp), not an
-    emb.count() action — the count was a full-scan job paid on every
-    invocation of the two seam queries (r11 ADVICE). The footer counts
-    RAW rows where emb filters invalid/zero vectors, so the seam can
-    only flip EARLIER (footer ≥ filtered count) — harmless for a pure
-    performance threshold whose two sides are envelope-pinned equal.
-    Falls back to emb.count() only when no footer is readable (e.g. a
-    non-parquet test frame)."""
+def _gemm_seam(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, tag: str
+) -> bool:
+    """The gemm=None auto-seam decision without a PER-INVOCATION Spark
+    job (r11 ADVICE — emb.count() was a full-scan job paid on every
+    call of the two seam queries). Two tiers: the parquet FOOTER row
+    count (no job at all) decides whenever it is decisive — footer <
+    threshold implies the filtered count is too — and only a footer
+    count at or above the threshold falls through to the exact
+    filtered count, computed ONCE per (session, input stamp) via the
+    session cache. The exact count matters at the boundary because the
+    JL projection's two sides agree only to a 1e-9 envelope: a
+    footer-only seam could flip a corpus whose raw rows cross 100k
+    while its VALID rows do not, diverging from a fold-pinned oracle
+    exactly at the seam."""
     n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
-    if n is None:
-        n = emb.count()
-    return n >= GEMM_MIN_ROWS
+    if n is not None and n < GEMM_MIN_ROWS:
+        return False
+    # the two seam callers pass differently-filtered frames (int8:
+    # valid+nonzero; JL: valid only) — key the cached count per frame
+    # flavor so one cannot serve the other's number
+    exact = session_get(
+        f"emb_seam_count-{tag}",
+        stamp_key(spark, sf_dir, "embeddings"),
+        lambda: emb.count(),
+    )
+    return exact >= GEMM_MIN_ROWS
 
 
 # Assignment-score quantizer, defined ONCE for both engines so the
@@ -960,6 +973,9 @@ def _knn_graph_frame(
 # (vec_id, rank, neighbor_id, cos) rows.
 
 
+KNN_EDGES_STORE = f"knn_edges-v1-K{KNN_K}-np{IVF_NPROBE}"
+
+
 def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized (vec_id, rank, neighbor_id, cos) kNN edge list —
     sim_knn_graph's result, computed at most once per input stamp and
@@ -975,7 +991,7 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate would catch it loudly, since DuckDB recomputes from scratch,
     but the bump avoids ever publishing the mismatch)."""
     return persisted_get(
-        f"knn_edges-v1-K{KNN_K}-np{IVF_NPROBE}",
+        KNN_EDGES_STORE,
         spark,
         sf_dir,
         "embeddings",
@@ -1168,7 +1184,12 @@ def inc_base_index(spark: SparkSession, sf_dir: str):
         return (edges, assign, probes, bc)
 
     return session_get(
-        "inc_index", stamp_key(spark, sf_dir, "embeddings"), build
+        "inc_index",
+        stamp_key(spark, sf_dir, "embeddings"),
+        build,
+        # the tuple carries the frozen-quantizer broadcast: unpersist it
+        # on supersede/dead-app eviction like the standalone broadcasts
+        release=lambda t: t[3].unpersist(blocking=False),
     )
 
 
@@ -1366,7 +1387,7 @@ def sim_ann_int8(
     asserts set EQUALITY of full result tuples."""
     emb = load_vectors(spark, sf_dir, nonzero=True)
     if gemm is None:
-        gemm = _gemm_seam(spark, sf_dir, emb)
+        gemm = _gemm_seam(spark, sf_dir, emb, "nonzero")
     if gemm:
         qrows = sorted(
             emb.filter(F.col("vec_id") < N_QUERIES)
@@ -2185,7 +2206,7 @@ def embedding_rp_project(
     force a mode (tests; reproducing an oracle row at scale)."""
     emb = load_vectors(spark, sf_dir)
     if gemm is None:
-        gemm = _gemm_seam(spark, sf_dir, emb)
+        gemm = _gemm_seam(spark, sf_dir, emb, "valid")
     if gemm:
         R = np.array(_RP, dtype=np.float64)
         flat_schema = "vec_id long, " + ", ".join(
@@ -3023,7 +3044,13 @@ def graph_walk_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs the identical _walk_loop with a trace accumulator; the
     distinct collapses the repeated terminal rows a converged query
     carries across the unrolled hops (the SQL walk appends only
-    improving steps, so its row set IS this distinct set)."""
+    improving steps, so its row set IS this distinct set).
+
+    KNOWN REDUNDANCY (review-flagged; r13 work): this runs the walk a
+    second time in a session that already built graph_walk_result —
+    the terminal state is the trace's per-query cos-argmax (pinned by
+    the top-k test), so one traced build could serve both stores and
+    delete the duplicated seeding block."""
 
     def build():
         emb = load_vectors(spark, sf_dir, nonzero=True)

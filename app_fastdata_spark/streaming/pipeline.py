@@ -796,10 +796,17 @@ def graph_search_stream(
     )
     from ..tables import file_stamp
 
-    model: dict = {"stamp": None}
+    model: dict = {"stamp": None, "heads": []}
 
     def _resolve() -> None:
         stamp = file_stamp(edges_path or f"{sf_dir}/embeddings.parquet")
+        if stamp == (0, 0, 0) and edges_path is not None:
+            # the index file has not been published yet (serving
+            # started before the first maintenance batch): serve
+            # nothing this batch and re-probe on the next, instead of
+            # dying on a missing-path read
+            model["stamp"], model["heads"] = None, []
+            return
         if model["stamp"] == stamp:
             return
         emb = load_vectors(spark, sf_dir, nonzero=True)
@@ -858,7 +865,13 @@ def graph_insert_stream(
     (edges/assign/probes), localCheckpointed and swapped per batch like
     the walk state; after every batch the post-insert edge list is
     REWRITTEN to output_path — the index file a cold reader (or the
-    search stream after a swap) picks up. Per-batch cost is
+    search stream after a swap) picks up. KNOWN LIMIT (review-flagged;
+    r13 work): the rewrite is Spark's delete-then-write overwrite, not
+    an atomic version swap — a reader whose scan executes exactly
+    mid-rewrite can hit missing part files, so a CONCURRENT serving
+    stream should read a quiesced copy (as the closed-loop test does)
+    until the publish moves to versioned directories with a
+    latest-complete pointer. Per-batch cost is
     delta-bounded (|B|·cell·nprobe scores + touched-vertex re-rank);
     the corpus is never rescanned. Retraining the quantizer = rebuild
     the base index (a model swap), exactly ST7."""

@@ -16,11 +16,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 # a per-run tmp dir keeps the repo's .index/ clean and every test run
 # cold. Set BEFORE any SparkSession work so all consumers agree.
 if "SPARK_GRAFT_INDEX_DIR" not in os.environ:
+    import atexit
+    import shutil
     import tempfile
 
-    os.environ["SPARK_GRAFT_INDEX_DIR"] = tempfile.mkdtemp(
-        prefix="spark_graft_index_"
-    )
+    _index_tmp = tempfile.mkdtemp(prefix="spark_graft_index_")
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = _index_tmp
+    # remove on interpreter exit — repeated runs must not accumulate
+    # parquet index trees in /tmp
+    atexit.register(shutil.rmtree, _index_tmp, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")

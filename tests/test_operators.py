@@ -2422,11 +2422,17 @@ def test_knn_edges_cold_session_serves_stored_index(spark, sf_dir, monkeypatch):
     from DISK — the IVF build pipeline must not run again (pinned by
     poisoning it), which is the build-once/store/serve contract the
     graph serving legs assume at scale."""
+    from app_fastdata_spark import cache
     from app_fastdata_spark.cache import session_clear
     from app_fastdata_spark.operators import similarity as S
 
     warm = {tuple(r) for r in S.knn_edges(spark, sf_dir).collect()}
-    session_clear("knn_edges")
+    # the versioned store name, NOT a guessed literal: clearing a
+    # wrong name would leave the session cache warm and make this
+    # test vacuously green (caught by review in round 12)
+    assert cache._STORES.get(S.KNN_EDGES_STORE), "store name drifted"
+    session_clear(S.KNN_EDGES_STORE)
+    assert not cache._STORES.get(S.KNN_EDGES_STORE)
 
     def poisoned(*a, **k):
         raise AssertionError("cold session recomputed the IVF pipeline")
