@@ -2442,6 +2442,68 @@ def test_knn_edges_cold_session_serves_stored_index(spark, sf_dir, monkeypatch):
     assert cold == warm and cold
 
 
+def test_hd_graph_structure_and_deployable_recall(spark, sf_dir):
+    """The high-degree NN-descent graph must carry the bounded-degree
+    structural contract (≤ HD_KNN_K out-edges, contiguous ranks, no
+    self-loops, no duplicate neighbors) AND certify the deployability
+    bar the variant exists for: recall@1 of the HD_SEEDS walk ≥ 0.9
+    (measured 20/20 at sf0.01, 18/20 at sf0.1 — the r12 Next #2 ask)."""
+    from app_fastdata_spark.operators import similarity as S
+
+    by_vec: dict = {}
+    edges = S.knn_edges_hd(spark, sf_dir).collect()
+    for r in edges:
+        assert r.vec_id != r.neighbor_id
+        by_vec.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id))
+    assert by_vec
+    for v, rows in by_vec.items():
+        ranks = sorted(rk for rk, _ in rows)
+        assert len(rows) <= S.HD_KNN_K
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len({n for _, n in rows}) == len(rows)
+    # NND expansion really densified the graph: max degree must exceed
+    # the K=3 base graph's cap (a no-op round would leave degree ≤ 3)
+    assert max(len(rows) for rows in by_vec.values()) > S.KNN_K
+
+    rec = S.sim_ann_graph_hd_recall(spark, sf_dir).collect()
+    assert rec
+    hits = sum(r.hit for r in rec)
+    assert hits >= 0.9 * len(rec), f"recall@1 {hits}/{len(rec)} < 0.9"
+    for r in rec:
+        assert r.cos_gap >= -1e-12  # a walk can never beat the optimum
+
+
+def test_walk_result_derives_from_trace_single_execution(
+    spark, sf_dir, monkeypatch
+):
+    """graph_walk_result must DERIVE from the session-materialized walk
+    trace instead of re-running the loop (the r12 review-flagged
+    redundancy): after the trace store is warm, building the terminal
+    store must not execute _walk_loop again — pinned by poisoning it —
+    and the derived terminal must equal the trace's per-query max-hop
+    row."""
+    from app_fastdata_spark.cache import session_clear
+    from app_fastdata_spark.operators import similarity as S
+
+    session_clear("graph_walk")
+    session_clear("graph_walk_trace")
+    trace = S.graph_walk_trace(spark, sf_dir).collect()
+
+    def poisoned(*a, **k):
+        raise AssertionError("terminal store re-ran the walk loop")
+
+    monkeypatch.setattr(S, "_walk_loop", poisoned)
+    got = {tuple(r) for r in S.graph_walk_result(spark, sf_dir).collect()}
+    want = set()
+    by_q: dict = {}
+    for r in trace:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        t = max(rows, key=lambda r: r.n_hops)
+        want.add((qid, t.node, t.cos, t.n_hops))
+    assert got == want and got
+
+
 def test_gemm_seam_auto_selects_by_row_count(spark, sf_dir, monkeypatch):
     """gemm=None picks the fold below GEMM_MIN_ROWS (what every driver
     testdata SF exercises — the oracle anchor) and the Arrow GEMM at or
