@@ -43,6 +43,22 @@ def stamp_key(spark, sf_dir: str, table: str) -> tuple:
     )
 
 
+def _active_app_id(default: str) -> str:
+    """applicationId of the process's ACTIVE SparkContext (PySpark
+    holds at most one per process), falling back to ``default`` when
+    none is reachable — the eviction authority for dead-session
+    entries."""
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is not None:
+            return sc.applicationId
+    except Exception:
+        pass
+    return default
+
+
 def session_get(
     store: str,
     key: tuple,
@@ -58,8 +74,15 @@ def session_get(
     multi-second Spark pipeline) runs outside it, so concurrent callers
     of other stores never stall behind one build. Two threads racing
     the same key may each build once; the first insert wins and the
-    loser's value is released like an evicted entry."""
-    app_id = key[0]
+    loser's value is released like an evicted entry.
+
+    Dead-session eviction keys on the ACTIVE SparkContext's
+    applicationId, not the inserting key's (r12 ADVICE): if two live
+    SparkSessions ever coexist in one process, alternating inserts
+    must not evict each other's live handles — only entries from apps
+    that are no longer the active context are dropped. (get_spark is a
+    process singleton today, so the two ids normally coincide.)"""
+    app_id = _active_app_id(key[0])
     with _LOCK:
         d = _STORES.setdefault(store, {})
         if key in d:

@@ -697,25 +697,36 @@ def _minhash_lsh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-# Session-materialized LSH candidate pair list — the knn_edges precedent
-# (cache.session_get) applied to the OTHER shared pair source (r11
-# verdict Next #2): dedup_minhash_lsh, the Levenshtein refine and the
+# Disk-persisted LSH candidate pair list — the knn_edges precedent
+# (cache.persisted_get) applied to the OTHER shared pair source (r11
+# verdict Next #2; promoted from session-only to a stored artifact per
+# r12 Next #5): dedup_minhash_lsh, the Levenshtein refine and the
 # MinHash-estimate-error report all consume the same banded-join output,
 # and each re-ran the full shingle→signature→band chain (~2 s at sf0.1)
 # to get a few-hundred-row pair list. At 100 TB this IS the candidate
-# file a dedup run writes next to the corpus; localCheckpoint is the
-# in-session stand-in, bounded by the banded-LSH output size.
+# file a dedup run writes next to the corpus and every refine pass
+# reads back; a cold session now serves it from the parquet index
+# (stamp-in-path, atomic publish) instead of recomputing the chain.
+# The store name carries the signature/banding parameters — BUMP the
+# version on any semantic change to the chain (same contract as
+# KNN_EDGES_STORE).
+
+LSH_PAIRS_STORE = "lsh_pairs-v1-K{}-B{}R{}"
 
 
 def lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized (doc_a, doc_b) MinHash-LSH candidate pairs,
-    computed at most once per (session, documents stamp)."""
-    from ..cache import session_get, stamp_key
+    computed at most once per documents stamp and published as a
+    parquet index directory (read back by cold sessions)."""
+    from ..cache import persisted_get
 
-    return session_get(
-        "lsh_pairs",
-        stamp_key(spark, sf_dir, "documents"),
-        lambda: _minhash_lsh_frame(spark, sf_dir).localCheckpoint(),
+    return persisted_get(
+        LSH_PAIRS_STORE.format(MINHASH_K, LSH_BANDS, LSH_ROWS),
+        spark,
+        sf_dir,
+        "documents",
+        "doc_a long, doc_b long",
+        lambda: _minhash_lsh_frame(spark, sf_dir),
     )
 
 

@@ -2442,6 +2442,32 @@ def test_knn_edges_cold_session_serves_stored_index(spark, sf_dir, monkeypatch):
     assert cold == warm and cold
 
 
+def test_lsh_pairs_cold_session_serves_stored_candidates(
+    spark, sf_dir, monkeypatch
+):
+    """The MinHash-LSH candidate pair list is a PERSISTED artifact (the
+    r12 Next #5 ask): after one build publishes it, a cold session
+    (cleared in-session store) must serve the identical pair set from
+    disk without re-running the shingle→signature→band chain — pinned
+    by poisoning the chain."""
+    from app_fastdata_spark import cache
+    from app_fastdata_spark.cache import session_clear
+    from app_fastdata_spark.operators import dedup as D
+
+    warm = {tuple(r) for r in D.lsh_pairs(spark, sf_dir).collect()}
+    store = D.LSH_PAIRS_STORE.format(D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS)
+    assert cache._STORES.get(store), "store name drifted"
+    session_clear(store)
+    assert not cache._STORES.get(store)
+
+    def poisoned(*a, **k):
+        raise AssertionError("cold session re-ran the MinHash chain")
+
+    monkeypatch.setattr(D, "_minhash_lsh_frame", poisoned)
+    cold = {tuple(r) for r in D.lsh_pairs(spark, sf_dir).collect()}
+    assert cold == warm and cold
+
+
 def test_hd_graph_structure_and_deployable_recall(spark, sf_dir):
     """The high-degree NN-descent graph must carry the bounded-degree
     structural contract (≤ HD_KNN_K out-edges, contiguous ranks, no
