@@ -756,6 +756,85 @@ def near_dup_refine_stream(
     )
 
 
+# --- versioned stored-index publish/resolve ---------------------------------
+# The maintenance stream rewrites the served edge list every batch; a
+# delete-then-write overwrite of the served path lets a concurrent
+# reader scan a partial part-file set (r12 ADVICE, medium). Publishing
+# is therefore VERSIONED: each batch writes an immutable v<seq> dir
+# under the index root and atomically swaps a LATEST pointer file
+# (write-tmp + os.replace) — a reader either resolves the old complete
+# version or the new complete version, never a partial one. The
+# previous version is retained for readers that resolved just before
+# the swap (INDEX_KEEP_VERSIONS; a deployment whose reader batches span
+# more than one publish interval raises it); older versions are pruned.
+
+INDEX_KEEP_VERSIONS = 2
+
+
+def publish_index_version(edges: DataFrame, root: str, seq: int) -> str:
+    """Write ``edges`` as the immutable version ``v<seq>`` under
+    ``root`` and atomically point ``root/LATEST`` at it. Returns the
+    version directory. Prunes versions older than the newest
+    INDEX_KEEP_VERSIONS."""
+    import os
+    import shutil
+
+    vname = f"v{seq:06d}-{os.getpid()}"
+    vdir = os.path.join(root, vname)
+    edges.write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(root, f".LATEST.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(vname)
+    os.replace(tmp, os.path.join(root, "LATEST"))
+    vers = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    for stale in vers[: max(0, len(vers) - INDEX_KEEP_VERSIONS)]:
+        shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+    return vdir
+
+
+def next_index_seq(root: str) -> int:
+    """First unused version sequence under ``root`` — a restarted
+    maintenance stream continues above any surviving versions instead
+    of overwriting a directory the LATEST pointer may still name."""
+    import os
+
+    try:
+        vers = [
+            int(d[1:7])
+            for d in os.listdir(root)
+            if d.startswith("v") and d[1:7].isdigit()
+        ]
+    except FileNotFoundError:
+        return 0
+    return max(vers) + 1 if vers else 0
+
+
+def resolve_index_dir(path: str) -> str | None:
+    """Resolve a stored-index path to the parquet directory to scan:
+    a versioned root (LATEST pointer) resolves to its current complete
+    version; a flat parquet dir resolves to itself iff its write
+    completed (_SUCCESS). None when nothing complete is published —
+    the reader must refuse rather than scan a partial directory (r12
+    ADVICE: a mid-write flat dir could otherwise yield a
+    self-consistent stamp over a partial part-file set)."""
+    import os
+
+    latest = os.path.join(path, "LATEST")
+    if os.path.isfile(latest):
+        try:
+            with open(latest) as f:
+                vname = f.read().strip()
+        except OSError:
+            return None
+        vdir = os.path.join(path, vname)
+        if os.path.isfile(os.path.join(vdir, "_SUCCESS")):
+            return vdir
+        return None
+    if os.path.isdir(path) and os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return path
+    return None
+
+
 def graph_search_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -781,11 +860,19 @@ def graph_search_stream(
     a rebuilt index without a query restart (r11 ADVICE).
 
     `edges_path` points the serving stream at an explicit stored edge
-    list — e.g. the index file `graph_insert_stream` rewrites per
-    micro-batch — instead of the corpus-stamp-keyed knn_edges; the same
-    per-batch stamp check then makes each MAINTENANCE step visible to
+    list — a versioned index root maintained by `graph_insert_stream`
+    (resolved through its atomic LATEST pointer) or a flat parquet dir
+    written once — instead of the corpus-stamp-keyed knn_edges; the
+    per-batch re-resolve then makes each MAINTENANCE publish visible to
     the next serving batch, closing the build → store → maintain →
-    serve loop."""
+    serve loop. A batch that arrives BEFORE the first publish FAILS
+    loudly (RuntimeError) instead of silently consuming its queries —
+    the foreachBatch epoch would otherwise commit and the queries would
+    never be answered (r12 ADVICE); sequence serving after the first
+    publish, or restart the stream once the index exists. After a
+    successful resolve, an incomplete/unpublished probe keeps serving
+    the previously resolved version (retained by the publisher's
+    version-keep window) and re-probes next batch."""
     from ..operators.similarity import (
         graph_walk_frame,
         knn_edges,
@@ -799,14 +886,20 @@ def graph_search_stream(
     model: dict = {"stamp": None, "heads": []}
 
     def _resolve() -> None:
-        stamp = file_stamp(edges_path or f"{sf_dir}/embeddings.parquet")
-        if stamp == (0, 0, 0) and edges_path is not None:
-            # the index file has not been published yet (serving
-            # started before the first maintenance batch): serve
-            # nothing this batch and re-probe on the next, instead of
-            # dying on a missing-path read
-            model["stamp"], model["heads"] = None, []
-            return
+        if edges_path is not None:
+            vdir = resolve_index_dir(edges_path)
+            if vdir is None:
+                if model["stamp"] is None:
+                    raise RuntimeError(
+                        f"no complete index published at {edges_path}: "
+                        "start serving after the first publish (the "
+                        "failed micro-batch is reprocessed on restart)"
+                    )
+                return  # keep the resolved version; re-probe next batch
+            stamp = (vdir, file_stamp(vdir))
+        else:
+            vdir = None
+            stamp = file_stamp(f"{sf_dir}/embeddings.parquet")
         if model["stamp"] == stamp:
             return
         emb = load_vectors(spark, sf_dir, nonzero=True)
@@ -818,10 +911,10 @@ def graph_search_stream(
             r[0]
             for r in en.select("vec_id").orderBy("vec_id").limit(2).collect()
         ]
-        if edges_path is not None:
+        if vdir is not None:
             model["edges"] = spark.read.schema(
                 "vec_id long, rank int, neighbor_id long, cos double"
-            ).parquet(edges_path).select("vec_id", "neighbor_id")
+            ).parquet(vdir).select("vec_id", "neighbor_id")
         else:
             model["edges"] = knn_edges(spark, sf_dir).select(
                 "vec_id", "neighbor_id"
@@ -864,21 +957,24 @@ def graph_insert_stream(
     index). State across batches is the index triple itself
     (edges/assign/probes), localCheckpointed and swapped per batch like
     the walk state; after every batch the post-insert edge list is
-    REWRITTEN to output_path — the index file a cold reader (or the
-    search stream after a swap) picks up. KNOWN LIMIT (review-flagged;
-    r13 work): the rewrite is Spark's delete-then-write overwrite, not
-    an atomic version swap — a reader whose scan executes exactly
-    mid-rewrite can hit missing part files, so a CONCURRENT serving
-    stream should read a quiesced copy (as the closed-loop test does)
-    until the publish moves to versioned directories with a
-    latest-complete pointer. Per-batch cost is
-    delta-bounded (|B|·cell·nprobe scores + touched-vertex re-rank);
-    the corpus is never rescanned. Retraining the quantizer = rebuild
-    the base index (a model swap), exactly ST7."""
+    PUBLISHED under the output_path index root as an immutable version
+    dir behind the atomic LATEST pointer (publish_index_version — the
+    r12 KNOWN LIMIT closed): a concurrent serving stream resolving
+    through the pointer can never scan a partial part-file set, and
+    the previous version stays on disk for readers that resolved just
+    before the swap. Per-batch cost is delta-bounded (|B|·cell·nprobe
+    scores + touched-vertex re-rank); the corpus is never rescanned.
+    Retraining the quantizer = rebuild the base index (a model swap),
+    exactly ST7."""
     from ..operators.similarity import inc_base_index, knn_graph_insert_frame
 
     edges0, assign0, probes0, bc = inc_base_index(spark, sf_dir)
-    state = {"edges": edges0, "assign": assign0, "probes": probes0}
+    state = {
+        "edges": edges0,
+        "assign": assign0,
+        "probes": probes0,
+        "seq": next_index_seq(output_path),
+    }
 
     def _insert_batch(batch: DataFrame, _epoch: int) -> None:
         e2, a2, p2 = knn_graph_insert_frame(
@@ -887,7 +983,8 @@ def graph_insert_stream(
         state["edges"] = e2.localCheckpoint()
         state["assign"] = a2.localCheckpoint()
         state["probes"] = p2.localCheckpoint()
-        state["edges"].write.mode("overwrite").parquet(output_path)
+        publish_index_version(state["edges"], output_path, state["seq"])
+        state["seq"] += 1
 
     return (
         vectors.writeStream.foreachBatch(_insert_batch)
