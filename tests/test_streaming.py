@@ -1526,6 +1526,30 @@ def test_graph_maintain_then_serve_closed_loop(spark, sf_dir, tmp_path):
     assert set(got2) == want_maint and got2
 
 
+@pytest.mark.slow
+def test_freshness_lag_under_demo_cadence(spark, tmp_path):
+    """The reference's defining property is the dashboard reading
+    ~1-second-fresh aggregates (demo.js:3-22): the serving store must
+    be CONTINUOUSLY fresh while the full ingest stream maintains it.
+    measure_freshness_lag drives rate source → full_ingest_stream →
+    per-second agg → parquet upsert → store reads at the demo's 1 s
+    trigger cadence and reports store staleness percentiles; the
+    pipeline must produce observations and keep staleness bounded by a
+    few upsert batch walls (generous cap: shared-sandbox batches have
+    measured 1.7 s quiet to ~7 s under heavy load)."""
+    from app_fastdata_spark.streaming.serving_store import (
+        measure_freshness_lag,
+    )
+
+    out = measure_freshness_lag(
+        spark, str(tmp_path / "store"), duration_s=25.0,
+        rows_per_second=5000,
+    )
+    assert out["n"] >= 3, out
+    assert out["p50"] is not None and 0 < out["p50"] <= out["p95"], out
+    assert out["p95"] < 30.0, out
+
+
 def test_graph_serve_before_first_publish_fails_loudly(
     spark, sf_dir, tmp_path
 ):
