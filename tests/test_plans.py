@@ -1001,3 +1001,34 @@ def test_ivfpq_plan_two_arrow_stages_equi_join(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hd_graph_build_plan_bounded_no_cartesian(spark, sf_dir):
+    """The high-degree build must stay on the bounded scale path end to
+    end: the NN-descent candidate expansion is an EQUI self-join of the
+    edge list on the shared endpoint (never a CartesianProduct /
+    BroadcastNestedLoop all-pairs), the exact re-score joins the corpus
+    twice by vec_id equi-keys, and Python appears only in the seed
+    build's centroid-assignment GEMM stages (the sim_knn_graph shape) —
+    the refinement round itself is pure codegen fold arithmetic."""
+    from pyspark.sql import functions as F
+
+    from app_fastdata_spark.operators import similarity as S
+
+    emb = S.load_vectors(spark, sf_dir, nonzero=True)
+    en = emb.select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
+    )
+    bc = S._centroid_broadcast(spark, sf_dir)
+    seed = S._knn_graph_frame(emb, bc, k=S.HD_KNN_K).select(
+        "vec_id", "neighbor_id"
+    )
+    plan = (
+        S._nnd_round_frame(seed, en, S.HD_KNN_K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("ArrowEvalPython") <= 3, plan
