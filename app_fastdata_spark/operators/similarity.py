@@ -3423,3 +3423,306 @@ register(
     "sim_ann_graph_hd_recall",
     sql=_recall_sql(_GRAPH_HD_SQL, "z"),
 )(sim_ann_graph_hd_recall)
+
+
+# --- beam-search graph ANN: width as a FRONTIER, fully oracled --------------
+# The third width lever, after multi-seed (independent walks) and
+# degree (denser graph): BEST-FIRST BEAM SEARCH — one shared frontier
+# of the BEAM_WIDTH globally-best unvisited candidates per query, the
+# search loop DiskANN/HNSW actually serve with. The r12 adjudication
+# called beam "rows-only" because a recursive CTE member cannot hold
+# the per-step top-W (no windows/aggregates in recursion) — but the
+# hop cap makes recursion unnecessary: the loop UNROLLS into chained
+# non-recursive CTEs (f0/v0 → f1/v1 → …), and QUALIFY is legal in
+# every one of them. Beam search therefore gets the FULL value-hash
+# oracle, same 9-dp grid and (cos DESC, node ASC) tiebreak as the
+# walk family. Early termination is parity-free by construction: an
+# empty frontier stays empty through every later hop's joins on both
+# engines.
+#
+# Measured (completing the width adjudication): over the SAME stored
+# hd graph, W=8 beam reaches recall@1 = 20/20 at sf0.01 AND 20/20 at
+# sf0.1 (avg cos_gap 0.0) where 16 independent greedy walks measure
+# 20/20 / 18/20 — the shared frontier dominates independent walks at
+# comparable per-hop cost, exactly the DiskANN observation. Full
+# ladder at sf0.1: single greedy 0/20 → 4-seed 0/20 → 16-seed over
+# degree-32 NND graph 18/20 → W=8 beam over the same graph 20/20.
+#
+# Scale shape: per hop one equi-join of the W-row-per-query frontier
+# into the stored adjacency (Q·W·K candidate scores), an anti-join
+# against the visited set (≤ Q·(W·hops) rows), and a per-query top-W
+# window — corpus size appears only in the stored graph build. State
+# is Q·W frontier + Q·W·hops visited rows, checkpointed per hop like
+# the walk state.
+
+BEAM_WIDTH = 8
+BEAM_TOPK = 5
+
+
+def beam_visited_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized visited set of the beam search over the
+    high-degree graph — (query_id, node, cos), one row per explored
+    candidate (≤ BEAM_WIDTH·(GRAPH_MAX_HOPS+1) per query)."""
+
+    def build():
+        # The hop loop unions a frame with a descendant of itself (the
+        # frontier derives from `visited` via the anti-join): Spark
+        # 4.1's Union constraint rewrite hits "key not found:
+        # query_id#N" on exactly that shared-exprId shape. Constraint
+        # propagation is OFF for the loop only (saved/restored) —
+        # every frame in it is checkpoint-backed and tiny, so no plan
+        # here benefits from propagated constraints anyway.
+        key = "spark.sql.constraintPropagation.enabled"
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            return _beam_build(spark, sf_dir)
+        finally:
+            spark.conf.set(key, prev)
+
+    return session_get(
+        "beam_visited", stamp_key(spark, sf_dir, "embeddings"), build
+    )
+
+
+def _beam_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hop loop itself (run with constraint propagation disabled —
+    see beam_visited_result): seed frontier, expand/score/anti-visited/
+    top-W per hop, accumulate the visited set."""
+    emb = load_vectors(spark, sf_dir, nonzero=True)
+    en = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    edges = knn_edges_hd(spark, sf_dir).select("vec_id", "neighbor_id")
+    seeded = _seeded_queries(en, BEAM_WIDTH)
+    qframe = (
+        en.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("nrm").alias("qn"),
+        )
+        .localCheckpoint()
+    )
+    frontier = (
+        seeded.join(en.alias("n"), F.col("entry") == F.col("n.vec_id"))
+        .select(
+            "query_id",
+            F.col("entry").alias("node"),
+            F.round(
+                dot(F.col("qvec"), F.col("n.embedding"))
+                / (F.col("qn") * F.col("n.nrm")),
+                9,
+            ).alias("cos"),
+        )
+        .localCheckpoint()
+    )
+    visited = frontier
+    for _ in range(GRAPH_MAX_HOPS):
+        cand = (
+            frontier.alias("f")
+            .join(
+                edges.alias("e"), F.col("f.node") == F.col("e.vec_id")
+            )
+            .filter(F.col("e.neighbor_id") != F.col("f.query_id"))
+            .join(
+                F.broadcast(qframe).alias("q"),
+                F.col("f.query_id") == F.col("q.query_id"),
+            )
+            .join(
+                en.alias("n"),
+                F.col("e.neighbor_id") == F.col("n.vec_id"),
+            )
+            .select(
+                F.col("f.query_id").alias("query_id"),
+                F.col("e.neighbor_id").alias("node"),
+                F.round(
+                    dot(F.col("q.qvec"), F.col("n.embedding"))
+                    / (F.col("q.qn") * F.col("n.nrm")),
+                    9,
+                ).alias("cos"),
+            )
+            .distinct()
+            .join(
+                visited.select("query_id", "node"),
+                ["query_id", "node"],
+                "left_anti",
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("node")
+        )
+        frontier = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= BEAM_WIDTH)
+            .select("query_id", "node", "cos")
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint()
+    return visited
+
+
+def sim_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos) — the BEAM_TOPK best
+    candidates beam search explored per query: the k-result serving
+    answer of the production graph-search loop. Rank 1 is the beam's
+    best local optimum; with the frontier as wide as the hd walk's
+    seed fan it matches or beats the greedy family's candidate quality
+    at the same per-hop cost order (Q·W·K vs Q·S·K scores)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
+    return (
+        beam_visited_result(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BEAM_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("node").alias("neighbor_id"),
+            "cos",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _beam_sql() -> str:
+    """The unrolled beam as chained CTEs: bgen/bq (corpus + queries),
+    knn (the nested hd edge list), f0/v0 (seed frontier/visited), then
+    per hop t: c{t} (expand + anti-visited) → f{t} (top-W QUALIFY) →
+    v{t} (union). b-prefixed names: disjoint from every nested scope
+    (_HD_KNN_SQL's h*/emb/en/... inner names)."""
+    step = _sql_cos_n("q.qvec", "q.qn", "n.embedding", "n.nrm")
+    parts = [
+        f"""WITH bgen AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings WHERE {SQL_EMB_UNIT}
+    ),
+    knn AS MATERIALIZED ({_HD_KNN_SQL}),
+    bheads AS (
+      SELECT vec_id FROM bgen ORDER BY vec_id LIMIT {BEAM_WIDTH + 1}
+    ),
+    bq AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM bgen
+      WHERE vec_id < {N_QUERIES}
+    ),
+    f0 AS MATERIALIZED (
+      SELECT q.query_id, h.vec_id AS node,
+             round({_sql_cos_n("q.qvec", "q.qn", "g.embedding", "g.nrm")}, 9)
+               AS cos
+      FROM bq q JOIN bheads h ON h.vec_id <> q.query_id
+      JOIN bgen g ON g.vec_id = h.vec_id
+      QUALIFY row_number() OVER (PARTITION BY q.query_id
+                                 ORDER BY h.vec_id) <= {BEAM_WIDTH}
+    ),
+    v0 AS MATERIALIZED (SELECT query_id, node, cos FROM f0)"""
+    ]
+    for t in range(1, GRAPH_MAX_HOPS + 1):
+        parts.append(
+            f""",
+    c{t} AS MATERIALIZED (
+      SELECT DISTINCT f.query_id, e.neighbor_id AS node,
+             round({step}, 9) AS cos
+      FROM f{t - 1} f
+      JOIN bq q ON q.query_id = f.query_id
+      JOIN knn e ON e.vec_id = f.node AND e.neighbor_id <> f.query_id
+      JOIN bgen n ON n.vec_id = e.neighbor_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM v{t - 1} v
+        WHERE v.query_id = f.query_id AND v.node = e.neighbor_id
+      )
+    ),
+    f{t} AS MATERIALIZED (
+      SELECT query_id, node, cos FROM c{t}
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, node) <= {BEAM_WIDTH}
+    ),
+    v{t} AS MATERIALIZED (SELECT * FROM v{t - 1}
+                          UNION ALL SELECT * FROM f{t})"""
+        )
+    parts.append(
+        f"""
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, node AS neighbor_id, cos
+    FROM (
+      SELECT query_id, node, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, node) AS rank
+      FROM v{GRAPH_MAX_HOPS}
+    )
+    WHERE rank <= {BEAM_TOPK}
+    ORDER BY query_id, rank
+    """
+    )
+    return "".join(parts)
+
+
+_BEAM_SQL = _beam_sql()
+
+register("sim_ann_graph_beam", sql=_BEAM_SQL)(sim_ann_graph_beam)
+
+
+def sim_ann_graph_beam_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, graph_best, exact_best, hit, cos_gap) — recall@1 of
+    the beam search against the exact optimum, completing the width
+    adjudication triad: single-seed greedy → multi-seed greedy →
+    shared-frontier beam, each over the same stored index family."""
+    g = sim_ann_graph_beam(spark, sf_dir).filter(F.col("rank") == 1)
+    e1 = (
+        sim_topk_cosine(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("exact_best"),
+            F.col("cos").alias("exact_cos"),
+        )
+    )
+    return (
+        g.join(e1, "query_id")
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("graph_best"),
+            "exact_best",
+            (F.col("neighbor_id") == F.col("exact_best")).cast("int").alias(
+                "hit"
+            ),
+            F.round(F.col("exact_cos") - F.col("cos"), 9).alias("cos_gap"),
+        )
+        .orderBy("query_id")
+    )
+
+
+register(
+    "sim_ann_graph_beam_recall",
+    sql=f"""
+    WITH graph AS MATERIALIZED (
+      SELECT query_id, neighbor_id AS best_id, cos AS cos_graph
+      FROM ({_BEAM_SQL}) WHERE rank = 1
+    ),
+    wen AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot("embedding", "embedding")}) AS nrm
+      FROM embeddings WHERE {SQL_EMB_UNIT}
+    ),
+    wq AS (
+      SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM wen
+      WHERE vec_id < {N_QUERIES}
+    ),
+    wscored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cos_n("q.qvec", "q.qn", "e.embedding", "e.nrm")} AS cos
+      FROM wq q JOIN wen e ON e.vec_id <> q.query_id
+    ),
+    wbest AS (
+      SELECT query_id, neighbor_id AS exact_best, round(cos, 9) AS exact_cos
+      FROM wscored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) = 1
+    )
+    SELECT g.query_id, g.best_id AS graph_best, w.exact_best,
+           CAST(g.best_id = w.exact_best AS INTEGER) AS hit,
+           round(w.exact_cos - g.cos_graph, 9) AS cos_gap
+    FROM graph g JOIN wbest w ON w.query_id = g.query_id
+    ORDER BY g.query_id
+    """,
+)(sim_ann_graph_beam_recall)

@@ -142,6 +142,12 @@ HEADLINE = [
     # (recall@1 0.90 at sf0.1) and its recall twin
     "sim_ann_graph_hd",
     "sim_ann_graph_hd_recall",
+    # round-13 late: fully-oracled beam search (unrolled chained-CTE
+    # oracle) over the hd graph — recall@1 1.00 at sf0.1 where 16
+    # greedy seeds measure 0.90; benches after the hd pair (shared
+    # stored index, as deployed)
+    "sim_ann_graph_beam",
+    "sim_ann_graph_beam_recall",
 ]
 
 

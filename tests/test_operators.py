@@ -2499,6 +2499,45 @@ def test_hd_graph_structure_and_deployable_recall(spark, sf_dir):
         assert r.cos_gap >= -1e-12  # a walk can never beat the optimum
 
 
+def test_beam_search_structure_bounds_and_recall(spark, sf_dir):
+    """Beam search must respect its structural contract — ≤ BEAM_TOPK
+    ranked rows per query (contiguous ranks, non-increasing cos,
+    distinct non-self neighbors), a visited set bounded by
+    BEAM_WIDTH·(GRAPH_MAX_HOPS+1) per query — never beat the exact
+    optimum, and clear the same ≥0.9 recall@1 bar as the hd walk
+    (measured 20/20 at sf0.01 AND sf0.1, vs the walk's 18/20)."""
+    from app_fastdata_spark.operators import similarity as S
+
+    visited = S.beam_visited_result(spark, sf_dir).collect()
+    per_q: dict = {}
+    for r in visited:
+        per_q.setdefault(r.query_id, set()).add(r.node)
+    cap = S.BEAM_WIDTH * (S.GRAPH_MAX_HOPS + 1)
+    assert per_q and all(len(v) <= cap for v in per_q.values())
+
+    exact1 = {
+        r.query_id: r.cos
+        for r in S.sim_topk_cosine(spark, sf_dir).filter("rank = 1").collect()
+    }
+    by_q: dict = {}
+    for r in S.sim_ann_graph_beam(spark, sf_dir).collect():
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q
+    hits = 0
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= S.BEAM_TOPK
+        coss = [r.cos for r in rows]
+        assert coss == sorted(coss, reverse=True)
+        assert len({r.neighbor_id for r in rows}) == len(rows)
+        for r in rows:
+            assert r.neighbor_id != qid
+            assert r.cos <= exact1[qid] + 1e-12
+        hits += int(rows[0].cos == exact1[qid])
+    assert hits >= 0.9 * len(by_q), f"beam recall@1 {hits}/{len(by_q)}"
+
+
 def test_walk_result_derives_from_trace_single_execution(
     spark, sf_dir, monkeypatch
 ):

@@ -144,6 +144,13 @@ QUERIES = [
     # scoring over the stored edges; corpus-size-free serving like
     # sim_ann_graph (the edge-list build is the only growing leg)
     "sim_ann_graph_multiseed",
+    # round 13: the deployable configuration — K=32 IVF seed build
+    # (N·√N) + ONE NN-descent round (edge-list self-join on the shared
+    # endpoint, ≤N·4K² candidates, exact re-score by two vec_id
+    # equi-joins) + HD_SEEDS corpus-size-free walks; target exponent
+    # ~1.5 at worst (the seed build's IVF bound — the NND leg is
+    # linear in N at fixed K)
+    "sim_ann_graph_hd",
 ]
 
 
