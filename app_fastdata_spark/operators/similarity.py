@@ -3486,15 +3486,13 @@ def beam_visited_result(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _beam_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hop loop itself (run with constraint propagation disabled —
-    see beam_visited_result): seed frontier, expand/score/anti-visited/
-    top-W per hop, accumulate the visited set."""
+    """The corpus-query beam build: corpus-derived query set
+    (vec_id < N_QUERIES) through the factored beam loop."""
     emb = load_vectors(spark, sf_dir, nonzero=True)
     en = emb.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     edges = knn_edges_hd(spark, sf_dir).select("vec_id", "neighbor_id")
-    seeded = _seeded_queries(en, BEAM_WIDTH)
     qframe = (
         en.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -3504,6 +3502,31 @@ def _beam_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    return beam_frame(qframe, edges, en)
+
+
+def beam_frame(
+    qframe: DataFrame, edges: DataFrame, en: DataFrame
+) -> DataFrame:
+    """The beam hop loop over an ARBITRARY (query_id, qvec, qn) frame —
+    factored so the batch query (corpus-derived queries) and the
+    ingest-time serving twin (streaming.pipeline.beam_search_stream)
+    run the IDENTICAL loop against the same stored edges. Seeds: the
+    BEAM_WIDTH smallest non-self corpus node ids per query (the
+    _seeded_queries convention). Caller holds the constraint-
+    propagation toggle (see beam_visited_result). Returns the visited
+    set (query_id, node, cos)."""
+    heads = en.select("vec_id").orderBy("vec_id").limit(BEAM_WIDTH + 1)
+    w0 = Window.partitionBy("query_id").orderBy(F.asc("entry"))
+    seeded = (
+        qframe.join(
+            F.broadcast(heads.select(F.col("vec_id").alias("entry"))),
+            F.col("entry") != F.col("query_id"),
+        )
+        .withColumn("seed", F.row_number().over(w0))
+        .filter(F.col("seed") <= BEAM_WIDTH)
+    )
+    qframe = qframe.localCheckpoint()
     frontier = (
         seeded.join(en.alias("n"), F.col("entry") == F.col("n.vec_id"))
         .select(

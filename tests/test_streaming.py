@@ -1322,6 +1322,34 @@ def test_graph_search_stream_matches_batch(spark, sf_dir, tmp_path):
     assert g == want and g
 
 
+def test_beam_search_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Beam serving at ingest: streaming the embeddings table through
+    the factored beam loop must answer every valid nonzero vector with
+    BEAM_TOPK-ranked rows, and on the batch query set the answers must
+    equal sim_ann_graph_beam's rows EXACTLY (same loop by construction
+    — pins the wiring: gates, seed fan, constraint toggle, sink)."""
+    from app_fastdata_spark.operators.similarity import (
+        N_QUERIES,
+        load_vectors,
+        sim_ann_graph_beam,
+    )
+
+    out = str(tmp_path / "beam_serve")
+    q = P.beam_search_stream(
+        spark, sf_dir, P.embeddings_stream(spark, sf_dir), out
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    n_live = load_vectors(spark, sf_dir, nonzero=True).count()
+    assert got.select("query_id").distinct().count() == n_live
+    g = {
+        tuple(r)
+        for r in got.filter(F.col("query_id") < N_QUERIES).collect()
+    }
+    want = {tuple(r) for r in sim_ann_graph_beam(spark, sf_dir).collect()}
+    assert g == want and g
+
+
 def test_graph_insert_stream_matches_batch_rebuild(spark, sf_dir, tmp_path):
     """Graph-index maintenance at ingest: streaming the held-out
     arrivals (vec_id % 7 == 3) into the stored base index across TWO
