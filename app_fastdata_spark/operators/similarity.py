@@ -18,8 +18,10 @@ IVF cells to avoid the O(N²) pair join.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
+import threading
 
 import numpy as np
 import pandas as pd
@@ -3233,7 +3235,12 @@ def _nnd_round_frame(edges: DataFrame, en: DataFrame, k: int) -> DataFrame:
         F.col("neighbor_id").alias("vec_id"),
         F.col("vec_id").alias("neighbor_id"),
     )
-    und = fwd.unionByName(rev)
+    # checkpoint: the undirected edge list feeds the plan THREE times
+    # (itself + both sides of the expansion self-join) and `edges` is
+    # the whole K=32 IVF seed build — uncheckpointed, Catalyst
+    # re-executes that build per reference (review-flagged, ~3x build
+    # wall); materialized it is an N·2K-row frame computed once
+    und = fwd.unionByName(rev).localCheckpoint()
     non = (
         und.alias("a")
         .join(und.alias("b"), F.col("a.neighbor_id") == F.col("b.vec_id"))
@@ -3465,24 +3472,42 @@ def beam_visited_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate (≤ BEAM_WIDTH·(GRAPH_MAX_HOPS+1) per query)."""
 
     def build():
-        # The hop loop unions a frame with a descendant of itself (the
-        # frontier derives from `visited` via the anti-join): Spark
-        # 4.1's Union constraint rewrite hits "key not found:
-        # query_id#N" on exactly that shared-exprId shape. Constraint
-        # propagation is OFF for the loop only (saved/restored) —
-        # every frame in it is checkpoint-backed and tiny, so no plan
-        # here benefits from propagated constraints anyway.
-        key = "spark.sql.constraintPropagation.enabled"
-        prev = spark.conf.get(key, "true")
-        spark.conf.set(key, "false")
-        try:
+        with beam_conf_guard(spark):
             return _beam_build(spark, sf_dir)
-        finally:
-            spark.conf.set(key, prev)
 
     return session_get(
         "beam_visited", stamp_key(spark, sf_dir, "embeddings"), build
     )
+
+
+_BEAM_CONF_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def beam_conf_guard(*sessions):
+    """The beam hop loop unions a frame with a descendant of itself
+    (the frontier derives from `visited` via the anti-join): Spark
+    4.1's Union constraint rewrite hits "key not found: query_id#N" on
+    exactly that shared-exprId shape, so constraint propagation is OFF
+    for the loop (every frame in it is checkpoint-backed and tiny — no
+    plan here benefits from propagated constraints). The conf is
+    SESSION-GLOBAL, so concurrent beam runs (a serving micro-batch
+    beside a driver-thread batch build) must not interleave a restore
+    into another run's loop (review-flagged): a process-wide lock
+    serializes the toggled region. Pass every session whose plans the
+    loop touches — foreachBatch hands its callback a CLONED session
+    whose conf governs batch-derived frames."""
+    key = "spark.sql.constraintPropagation.enabled"
+    uniq = list({id(s): s for s in sessions}.values())
+    with _BEAM_CONF_LOCK:
+        prev = {id(s): s.conf.get(key, "true") for s in uniq}
+        for s in uniq:
+            s.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            for s in uniq:
+                s.conf.set(key, prev[id(s)])
 
 
 def _beam_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3493,16 +3518,12 @@ def _beam_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     edges = knn_edges_hd(spark, sf_dir).select("vec_id", "neighbor_id")
-    qframe = (
-        en.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qvec"),
-            F.col("nrm").alias("qn"),
-        )
-        .localCheckpoint()
+    qframe = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qn"),
     )
-    return beam_frame(qframe, edges, en)
+    return beam_frame(qframe, edges, en)  # beam_frame checkpoints it
 
 
 def beam_frame(
@@ -3516,6 +3537,10 @@ def beam_frame(
     _seeded_queries convention). Caller holds the constraint-
     propagation toggle (see beam_visited_result). Returns the visited
     set (query_id, node, cos)."""
+    # checkpoint BEFORE seeding, so the seed join and the hop loop both
+    # read the materialized frame (checkpointing after let the seeding
+    # re-execute the raw lineage once — review-flagged)
+    qframe = qframe.localCheckpoint()
     heads = en.select("vec_id").orderBy("vec_id").limit(BEAM_WIDTH + 1)
     w0 = Window.partitionBy("query_id").orderBy(F.asc("entry"))
     seeded = (
@@ -3526,7 +3551,6 @@ def beam_frame(
         .withColumn("seed", F.row_number().over(w0))
         .filter(F.col("seed") <= BEAM_WIDTH)
     )
-    qframe = qframe.localCheckpoint()
     frontier = (
         seeded.join(en.alias("n"), F.col("entry") == F.col("n.vec_id"))
         .select(

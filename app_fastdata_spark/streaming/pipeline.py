@@ -767,6 +767,11 @@ def near_dup_refine_stream(
 # previous version is retained for readers that resolved just before
 # the swap (INDEX_KEEP_VERSIONS; a deployment whose reader batches span
 # more than one publish interval raises it); older versions are pruned.
+# Pruning is still a RACE against a reader more than KEEP-1 publishes
+# behind (review-flagged): the serving batch closes it by re-resolving
+# and retrying once when its pinned version's files disappear mid-scan
+# (_walk_batch), so a pruned-under-foot scan degrades to one retried
+# walk instead of killing the stream.
 
 INDEX_KEEP_VERSIONS = 2
 
@@ -922,18 +927,32 @@ def graph_search_stream(
         model["stamp"] = stamp
 
     def _walk_batch(batch: DataFrame, _epoch: int) -> None:
-        _resolve()
-        if len(model["heads"]) < 2:
-            return  # <2 graph nodes: no walk exists (batch-twin contract)
-        q = batch.filter(vec_valid() & vec_nonzero()).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qvec"),
-            norm(F.col("embedding")).alias("qn"),
-        )
-        graph_walk_frame(
-            q, model["edges"], model["en"], model["heads"][0],
-            model["heads"][1],
-        ).write.mode("append").parquet(output_path)
+        # Retry once on a vanished pinned version: a maintenance stream
+        # that published more than INDEX_KEEP_VERSIONS times inside ONE
+        # serving batch prunes the version this batch pinned at
+        # _resolve time; the scan then fails mid-walk. Re-resolving
+        # picks up the current complete version and the walk re-runs —
+        # the append sink has not been written yet, so the retry is
+        # exactly-once per batch.
+        for attempt in (0, 1):
+            _resolve()
+            if len(model["heads"]) < 2:
+                return  # <2 graph nodes: no walk (batch-twin contract)
+            q = batch.filter(vec_valid() & vec_nonzero()).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"),
+                norm(F.col("embedding")).alias("qn"),
+            )
+            try:
+                graph_walk_frame(
+                    q, model["edges"], model["en"], model["heads"][0],
+                    model["heads"][1],
+                ).write.mode("append").parquet(output_path)
+                return
+            except Exception:
+                if attempt or edges_path is None:
+                    raise
+                model["stamp"] = None  # force a fresh resolve, retry
 
     writer = vectors.writeStream.foreachBatch(_walk_batch)
     if available_now:
@@ -964,6 +983,7 @@ def beam_search_stream(
     safe because foreachBatch callbacks of one query never overlap."""
     from ..operators.similarity import (
         BEAM_TOPK,
+        beam_conf_guard,
         beam_frame,
         knn_edges_hd,
         load_vectors,
@@ -984,19 +1004,12 @@ def beam_search_stream(
             F.col("embedding").alias("qvec"),
             norm(F.col("embedding")).alias("qn"),
         )
-        # foreachBatch hands the batch a CLONED session: the toggle must
-        # land on the session the batch-derived frames plan under, not
-        # (only) the outer driver session.
-        key = "spark.sql.constraintPropagation.enabled"
-        sessions = {id(s): s for s in (spark, batch.sparkSession)}.values()
-        prev = {id(s): s.conf.get(key, "true") for s in sessions}
-        for s in sessions:
-            s.conf.set(key, "false")
-        try:
+        # beam_conf_guard: constraint-propagation toggle + process-wide
+        # lock (see similarity.py) over BOTH sessions — foreachBatch
+        # hands the batch a CLONED session whose conf governs
+        # batch-derived frames.
+        with beam_conf_guard(spark, batch.sparkSession):
             visited = beam_frame(q, edges, en)
-        finally:
-            for s in sessions:
-                s.conf.set(key, prev[id(s)])
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cos"), F.asc("node")
         )

@@ -327,7 +327,13 @@ def measure_freshness_lag(
             except Exception:
                 newest = None  # store not created yet / mid-write listing
             if newest is not None:
-                staleness.append(_time.time() - (newest.timestamp() + 1.0))
+                # clamp at 0: under update mode the store can already
+                # hold the still-open current second (its END is in the
+                # future) — the dashboard is CURRENT, not negatively
+                # stale (review-flagged)
+                staleness.append(
+                    max(0.0, _time.time() - (newest.timestamp() + 1.0))
+                )
             _time.sleep(poll_s)
     finally:
         q.stop()
@@ -338,10 +344,14 @@ def measure_freshness_lag(
     staleness.sort()
     out = {"n": len(staleness), "rows_per_second": rows_per_second}
     if len(staleness) >= 3:
-        out["p50"] = round(staleness[len(staleness) // 2], 3)
-        out["p95"] = round(
-            staleness[min(len(staleness) - 1, int(len(staleness) * 0.95))], 3
-        )
+        import math as _math
+
+        n = len(staleness)
+        # nearest-rank percentiles: ceil(q*n)-1 — int(0.95*n) selected
+        # the sample MAXIMUM for every n <= 20 (review-flagged), so one
+        # contention spike set the recorded p95
+        out["p50"] = round(staleness[_math.ceil(0.50 * n) - 1], 3)
+        out["p95"] = round(staleness[_math.ceil(0.95 * n) - 1], 3)
     else:
         out["p50"] = out["p95"] = None
     return out

@@ -306,7 +306,14 @@ def main() -> None:
         measure_freshness_lag,
     )
 
-    lvl0 = "WARN"
+    try:  # restore what is actually in effect, not an assumed "WARN"
+        lvl0 = str(
+            spark._jvm.org.apache.logging.log4j.LogManager.getRootLogger()
+            .getLevel()
+            .toString()
+        )
+    except Exception:
+        lvl0 = "WARN"
     spark.sparkContext.setLogLevel("FATAL")
     with _tempfile.TemporaryDirectory() as _fd:
         freshness = measure_freshness_lag(

@@ -1574,7 +1574,7 @@ def test_freshness_lag_under_demo_cadence(spark, tmp_path):
         rows_per_second=5000,
     )
     assert out["n"] >= 3, out
-    assert out["p50"] is not None and 0 < out["p50"] <= out["p95"], out
+    assert out["p50"] is not None and 0 <= out["p50"] <= out["p95"], out
     assert out["p95"] < 30.0, out
 
 
