@@ -277,6 +277,39 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_before = sample_load()
+    # End-to-end event-to-servable freshness (r12 judge Next #7),
+    # measured in a DEDICATED subprocess BEFORE this process's JVM
+    # exists: the in-process A/B showed the 20 s streaming probe taxes
+    # the timed loop ~7-9 s with state-store/GC debris, and its
+    # teardown flushes an async stderr stack trace that must never
+    # land near the final parseable line (the BENCH_r07 lesson). The
+    # subprocess isolates both; see tools/freshness_probe.py.
+    freshness: dict = {"n": 0, "p50": None, "p95": None}
+    if os.environ.get("SPARK_GRAFT_SKIP_FRESHNESS") != "1":
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "tools",
+                        "freshness_probe.py",
+                    ),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=240,
+            )
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    freshness = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+        except Exception:
+            pass  # probe failure must never kill the bench
     spark = get_spark("bench")
     qs = queries()
     timings: dict[str, float] = {}
@@ -292,34 +325,6 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for w in HEADLINE:
         qs[w](spark, warm_dir).write.format("noop").mode("overwrite").save()
-    # End-to-end event-to-servable freshness (r12 judge Next #7): p50/p95
-    # staleness of the per-second serving store while the full ingest
-    # stream maintains it at 20k events/s — the lag between the ingest
-    # throughput number and the serving-read latency number. Runs EARLY
-    # (before the timed loop): stopping a foreachBatch stream mid-batch
-    # makes the dying JVM thread flush an async stderr stack trace, which
-    # must land minutes away from the final parseable JSON line (the
-    # BENCH_r07 parsed:null lesson).
-    import tempfile as _tempfile
-
-    from app_fastdata_spark.streaming.serving_store import (
-        measure_freshness_lag,
-    )
-
-    try:  # restore what is actually in effect, not an assumed "WARN"
-        lvl0 = str(
-            spark._jvm.org.apache.logging.log4j.LogManager.getRootLogger()
-            .getLevel()
-            .toString()
-        )
-    except Exception:
-        lvl0 = "WARN"
-    spark.sparkContext.setLogLevel("FATAL")
-    with _tempfile.TemporaryDirectory() as _fd:
-        freshness = measure_freshness_lag(
-            spark, f"{_fd}/store", duration_s=20.0
-        )
-    spark.sparkContext.setLogLevel(lvl0)
     # min-of-2 at the target SF: single-shot timings on a shared sandbox
     # carry ±20% scheduler noise (measured: four identical-config bench
     # runs spanned 28.5-33.5 s total); the minimum of two runs is the
