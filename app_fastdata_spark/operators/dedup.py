@@ -815,11 +815,19 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # localCheckpoint: materialize the candidate docs' ASCII prefixes
+    # ONCE (r13 stage profile: the uncheckpointed frame fed BOTH join
+    # sides, so Catalyst duplicated the whole semi-join + regex subtree
+    # — two sequential ~0.7 s single-task regex stages, plus the pair-id
+    # distinct built twice). At 100 TB this frame IS the refine input a
+    # dedup pipeline materializes: candidate-bounded rows of ≤LEV_PREFIX
+    # ASCII chars, never the corpus.
     docs = (
         load_table(spark, sf_dir, "documents")
         .join(F.broadcast(pair_ids), "doc_id", "left_semi")
         .filter(F.col("text").isNotNull())
         .select("doc_id", lev_prefix_col().alias("pfx"))
+        .localCheckpoint()
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb"))
@@ -829,11 +837,21 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         - lev / F.greatest(F.length("pa"), F.length("pb"), F.lit(1)),
         6,
     )
-    return (
+    # Score in ONE Project over a materialized pair frame: previously
+    # the sim >= threshold filter was inlined into the join condition,
+    # so the LEV_PREFIX² DP ran once in the join probe and again in the
+    # output projection — 2× per candidate pair. Here the DP runs
+    # exactly once per pair (lev and sim share the subexpression inside
+    # a single Project); the threshold filter reads the materialized
+    # column.
+    scored = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", lev.alias("lev"), sim.alias("sim"))
-        .filter(F.col("sim") >= LEV_SIM_MIN)
+        .localCheckpoint()
+    )
+    return (
+        scored.filter(F.col("sim") >= LEV_SIM_MIN)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -999,7 +1017,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket of ~1.6k docs at sf0.1 makes 2.4M candidate pairs, and that
     # expression measured 262 s vs ~1 s for the xor form (the DuckDB
     # oracle keeps the per-character sum, so values stay cross-checked).
-    with_ints = simhash_band_ints(simhash_signatures(spark, sf_dir))
+    #
+    # localCheckpoint: materialize the N-row band-int frame ONCE before
+    # the self-join (guide §4.4/§3.3). Without it the plan held FOUR
+    # ArrowEvalPython nodes — the join-key null filter was pushed below
+    # each side's widen exchange and the optimizer duplicated the
+    # SimHash UDF around it, so every run evaluated the corpus UDF 4×
+    # (r13 stage profile: ~25 s task time, ~10 s of it Python). The
+    # checkpointed frame is (doc_id, w0..w3) — a few longs per doc —
+    # and both join sides now read it with zero Python in the plan.
+    with_ints = simhash_band_ints(
+        simhash_signatures(spark, sf_dir)
+    ).localCheckpoint()
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), F.col(f"w{b}").alias("bh"))

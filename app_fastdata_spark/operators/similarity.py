@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..cache import persisted_get, session_get, stamp_key
 from ..registry import register
-from ..tables import load_table, parquet_num_rows
+from ..tables import load_table, parquet_num_rows, widen_small_scan
 
 DIM = 64
 N_QUERIES = 20          # vec_id < 20 are the query set
@@ -167,7 +167,12 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qvec"),
         norm(F.col("embedding")).alias("qn"),
     )
-    cand = emb.select(
+    # widen the CANDIDATE side only (r13 stage profile: the single-file
+    # scan put all Q·N fold evaluations in one task); the query side
+    # stays narrow so its broadcast build adds no exchange.
+    cand = widen_small_scan(
+        emb, path=f"{sf_dir}/embeddings.parquet"
+    ).select(
         F.col("vec_id").alias("neighbor_id"),
         "embedding",
         norm(F.col("embedding")).alias("en"),
@@ -218,6 +223,22 @@ _TOPK_SQL = f"""
     """
 
 register("sim_topk_cosine", sql=_TOPK_SQL)(sim_topk_cosine)
+
+
+def exact_topk_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized output of the exact brute-force top-k — the
+    ground-truth baseline every ANN recall twin joins against. Seven
+    recall queries each re-ran the full Q·N fold scan to get the same
+    ≤Q·TOP_K-row frame (r13 profile: ~0.7 s per consumer at sf0.1);
+    like graph_walk_result, one execution per (session, embeddings
+    stamp) now serves them all. The registered sim_topk_cosine query
+    itself still computes fresh on every call — it IS the brute-force
+    benchmark entry, so its bench time must stay a real scan."""
+    return session_get(
+        "exact_topk",
+        stamp_key(spark, sf_dir, "embeddings"),
+        lambda: sim_topk_cosine(spark, sf_dir).localCheckpoint(),
+    )
 
 
 # --- embedding cosine near-dup (dedup family, oracle-checked) -------------
@@ -1291,7 +1312,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs next to its latency numbers. Both sides are oracle-checked
     queries; the recall is a semi-match count over their K-row results,
     so the measurement itself carries a full oracle too."""
-    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = exact_topk_result(spark, sf_dir).select("query_id", "neighbor_id")
     approx = sim_ann_ivf(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
@@ -1449,7 +1470,14 @@ def sim_ann_int8(
             F.col("q").alias("qa"),
             qn.alias("qna"),
         ).filter(F.col("query_id") < N_QUERIES)
-        cand = qemb.select(
+        # widen the CANDIDATE side only (single-file scan otherwise puts
+        # all Q·N quantized-fold evaluations in one task — r13 profile);
+        # the query side stays narrow for its broadcast build.
+        cand = widen_small_scan(
+            emb, path=f"{sf_dir}/embeddings.parquet"
+        ).select(
+            "vec_id", _quantize(F.col("embedding")).alias("q")
+        ).select(
             F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), qn.alias("qnb")
         )
         idot = F.aggregate(
@@ -2122,7 +2150,7 @@ def sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     as sim_ann_recall does for the IVF probe path. Both sides are
     themselves oracle-checked queries; the measurement is a semi-match
     count over their K-row results, so it carries a full oracle too."""
-    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = exact_topk_result(spark, sf_dir).select("query_id", "neighbor_id")
     approx = sim_ann_pq(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
@@ -2240,17 +2268,21 @@ def embedding_rp_project(
             .mapInPandas(project, flat_schema)
             .orderBy("vec_id")
         )
+    # The SAME fold expression tree as the previous Column-built form
+    # (aggregate ∘ zip_with, double cast on the vector side, 0.0 seed,
+    # left-to-right accumulation — bit-identical results, pinned by the
+    # oracle), but constructed as ONE parsed SQL string per projection:
+    # the Column form issued ~70 py4j round trips per projection × 16
+    # projections, ~1.2 s of driver-side build per invocation at r13
+    # (guide §7.3: plan construction is driver-side, single-threaded).
     cols = [F.col("vec_id")]
     for j in range(RP_K):
-        r = F.array(*[F.lit(v) for v in _RP[j]])
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"), r, lambda a, b: a.cast("double") * b
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"{v!r}D" for v in _RP[j])
+        proj = (
+            f"aggregate(zip_with(embedding, array({arr}), "
+            "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
         )
-        cols.append(F.round(proj, 9).alias(f"proj_{j + 1}"))
+        cols.append(F.expr(f"round({proj}, 9)").alias(f"proj_{j + 1}"))
     return emb.select(*cols).orderBy("vec_id")
 
 
@@ -2421,7 +2453,7 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     losses combined), next to the per-mechanism recalls
     (sim_ann_recall for the probe path, sim_ann_pq_recall for the
     codebook)."""
-    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = exact_topk_result(spark, sf_dir).select("query_id", "neighbor_id")
     approx = sim_ann_ivfpq(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
@@ -2723,7 +2755,7 @@ def sim_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-rounds to absorb representation noise."""
     g = graph_walk_result(spark, sf_dir)
     e1 = (
-        sim_topk_cosine(spark, sf_dir)
+        exact_topk_result(spark, sf_dir)
         .filter(F.col("rank") == 1)
         .select(
             "query_id",
@@ -2995,7 +3027,7 @@ def sim_ann_graph_multiseed_recall(
     walks."""
     g = multiseed_walk_result(spark, sf_dir)
     e1 = (
-        sim_topk_cosine(spark, sf_dir)
+        exact_topk_result(spark, sf_dir)
         .filter(F.col("rank") == 1)
         .select(
             "query_id",
@@ -3403,7 +3435,7 @@ def sim_ann_graph_hd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Next #2). Reads the session-materialized walk output."""
     g = hd_walk_result(spark, sf_dir)
     e1 = (
-        sim_topk_cosine(spark, sf_dir)
+        exact_topk_result(spark, sf_dir)
         .filter(F.col("rank") == 1)
         .select(
             "query_id",
@@ -3716,7 +3748,7 @@ def sim_ann_graph_beam_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-frontier beam, each over the same stored index family."""
     g = sim_ann_graph_beam(spark, sf_dir).filter(F.col("rank") == 1)
     e1 = (
-        sim_topk_cosine(spark, sf_dir)
+        exact_topk_result(spark, sf_dir)
         .filter(F.col("rank") == 1)
         .select(
             "query_id",

@@ -55,8 +55,17 @@ def get_spark(app_name: str = "app_fastdata_spark") -> SparkSession:
         # dead broadcast variables / shuffle files mid-suite.
         .config("spark.cleaner.periodicGC.interval", "2min")
         # Reused Python workers keep numpy/pandas/arrow RSS forever; kill
-        # them when idle (they respawn on demand in ~100 ms).
-        .config("spark.python.worker.idleTimeoutSeconds", "120")
+        # them when idle (they respawn on demand). r13 measurement: a
+        # respawned worker pays ~0.3 s CPU importing pandas/numpy before
+        # its first batch — a 32-slot stage hitting cold workers burns
+        # ~10 s of task time on imports alone (stage-profiled on
+        # dedup_simhash), and the 120 s timeout expired in the gaps
+        # between a bench's Python-stage families, re-paying the spawn
+        # several times per run. 600 s keeps workers warm across those
+        # gaps while still bounding idle RSS for long-lived sessions;
+        # ~32 workers × 100-300 MB is well inside this sandbox and any
+        # production executor sized per §5 of the optimization guide.
+        .config("spark.python.worker.idleTimeoutSeconds", "600")
         .config("spark.python.worker.killOnIdleTimeout", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -212,6 +212,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # construction.
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Session-cache the loaded FRAME per (app, dir, table, file stamp):
+    # every spark.read.schema(...).parquet(path) call pays a driver-side
+    # file listing + analysis round trip (~0.15-0.25 s measured at r13,
+    # and minutes-scale listings on real multi-million-file tables —
+    # guide §6 "file listing"). A DataFrame is an immutable plan, not
+    # data: caching the definition re-scans parquet on every action, so
+    # results always come from the files; the stamp key re-derives after
+    # any in-place rewrite or append (same invalidation contract as
+    # every other per-path cache in cache.py).
+    from .cache import session_get, stamp_key
+
+    return session_get(
+        f"load_table-{name}",
+        stamp_key(spark, sf_dir, name),
+        lambda: _load_table_frame(spark, sf_dir, name),
+    )
+
+
+def _load_table_frame(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # ts_ns (long nanos) is kept next to ts in BOTH layouts so every
@@ -350,6 +369,27 @@ def _est_scan_partitions(
     return max(1, -(-total // max_split))
 
 
+_WIDEN_BYTES_PER_PART = 128 * 1024
+
+
+def _input_bytes(path: str) -> int:
+    """Total bytes under a parquet file/dir path (0 when absent)."""
+    import os as _os
+
+    if _os.path.isdir(path):
+        total = 0
+        for p in _list_parts(path):
+            try:
+                total += _os.stat(p).st_size
+            except OSError:
+                continue
+        return total
+    try:
+        return _os.stat(path).st_size
+    except OSError:
+        return 0
+
+
 def widen_small_scan(df: DataFrame, path: str | None = None) -> DataFrame:
     """Re-split a scan whose file layout gives fewer partitions than the
     cluster has slots (the tiny-testdata artifact: one 600 KB parquet →
@@ -366,14 +406,30 @@ def widen_small_scan(df: DataFrame, path: str | None = None) -> DataFrame:
     translation per call — measurable planning cost on hot paths, and
     pure waste at real scale where the guard is false."""
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    slots = sc.defaultParallelism
     if path is not None:
         max_split, open_cost = _scan_packing_confs(df.sparkSession)
         n = _est_scan_partitions(
-            path, file_stamp(path), target, max_split, open_cost
+            path, file_stamp(path), slots, max_split, open_cost
         )
     else:
         n = df.rdd.getNumPartitions()
-    if n * 2 <= target:
+    if n * 2 <= slots:
+        # Size the re-split from the INPUT BYTES, not the slot count
+        # (guide §2: make partitioning scale-adaptive, not a constant
+        # tuned for the local core count). Flat `repartition(slots)` put
+        # a 600 KB corpus into 32 partitions, and the Python stages this
+        # guard feeds then paid 32× the per-task Arrow/worker setup for
+        # ~150 rows each — measured 0.75 s/stage at 32 partitions vs
+        # 0.34-0.39 s at 4-16 for the same 5000-doc UDF. ~128 KB per
+        # partition keeps each task meaningfully sized at any input
+        # size, and the slot clamp preserves the original upper bound;
+        # at real scale the n*2<=slots guard is false and the scan
+        # passes through untouched, exactly as before.
+        size = _input_bytes(path) if path is not None else None
+        if size:
+            target = max(2, min(slots, -(-size // _WIDEN_BYTES_PER_PART)))
+        else:
+            target = slots
         return df.repartition(target)
     return df
