@@ -785,7 +785,11 @@ def dsir_score_frame(docs: DataFrame, lrs: list[float]) -> DataFrame:
     inlined ratio literal — NO join, NO explode, NO doc-keyed exchange
     (the with_cluster J4 idiom applied to model stats)."""
     toks = _dsir_toks()
-    lr_lit = F.array(*[F.lit(x) for x in lrs])
+    # one parsed literal array, not 256 py4j F.lit round trips (r13:
+    # ~0.2 s of driver-side build per invocation; guide §7.3)
+    lr_lit = F.expr(
+        "array(" + ", ".join(f"{x!r}D" for x in lrs) + ")"
+    )
     score = F.aggregate(
         F.transform(
             toks, lambda t: F.element_at(lr_lit, (_dsir_feat(t) + 1).cast("int"))
@@ -808,6 +812,7 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the fit pass over the same corpus, so the literal covers every
     probe. widen_small_scan re-splits the tiny-testdata single-partition
     scan for map parallelism (pass-through at real scale)."""
+    from ..cache import session_get, stamp_key
     from ..tables import widen_small_scan
 
     docs = widen_small_scan(
@@ -816,7 +821,17 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         path=f"{sf_dir}/documents.parquet",
     )
-    return dsir_score_frame(docs, fit_dsir_model(docs))
+    # The fitted ratio table is the MODEL (a 256-double list): fit once
+    # per (session, corpus stamp) like _centroid_broadcast — each
+    # invocation was re-running the fit collect (~0.7 s Spark job) to
+    # derive the identical literals. Scoring always recomputes from the
+    # parquet scan.
+    lrs = session_get(
+        "dsir_model",
+        stamp_key(spark, sf_dir, "documents"),
+        lambda: fit_dsir_model(docs),
+    )
+    return dsir_score_frame(docs, lrs)
 
 
 _DSIR_SQL = f"""

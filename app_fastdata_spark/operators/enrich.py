@@ -58,15 +58,48 @@ def with_cluster(
         return df.withColumn("cluster", F.lit(None).cast("int"))
     if len(cs) == 1:
         return df.withColumn("cluster", F.lit(cs[0][0]))
-    score_cols = [f"_score_{cid}" for cid, _, _ in cs]
-    scored = df.select(
-        "*", *[cluster_score(cu, cv).alias(n) for (_, cu, cv), n in zip(cs, score_cols)]
+    # Identical expression trees to the previous Column-built form
+    # (pow scores → least → first-match CASE), but parsed from SQL text
+    # — the Column form issued ~250 py4j round trips per invocation
+    # (~0.2 s of driver-side build on every consumer: nearest_centroid,
+    # the cluster views, every ingest micro-batch plan — guide §7.3).
+    # repr()-rendered literals require finite centers; a pathological
+    # swapped-in model (NaN/Inf center) takes the Column-built path.
+    import math
+
+    if not all(
+        math.isfinite(cu) and math.isfinite(cv) for _, cu, cv in cs
+    ):
+        score_cols = [f"_s{i}" for i in range(len(cs))]
+        scored = df.select(
+            "*",
+            *[
+                cluster_score(cu, cv).alias(n)
+                for (_, cu, cv), n in zip(cs, score_cols)
+            ],
+        )
+        m = F.least(*[F.col(n) for n in score_cols])
+        expr = F.when(F.col(score_cols[0]) == m, F.lit(cs[0][0]))
+        for (cid, _, _), n in zip(cs[1:], score_cols[1:]):
+            expr = expr.when(F.col(n) == m, F.lit(cid))
+        return scored.withColumn("cluster", expr).drop(*score_cols)
+    score_cols = [f"_s{i}" for i in range(len(cs))]
+    score_sql = [
+        f"power(CAST(user_id % 100 AS DOUBLE) - {cu!r}D, 2) "
+        f"+ power(value - {cv!r}D, 2) AS {n}"
+        for (_, cu, cv), n in zip(cs, score_cols)
+    ]
+    scored = df.selectExpr("*", *score_sql)
+    m = "least(" + ", ".join(score_cols) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {n} = {m} THEN {int(cid)}"
+            for (cid, _, _), n in zip(cs, score_cols)
+        )
+        + " END"
     )
-    m = F.least(*[F.col(n) for n in score_cols])
-    expr = F.when(F.col(score_cols[0]) == m, F.lit(cs[0][0]))
-    for (cid, _, _), n in zip(cs[1:], score_cols[1:]):
-        expr = expr.when(F.col(n) == m, F.lit(cid))
-    return scored.withColumn("cluster", expr).drop(*score_cols)
+    return scored.withColumn("cluster", F.expr(case)).drop(*score_cols)
 
 
 # J4 as a standalone query: (event_id, cluster).

@@ -369,8 +369,20 @@ def events_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event counts for users whose customer record carries a
     negative balance — fact side Bloom-pre-filtered, then exactly
     semi-joined. Result is identical to the plain semi-join (oracle)."""
+    from ..cache import session_get, stamp_key
+
     build = _bloom_build_side(spark, sf_dir)
-    pruned = _bloom_pruned_events(spark, sf_dir, _bloom_bitmap(build))
+    # The 1 KB bitmap is a derived runtime-filter artifact: build it
+    # once per (session, customer stamp) — every invocation was
+    # re-running the distributed bit_or build job (~0.4 s at r13) to
+    # collect the identical 1,024 words (the _centroid_broadcast
+    # lifecycle applied to the filter).
+    bitmap = session_get(
+        "bloom_bitmap-customer",
+        stamp_key(spark, sf_dir, "customer"),
+        lambda: _bloom_bitmap(build),
+    )
+    pruned = _bloom_pruned_events(spark, sf_dir, bitmap)
     return (
         pruned.join(
             F.broadcast(build), pruned["user_id"] == build["k"], "left_semi"

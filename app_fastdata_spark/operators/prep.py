@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, widen_small_scan
 from .textops import _tokens
 
 # --- RAG chunking -----------------------------------------------------------
@@ -229,7 +229,12 @@ def doc_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, never an ANSI divide abort)."""
     from .textops import quality_frame
 
-    docs = load_table(spark, sf_dir, "documents")
+    # widen: both scorers run token-HOF projections over the corpus and
+    # each side otherwise evaluates on the single-file scan's one task
+    docs = widen_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        path=f"{sf_dir}/documents.parquet",
+    )
     h = quality_frame(docs).select("doc_id", "passes_quality")
     c = classifier_frame(docs).select("doc_id", "keep")
     j = c.join(h, "doc_id").where(
@@ -579,9 +584,13 @@ def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the two merges inlined via 1-row broadcast joins — zero
     doc-keyed shuffles, linear in corpus size."""
     m1, m2 = _two_merges(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-    )
+    # widen: the per-token merge-apply fold is the heaviest codegen
+    # projection in the prep family and ran single-task on the one-file
+    # scan (r13 stage profile); pass-through at real scale
+    docs = widen_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        path=f"{sf_dir}/documents.parquet",
+    ).where(F.col("text").isNotNull())
     joined = docs.join(
         F.broadcast(m1.select(F.col("l").alias("l1"), F.col("r").alias("r1")))
     ).join(

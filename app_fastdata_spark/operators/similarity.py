@@ -673,9 +673,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).astype(np.int32)
         return pd.Series(list(buckets))
 
+    # localCheckpoint: the band frame feeds BOTH sides of the candidate
+    # join — uncheckpointed, Catalyst duplicated the Arrow GEMM subtree
+    # and every run paid the Python stage twice (the dedup_simhash
+    # lesson, r13). Materialized it is 4 ints per vector, evaluated once.
     bands_long = emb.select(
         "vec_id", F.posexplode(band_buckets("embedding")).alias("band", "bucket")
-    )
+    ).localCheckpoint()
     qbands = bands_long.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )
@@ -782,34 +786,28 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared 6-dp rounding parity contract (_top_cells_udf); the
     final neighbor ranking stays on exact left-folded JVM cosines,
     bit-matched by the oracle's list fold."""
-    emb = load_vectors(spark, sf_dir, nonzero=True)
+    # Shares _ivf_assign/_probe/_score_probe_pairs with the kNN build:
+    # the candidate side is widened (the assign UDF + per-pair folds ran
+    # single-task on the one-file scan) and norms are hoisted once per
+    # side instead of the 3-fold cosine() per pair — the same
+    # left-to-right double arithmetic the oracle's _sql_cos_n states, so
+    # cosines are bit-identical (sim_topk_cosine precedent).
+    emb = widen_small_scan(
+        load_vectors(spark, sf_dir, nonzero=True),
+        path=f"{sf_dir}/embeddings.parquet",
+    )
     bc = _centroid_broadcast(spark, sf_dir)
-    assign = emb.select(
-        "vec_id",
-        "embedding",
-        _top_cells_udf(bc, 1)("embedding")[0].alias("cell_id"),
+    assign = _ivf_assign_frame(emb, bc)
+    probes = _ivf_probe_frame(emb.filter(F.col("vec_id") < N_QUERIES), bc)
+    scored = _score_probe_pairs(probes, assign)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
     )
-    nprobe = min(IVF_NPROBE, len(bc.value[0]))
-    probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qvec"),
-            _top_cells_udf(bc, nprobe)("embedding").alias("cells"),
-        )
-        .select("query_id", "qvec", F.explode("cells").alias("cell_id"))
-    )
-    scored = (
-        probes.join(assign, "cell_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("embedding")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
-            "query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+            "query_id", "rank", "neighbor_id",
             F.round("cos", 9).alias("cos"),
         )
     )
@@ -906,7 +904,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared 6-dp half-up quantizer; final cosines are exact left-folded
     doubles on both engines (9-dp rounded on output), norms hoisted
     once per side — the oracle reuses the shared en CTE."""
-    emb = load_vectors(spark, sf_dir, nonzero=True)
+    # widen: the assign/probe UDF + norm-fold map stage otherwise runs
+    # single-task on the one-file scan (r13 stage profile: 1.4 s CPU in
+    # one task before the cell shuffle); pass-through at real scale
+    emb = widen_small_scan(
+        load_vectors(spark, sf_dir, nonzero=True),
+        path=f"{sf_dir}/embeddings.parquet",
+    )
     bc = _centroid_broadcast(spark, sf_dir)
     return _knn_graph_frame(emb, bc)
 
@@ -1660,8 +1664,14 @@ def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side must drop it too; (b) vec_id rides through Arrow batches into
     # pandas, and one NULL in an int64 column coerces the batch to
     # float64, corrupting ids >= 2^53
+    # widen: the quantize transform + downstream Gram partials are
+    # partition-count-invariant (elementwise int64 sums) and otherwise
+    # run single-task on the one-file scan; pass-through at real scale
     return (
-        load_table(spark, sf_dir, "embeddings")
+        widen_small_scan(
+            load_table(spark, sf_dir, "embeddings"),
+            path=f"{sf_dir}/embeddings.parquet",
+        )
         .filter(F.col("vec_id").isNotNull() & _vec_ok())
         .select("vec_id", _quantize(F.col("embedding")).alias("q"))
     )
@@ -2022,7 +2032,11 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, cos_pq double"
         )
-    cand = pq_decode_frame(emb, bc).select(
+    # widen the candidate side (decode + per-pair folds otherwise run
+    # single-task on the one-file scan; pass-through at real scale)
+    cand = pq_decode_frame(
+        widen_small_scan(emb, path=f"{sf_dir}/embeddings.parquet"), bc
+    ).select(
         F.col("vec_id").alias("neighbor_id"), "dec", "dnrm"
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -2339,9 +2353,10 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # one candidate-side projection evaluates BOTH broadcast folds
     # (cell GEMM + codeword decode) — pq_decode_frame is not reused
-    # here because it projects cell_id away
+    # here because it projects cell_id away; widened so decode + folds
+    # parallelize (pass-through at real scale)
     assign = (
-        emb.select(
+        widen_small_scan(emb, path=f"{sf_dir}/embeddings.parquet").select(
             "vec_id",
             _top_cells_udf(bc_c, 1)("embedding")[0].alias("cell_id"),
             _pq_decode_udf(bc_pq)("embedding").alias("dec"),
@@ -3336,7 +3351,10 @@ def knn_edges_hd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two indexes never collide on a path)."""
 
     def build():
-        emb = load_vectors(spark, sf_dir, nonzero=True)
+        emb = widen_small_scan(
+            load_vectors(spark, sf_dir, nonzero=True),
+            path=f"{sf_dir}/embeddings.parquet",
+        )
         en = emb.select(
             "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
         )

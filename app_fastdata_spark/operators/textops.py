@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, widen_small_scan
 
 
 def _tokens(col: Column) -> Column:
@@ -309,14 +309,16 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = shingle_frame(
         docs.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
     ).select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s"))
-    # NO widen_small_scan on the corpus side: measured A/B at sf0.1
-    # (solo, min-of-3) has the round-robin exchange COSTING 0.15 s
-    # (1.32 s vs 1.17 s) — the broadcast-join + groupBy already provide
-    # post-shuffle parallelism, so the extra exchange only adds a
-    # barrier in front of the shingle UDF. (r5 added it; r6 adjudicated
-    # the +68% bench regression to exactly this insert and removed it.)
+    # widen the corpus side (re-A/B'd at r13: 1.32 s → 1.00 s, solo
+    # min-of-3). The r6 adjudication removed this widen when it was a
+    # flat repartition(32) ahead of cold Python workers (+0.15 s then);
+    # with the byte-sized widen (~5 partitions here) and warm workers
+    # the parallel shingle UDF now wins. Pass-through at real scale.
     corp = shingle_frame(
-        docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+        widen_small_scan(
+            docs.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID),
+            path=f"{sf_dir}/documents.parquet",
+        )
     ).select(
         "doc_id", F.size("shingles").alias("n_shingles"),
         F.explode("shingles").alias("s"),
@@ -488,7 +490,13 @@ SPAN_W = 8  # tokens per window — Lee et al. use 50 BPE tokens at web scale
 def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # widen: the span explode md5-hashes ~250 spans/doc — on the tiny
+    # single-file scan that whole map stage ran in ONE task (r13 stage
+    # profile); pass-through at real scale
+    docs = widen_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        path=f"{sf_dir}/documents.parquet",
+    )
     toks = _tokens(F.lower(F.col("text")))
     t = docs.select("doc_id", toks.alias("t"))
     # positions are 1-based; guard short docs (sequence(1,0) would count
@@ -550,7 +558,12 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     singly-derived doubles — no summation-order divergence)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # widen: the term explode + partial tf aggregation otherwise runs
+    # single-task on the one-file scan (pass-through at real scale)
+    docs = widen_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        path=f"{sf_dir}/documents.parquet",
+    )
     toks = _tokens(F.lower(F.col("text")))
     terms = docs.select(
         "doc_id", F.explode(toks).alias("term")
