@@ -34,16 +34,33 @@ CLUSTERS: list[tuple[int, float, float]] = [
 ]
 
 
+# Arrow-backed literal frames (r13): createDataFrame over a plain list
+# parallelizes PICKLED rows into defaultParallelism slices, so every
+# consumption — including each broadcast build these dims exist for —
+# round-trips a Python worker per slice (~32 near-idle tasks for a
+# 6-row dim, stage-profiled). A pandas source goes through Arrow: the
+# batches live in the JVM and reads never touch Python.
+def _lit_df(spark: SparkSession, rows: list, cols: list, schema: str):
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
+
+
 def dests_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(DESTS, "id int, event_type string, url string")
+    return _lit_df(
+        spark, DESTS, ["id", "event_type", "url"],
+        "id int, event_type string, url string",
+    )
 
 
 def agents_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(AGENTS, "id int, name string")
+    return _lit_df(spark, AGENTS, ["id", "name"], "id int, name string")
 
 
 def clusters_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(CLUSTERS, "id int, cu double, cv double")
+    return _lit_df(
+        spark, CLUSTERS, ["id", "cu", "cv"], "id int, cu double, cv double"
+    )
 
 
 # --- DuckDB oracle fragments (same literals, rendered as VALUES CTEs) -----

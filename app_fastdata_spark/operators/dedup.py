@@ -453,16 +453,37 @@ def connected_components(
             stats_out["iters"] = 0
             stats_out["mode"] = "local"
             stats_out["edges"] = len(head)
+        # Arrow createDataFrame (r13): the plain list path parallelizes
+        # pickled rows into defaultParallelism slices, and EVERY
+        # downstream consumption re-deserializes them through a Python
+        # worker per slice — stage-profiled at ~8-9 s of task time (32
+        # near-idle tasks, twice per consumer) for a 2,000-row frame.
+        # Arrow batches live in the JVM, so reads never touch Python.
+        import pandas as _pd
+
+        pdf = _pd.DataFrame(rows, columns=["u", "component"])
+        if pdf.empty:
+            pdf = _pd.DataFrame({"u": [], "component": []})
+        pdf = pdf.astype({"u": "int64", "component": "int64"})
         return pairs.sparkSession.createDataFrame(
-            rows, "u long, component long"
+            pdf, "u long, component long"
         )
     if stats_out is not None:
         stats_out["mode"] = "distributed"
         stats_out["edges"] = n_edges
+    # Edge build (r13 shuffle audit): (a) no `.distinct()` — every pair
+    # source emits unique (a < b) pairs (first-matching-band LSH, the
+    # distinct jaccard set, per-cell embedding pairs), the symmetric
+    # union cannot collide them, and a stray duplicate would only add
+    # proportional join work under the min-agg semantics — the distinct
+    # was a full extra shuffle+agg of the edge list; (b) the list is
+    # hash-partitioned ON THE JOIN KEY before the checkpoint, so the
+    # per-iteration propagate join never re-shuffles the edges — only
+    # the (half-sized) label frame moves each round.
     edges = (
         pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
         .toDF("u", "v")
-        .distinct()
+        .repartition("v")
         .localCheckpoint()
     )
     pairs.unpersist(blocking=False)  # edges now stand alone (checkpointed)
@@ -473,10 +494,13 @@ def connected_components(
         # smaller — halves each node's distance to the root. The looked-up
         # label is always in the same component (invariant: label(u) is a
         # node reachable from u), so jumping any number of times is safe.
+        # SHUFFLE_HASH: label-sized per-partition hash builds beat the
+        # sort-merge default (LogicalRDD stats are unknown so the planner
+        # would SMJ and re-sort millions of label rows every jump).
         jump = lab.select(
             F.col("u").alias("component"), F.col("component").alias("jumped")
         )
-        return lab.join(jump, "component", "left").select(
+        return lab.join(jump.hint("shuffle_hash"), "component", "left").select(
             "u",
             F.least("component", F.coalesce("jumped", "component")).alias(
                 "component"
@@ -486,7 +510,7 @@ def connected_components(
     prev_digest: int | None = None
     for it in range(MAX_CC_ITERS):
         prop = edges.join(
-            labels.withColumnRenamed("u", "v"), "v"
+            labels.withColumnRenamed("u", "v").hint("shuffle_hash"), "v"
         ).select("u", "component")
         stepped = (
             labels.unionByName(prop)

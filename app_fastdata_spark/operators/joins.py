@@ -121,8 +121,15 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (band_id, lo, hi, list(range(int(lo // BUCKET_W), int((hi - 1e-9) // BUCKET_W) + 1)))
         for band_id, lo, hi in PRICE_BANDS
     ]
+    # Arrow-backed literal frame (see dims._lit_df): the pickled-list
+    # path paid a Python worker per slice on every broadcast build
+    import pandas as pd
+
     bands = spark.createDataFrame(
-        band_rows, "band_id int, lo double, hi double, buckets array<int>"
+        pd.DataFrame(
+            band_rows, columns=["band_id", "lo", "hi", "buckets"]
+        ),
+        "band_id int, lo double, hi double, buckets array<int>",
     ).select("band_id", "lo", "hi", F.explode("buckets").alias("bucket"))
     probe = li.withColumn(
         "bucket", F.floor(F.col("l_extendedprice") / F.lit(BUCKET_W)).cast("int")
