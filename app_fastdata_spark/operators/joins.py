@@ -342,11 +342,19 @@ def _bloom_pruned_events(
 ) -> DataFrame:
     """events.user_id rows surviving the Bloom bit tests — pure codegen
     (literal array + element_at + shifts), no shuffle, no Python."""
+    # one parsed literal array, not a 1,024-element py4j transfer per
+    # invocation (~0.5 s of driver-side build measured at r13)
+    def _l(w: int) -> str:
+        # Long.MIN_VALUE cannot be written as a literal (the parser sees
+        # unary minus applied to an out-of-range 2^63)
+        return "(-9223372036854775807L - 1L)" if w == -(1 << 63) else f"{w}L"
+
+    bloom_lit = F.expr("array(" + ", ".join(_l(w) for w in bitmap) + ")")
     fact = (
         load_table(spark, sf_dir, "events")
         .select("user_id")
         .filter(F.col("user_id").isNotNull())
-        .withColumn("bloom", F.lit(bitmap))
+        .withColumn("bloom", bloom_lit)
     )
     for i, seed in enumerate(BLOOM_SEEDS):
         fact = fact.withColumn(

@@ -1175,9 +1175,20 @@ def knn_graph_insert_frame(
     # hint — the stored index frames are checkpoint/scan-backed with no
     # useful stats, and at scale a shuffle of the corpus-sized side per
     # micro-batch is exactly the cost the delta shape exists to avoid.
+    # localCheckpoint (r13): `delta` is consumed three times (touched
+    # ids, the rerank union, and the kept anti-join's broadcast) —
+    # uncheckpointed, Catalyst re-evaluated the whole delta subtree
+    # (arrival UDF stages + both index joins) per reference. The frame
+    # is batch-bounded scored rows, never the corpus. The arrival
+    # assign/probe frames are NOT checkpointed here: the one extra
+    # in-plan evaluation is cheaper than an eager job each, and the
+    # streaming chain (graph_insert_stream) checkpoints the returned
+    # index frames itself per batch.
     delta = _score_probe_pairs(F.broadcast(arr_probes), new_assign).unionByName(
         _score_probe_pairs(probes, F.broadcast(arr_assign))
-    ).select("query_id", "neighbor_id", F.round("cos", 9).alias("cos"))
+    ).select(
+        "query_id", "neighbor_id", F.round("cos", 9).alias("cos")
+    ).localCheckpoint()
     touched = F.broadcast(
         delta.select(F.col("query_id").alias("vec_id")).distinct()
     )
@@ -2560,7 +2571,7 @@ def _walk_loop(
         w = Window.partitionBy("s.query_id", "s.seed").orderBy(
             F.desc("ncos"), F.asc("e.neighbor_id")
         )
-        best = (
+        best_plan = (
             nbr.withColumn("rn", F.row_number().over(w))
             # the global argmax improves iff ANY candidate improves, so
             # rn=1 + strict > is exactly the SQL NOT-EXISTS argmax
@@ -2571,10 +2582,26 @@ def _walk_loop(
                 F.col("e.neighbor_id").alias("bid"),
                 "ncos",
             )
-            .localCheckpoint()
         )
-        if best.isEmpty():
+        # ONE bounded collect per hop (≤ Q·S rows — the centroid-collect
+        # legality class) replaces the r12 shape's two jobs per hop
+        # (localCheckpoint + isEmpty); the re-created Arrow-backed local
+        # relation then broadcasts into the state update without a
+        # shuffle or a Python read path.
+        best_rows = best_plan.collect()
+        if not best_rows:
             break  # every walk is at its local optimum; stay-steps are no-ops
+        import pandas as _pd
+
+        best = F.broadcast(
+            state.sparkSession.createDataFrame(
+                _pd.DataFrame(
+                    [(r.query_id, r.seed, r.bid, r.ncos) for r in best_rows],
+                    columns=["query_id", "seed", "bid", "ncos"],
+                ),
+                best_plan.schema,
+            )
+        )
         state = (
             state.alias("s")
             .join(best.alias("b"), ["query_id", "seed"], "left")
