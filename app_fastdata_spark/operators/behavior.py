@@ -208,41 +208,45 @@ def events_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     key. Delta presence is tested via its non-null ts (both sides
     filter ts IS NOT NULL), never via payload columns — value may be
     legitimately NULL and must not flip provenance."""
+    # ONE aggregation pass (r13): the windowed-dedup-per-side +
+    # full-outer-join formulation scanned events twice and shuffled
+    # every per-user row twice (plan: 2 scans, 3 exchanges, 2 window
+    # sorts, SMJ). "Latest row per user per side" is max-of-struct with
+    # the window's exact ordering key leading — (ts, event_id) is
+    # verified unique over non-null-ts rows, so lexicographic struct
+    # max ≡ row_number(ORDER BY ts DESC, event_id DESC) = 1 — and the
+    # full-outer join by the shared grouping key is the same aggregate
+    # with each side's struct NULL when that side has no row (max
+    # ignores NULLs; a present side always has non-null ts). One scan,
+    # map-side partial agg collapses to ≤2 structs per user before the
+    # single exchange — the shape that survives 100 TB. Provenance
+    # semantics unchanged: presence is the side's aggregate being
+    # non-NULL, never a payload column.
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
-
-    def latest(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc("ts"), F.desc("event_id")
-        )
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", "ts", "event_type", "value")
-        )
-
-    base = latest(ev.filter(F.col("ts") < F.lit(MID_TS).cast("timestamp")))
-    delta = latest(ev.filter(F.col("ts") >= F.lit(MID_TS).cast("timestamp")))
-    b, d = base.alias("b"), delta.alias("d")
-    in_delta = F.col("d.ts").isNotNull()
+    mid = F.lit(MID_TS).cast("timestamp")
+    row = F.struct("ts", "event_id", "event_type", "value")
+    b = F.col("b")
+    d = F.col("d")
+    in_delta = d.isNotNull()
     return (
-        b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("ts") < mid, row)).alias("b"),
+            F.max(F.when(F.col("ts") >= mid, row)).alias("d"),
+        )
         .select(
-            F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias(
-                "user_id"
-            ),
-            F.when(in_delta, F.col("d.ts")).otherwise(F.col("b.ts")).alias(
-                "last_ts"
-            ),
-            F.when(in_delta, F.col("d.event_type"))
-            .otherwise(F.col("b.event_type"))
+            "user_id",
+            F.when(in_delta, d["ts"]).otherwise(b["ts"]).alias("last_ts"),
+            F.when(in_delta, d["event_type"])
+            .otherwise(b["event_type"])
             .alias("last_type"),
-            F.when(in_delta, F.col("d.value"))
-            .otherwise(F.col("b.value"))
+            F.when(in_delta, d["value"])
+            .otherwise(b["value"])
             .alias("last_value"),
-            F.when(F.col("b.ts").isNull(), F.lit("insert"))
-            .when(F.col("d.ts").isNull(), F.lit("keep"))
+            F.when(b.isNull(), F.lit("insert"))
+            .when(d.isNull(), F.lit("keep"))
             .otherwise(F.lit("update"))
             .alias("merge_action"),
         )
@@ -1003,49 +1007,61 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.isnan("value")
         & (F.abs("value") != F.lit(float("inf")))
     )
-    med = (
+    # r13: the med/mad frames used to be localCheckpoint'ed and
+    # broadcast-JOINED back into the fact — 13 Spark jobs end to end
+    # (each eager checkpoint spawns its own AQE job chain). They are
+    # dim-sized (one row per event_type, the same bound the broadcast
+    # relied on), so collect them to the driver and re-attach as
+    # literal CASE expressions instead (the centroid/DSIR/bloom
+    # precedent): 3 jobs total, and the FINAL plan is one fact scan
+    # with zero joins. The collected doubles round-trip py4j as exact
+    # IEEE values, so `value - med` / the 3.5 threshold comparison are
+    # bit-identical to the join form. At a type cardinality where the
+    # CASE would bloat, the broadcast join is the right form again —
+    # the bound here is |event_type|, which is dim-like by schema.
+    def _case(mapping: dict, dtype: str):
+        expr = F.lit(None).cast(dtype)
+        for k in sorted(mapping, reverse=True):
+            expr = F.when(F.col("event_type") == F.lit(k), F.lit(mapping[k])).otherwise(expr)
+        return expr
+
+    med_rows = (
         ev.groupBy("event_type")
         .agg(F.expr("percentile(value, 0.5)").alias("med"))
-        .localCheckpoint()
+        .collect()
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = (
-        dev.groupBy("event_type")
+    med_map = {r["event_type"]: r["med"] for r in med_rows}
+    adev = F.abs(F.col("value") - _case(med_map, "double"))
+    stat_rows = (
+        ev.select("event_type", adev.alias("adev"))
+        .groupBy("event_type")
         .agg(
             F.count("*").alias("n_values"),
-            F.first("med").alias("med"),
             F.expr("percentile(adev, 0.5)").alias("mad"),
         )
-        .localCheckpoint()
+        .collect()
     )
-    outl = (
-        dev.join(
-            F.broadcast(mad.select("event_type", "mad")), "event_type"
-        )
+    n_map = {r["event_type"]: r["n_values"] for r in stat_rows}
+    mad_map = {r["event_type"]: r["mad"] for r in stat_rows}
+    mad_c = _case(mad_map, "double")
+    return (
+        ev.select("event_type", adev.alias("adev"))
         .groupBy("event_type")
         .agg(
             F.sum(
                 F.when(
-                    (F.col("mad") > 0)
-                    & (
-                        F.lit(0.6745) * F.col("adev") / F.col("mad")
-                        > F.lit(3.5)
-                    ),
+                    (mad_c > 0)
+                    & (F.lit(0.6745) * F.col("adev") / mad_c > F.lit(3.5)),
                     1,
                 )
                 .otherwise(0)
             ).alias("n_outliers")
         )
-    )
-    return (
-        mad.join(outl, "event_type")
         .select(
             "event_type",
-            "n_values",
-            F.round("med", 6).alias("median_value"),
-            F.round("mad", 6).alias("mad"),
+            _case(n_map, "long").alias("n_values"),
+            F.round(_case(med_map, "double"), 6).alias("median_value"),
+            F.round(_case(mad_map, "double"), 6).alias("mad"),
             "n_outliers",
         )
         .orderBy("event_type")

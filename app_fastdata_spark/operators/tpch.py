@@ -580,25 +580,31 @@ register(
 # the partial distinct already dedups map-side before the shuffle — so
 # the simpler one-pass form stands.)
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Distinct pre-agg FIRST: count(DISTINCT l_suppkey) per (brand,size)
-    # only ever sees one row per (l_partkey, l_suppkey), so collapse the
-    # fact table to that pair set before anything joins it — map-side
-    # partial agg does most of the collapse, and the anti-join + part
-    # join + distinct-count expand then run over the (much smaller)
-    # pair relation instead of raw lineitem. The anti-join sits BELOW
-    # the part join but ABOVE the pre-agg: the bad-supplier predicate
-    # is on l_suppkey alone, which the pre-agg preserves.
+    # ONE exchange (r13): the old shape paid two full aggregation
+    # rounds — a (l_partkey, l_suppkey) distinct exchange that
+    # collapsed 600k rows to 591k (pure waste) and then the
+    # count-distinct's own (brand, size, suppkey) exchange — 12.2 MB
+    # shuffled, 8.5 s task time at sf0.1. Both joins are broadcast, so
+    # instead hash-partition the post-join rows ONCE on (p_brand,
+    # p_size): that partitioning satisfies the clustering requirement
+    # of BOTH the triple dedup (subset rule) and the per-(brand, size)
+    # count, so each runs as a single complete-mode HashAggregate with
+    # no further exchange. Skew-safe: TPC-H spreads rows uniformly over
+    # the 1,250 (brand, size) cells.
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45")
     li = load_table(spark, sf_dir, "lineitem")
     bad = load_table(spark, sf_dir, "supplier").filter(
         (F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull()
     ).select(F.col("s_suppkey").alias("l_suppkey"))
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    pairs = li.select("l_partkey", "l_suppkey")
     return (
         pairs.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(part, pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .select("p_brand", "p_size", "l_suppkey")
+        .repartition("p_brand", "p_size")
+        .distinct()
         .groupBy("p_brand", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.count("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
         .limit(20)
     )

@@ -242,10 +242,13 @@ def test_new_join_classes_plan_shapes(spark, sf_dir):
     assert "LeftOuter" in q13, q13
     q15 = plan_of(spark, sf_dir, "tpch_q15_top_supplier")
     assert "BroadcastExchange" in q15, q15
-    # single-distinct rewrites to a two-level HashAggregate (no Expand —
-    # that's the multi-distinct shape, gated elsewhere)
+    # r13: the distinct-count runs as complete-mode aggregates over ONE
+    # explicit (p_brand, p_size) hash exchange — both joins broadcast,
+    # no second aggregation exchange, no Expand
     q16 = plan_of(spark, sf_dir, "tpch_q16_supplier_cnt")
-    assert "LeftAnti" in q16 and "partial_count(distinct" in q16, q16
+    assert "LeftAnti" in q16, q16
+    assert q16.count("Exchange hashpartitioning") == 1, q16
+    assert q16.count("BroadcastHashJoin") == 2, q16
     q21 = plan_of(spark, sf_dir, "tpch_q21_lone_returner")
     assert "LeftSemi" in q21 and "LeftAnti" in q21, q21
     q22 = plan_of(spark, sf_dir, "tpch_q22_dormant_customers")
@@ -737,15 +740,17 @@ def test_abc_window_runs_over_aggregate_not_facts(spark, sf_dir):
 
 
 def test_upsert_merge_plan_shape(spark, sf_dir):
-    """MERGE lowers to: two pruned scans, per-side top-1 WindowGroupLimit
-    pre-filters (Spark's rank-limit pushdown — each side sheds everything
-    but the latest row per key BEFORE the join), and one co-partitioned
-    full-outer sort-merge join."""
+    """MERGE lowers to ONE scan and ONE aggregation pass (r13): the
+    base/delta "latest row per user" sides are conditional struct-max
+    aggregates over the same scan, with map-side partial agg collapsing
+    each user to <=2 structs before the single hash exchange — no join,
+    no window, no second scan."""
     plan = plan_of(spark, sf_dir, "events_upsert_merge")
-    assert plan.count("SortMergeJoin") == 1
-    assert "FullOuter" in plan
-    assert plan.count("WindowGroupLimit") >= 2
-    assert len([l for l in plan.splitlines() if "FileScan" in l]) == 2
+    assert "Join" not in plan
+    assert "WindowGroupLimit" not in plan and "Window" not in plan
+    assert len([l for l in plan.splitlines() if "Scan parquet" in l]) == 1
+    assert "partial_max(CASE WHEN" in plan  # map-side pre-collapse
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_funnel_windowed_one_exchange_one_scan(spark, sf_dir):
