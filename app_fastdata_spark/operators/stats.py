@@ -387,17 +387,31 @@ register("events_approx_stats")(events_approx_stats)
 # sketch columns stay rows-only-gated. The error-bound link between the
 # two (|approx - exact| within rsd/accuracy) is asserted in tests.
 def events_approx_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13: mixing countDistinct with percentile forced the distinct-agg
+    # Expand rewrite, whose first-level aggregate keys on (event_type,
+    # user_id) — so the percentile partials were buffered and merged PER
+    # USER (~100k interpreted buffers), not per type. Split the two
+    # aggregations into independent branches (each scan column-pruned to
+    # its own pair) and broadcast-join the dim-sized results; the two
+    # percentiles share ONE buffer via the array form (identical
+    # interpolation, identical values).
     events = load_table(spark, sf_dir, "events")
     fin = _finite_or_null(F.col("value"))
-    return (
+    d = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    p = (
         events.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.round(F.percentile(fin, F.lit(0.5)), 6).alias("p50_value"),
-            F.round(F.percentile(fin, F.lit(0.99)), 6).alias("p99_value"),
+            F.percentile(fin, F.array(F.lit(0.5), F.lit(0.99))).alias("ps")
         )
-        .orderBy("event_type")
+        .select(
+            "event_type",
+            F.round(F.col("ps")[0], 6).alias("p50_value"),
+            F.round(F.col("ps")[1], 6).alias("p99_value"),
+        )
     )
+    return d.join(F.broadcast(p), "event_type").orderBy("event_type")
 
 
 register(
@@ -445,9 +459,21 @@ def winsorize_bounds(ev: DataFrame) -> DataFrame:
     """Per-type [lo, hi] clip boundaries over a (finite-screened)
     events frame — the offline FIT half, shared by the batch query and
     the fit-offline/apply-at-ingest streaming twin."""
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile(F.col("value"), F.lit(WINSOR_LO)), 6).alias("lo"),
-        F.round(F.percentile(F.col("value"), F.lit(WINSOR_HI)), 6).alias("hi"),
+    # r13: one array-percentile buffer per group instead of two
+    # independent buffers over the same column (identical interpolation,
+    # identical values).
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.col("value"), F.array(F.lit(WINSOR_LO), F.lit(WINSOR_HI))
+            ).alias("ps")
+        )
+        .select(
+            "event_type",
+            F.round(F.col("ps")[0], 6).alias("lo"),
+            F.round(F.col("ps")[1], 6).alias("hi"),
+        )
     )
 
 

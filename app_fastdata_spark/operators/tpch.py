@@ -660,35 +660,63 @@ register(
 # exists) AND one anti-join (no OTHER supplier returned) against the
 # same fact, both equi on orderkey with a non-equi residual.
 def tpch_q21_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # ONE lineitem scan (r13): the literal semi+anti formulation scanned
+    # lineitem three times and built two fact-sized broadcast hash
+    # relations (the full 600k-pair projection as the semi build side).
+    # Both EXISTS tests are per-order set facts: "another supplier
+    # exists" ⟺ the order has ≥2 distinct suppkeys, and "no OTHER
+    # supplier returned" ⟺ the order's returned lines span exactly 1
+    # distinct suppkey (l1's own supplier is always in that set, so =1
+    # means only l1's). Collapse lineitem to (l_orderkey, l_suppkey,
+    # n_ret) with one hash exchange on l_orderkey — the groupBy's
+    # (orderkey, suppkey) clustering is satisfied by the orderkey
+    # partitioning (subset rule) and the per-order window reuses the
+    # same exchange — then derive both counts with a window and keep
+    # candidates. numwait contribution per (order, supplier) is its
+    # returned-line count n_ret, so the final per-supplier sum equals
+    # the original per-row count. The null-key filters mirror the join
+    # semantics (null orderkey/suppkey rows never matched).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
     supp = load_table(spark, sf_dir, "supplier")
-    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
-    ).alias("l3")
-    cand = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
+    per_supp = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").cast("long").alias("is_ret"),
         )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("is_ret").alias("n_ret"))
+    )
+    # Second complete-mode aggregate on the SAME exchange: when exactly
+    # one supplier in the order returned (n_ret_supp == 1), the scalar
+    # conditional maxes recover that supplier and its returned-line
+    # count without a struct-max (which would force an interpreted
+    # SortAggregate) and without a window (which would force a sort) —
+    # the whole per-order reduction stays in codegen HashAggregates.
+    per_ord = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("n_ret") > 0).cast("int")).alias("n_ret_supp"),
+        F.max(F.when(F.col("n_ret") > 0, F.col("l_suppkey"))).alias(
+            "lone_supp"
+        ),
+        F.max(F.when(F.col("n_ret") > 0, F.col("n_ret"))).alias(
+            "lone_n_ret"
+        ),
+    )
+    cand = per_ord.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
     )
     return (
-        cand.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
-        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        cand.join(orders, cand.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), cand.lone_supp == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("lone_n_ret").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
     )
 
