@@ -108,6 +108,40 @@ def session_get(
         return value
 
 
+def memoized_build(*tables: str):
+    """Decorator: memoize a query builder's RETURNED DataFrame per
+    (session, sf_dir, stamps of the named input tables) — prepared-
+    statement semantics. The plan-construction cost (py4j expression
+    chatter, and any eager stamp-determined literal jobs the builder
+    runs, e.g. collected percentile maps) is paid once per data
+    version; every invocation still EXECUTES the returned plan in
+    full, so no query RESULT is ever cached. The stamp list must name
+    every table the builder reads — a missed table would serve a plan
+    built from superseded literals after an in-place rewrite."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark, sf_dir):
+            key = (spark.sparkContext.applicationId, sf_dir) + tuple(
+                file_stamp(f"{sf_dir}/{t}.parquet") for t in tables
+            )
+            df = session_get(
+                f"q:{fn.__name__}", key, lambda: fn(spark, sf_dir)
+            )
+            # hand each caller a FRESH wrapper over the shared logical
+            # plan (one py4j call): executing the one shared object
+            # would pin its QueryExecution, and a later caller's
+            # explain/plan inspection would render the AQE-final string
+            # (initial + re-planned subtrees) instead of the query's
+            # plan shape
+            return df.alias(fn.__name__)
+
+        return wrapper
+
+    return deco
+
+
 def session_clear(store: Optional[str] = None) -> None:
     """Drop a store (or all stores) WITHOUT releasing handles — test
     hook for simulating a cold session against the same SparkContext."""

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import memoized_build
 from ..functions.rounding import round_ratio, sql_round_ratio
 from ..registry import register
 from ..tables import load_table
@@ -526,6 +527,7 @@ register(
 
 
 # --- RFM quartile segmentation --------------------------------------------------
+@memoized_build("orders")
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation over orders: per-customer Recency (days since
     last order, relative to the corpus max date — the pinned-NOW idiom
@@ -1000,6 +1002,7 @@ register(
 
 
 # --- Robust outlier detection (median / MAD) -------------------------------------
+@memoized_build("events")
 def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier screen on the value column: exact median,
     MAD (median absolute deviation), and the count of modified-z
@@ -1025,6 +1028,11 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic is double-precision in identical expression order,
     so the 3.5 threshold comparison is bit-deterministic across
     engines."""
+    # memoized_build: the build runs two eager percentile jobs (med,
+    # then mad/count) to produce the literal maps below — per-stamp-
+    # identical, so rebuilding per invocation was pure waste (the
+    # centroid_bc precedent; the returned plan still EXECUTES per
+    # invocation).
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
         & F.col("value").isNotNull()

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import memoized_build
 from ..registry import register
 from ..tables import load_table, widen_small_scan
 
@@ -109,12 +110,25 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched Python twin; at 100 TB the tokenizer is exactly the
     kind of per-row text work that belongs in a vectorized UDF. The JVM
     form stays for plan-gated contexts and as the parity cross-check
-    (tests assert both produce identical shingle sets)."""
-    return shingle_frame(
-        widen_small_scan(
-            load_table(spark, sf_dir, "documents"),
-            path=f"{sf_dir}/documents.parquet",
-        )
+    (tests assert both produce identical shingle sets).
+
+    session_get (r13): the per-doc shingle table is the upstream
+    artifact of the whole shingle family (minhash signatures, ngram
+    jaccard, exact-pair estimate, contamination) — every consumer used
+    to re-run the Arrow UDF over the corpus per DataFrame build.
+    Materialize it once per (session, documents stamp); at 100 TB this
+    is the tokenized corpus a dedup run stores next to the raw text."""
+    from ..cache import session_get, stamp_key
+
+    return session_get(
+        "doc_shingles",
+        stamp_key(spark, sf_dir, "documents"),
+        lambda: shingle_frame(
+            widen_small_scan(
+                load_table(spark, sf_dir, "documents"),
+                path=f"{sf_dir}/documents.parquet",
+            )
+        ).localCheckpoint(),
     )
 
 
@@ -1661,6 +1675,7 @@ _register_mutual_knn_clusters()
 
 
 # --- SemDeDup: semantic survivor selection ---------------------------------
+@memoized_build("documents", "embeddings")
 def sim_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the highest-quality doc per mutual-kNN SEMANTIC cluster and
     drop the rest — the SemDeDup pipeline (cluster by embedding
@@ -2056,6 +2071,7 @@ _register_incremental_shard()
 # near-dups every other), triangle-poor chains are drift (A~B~C without
 # A~C — exactly the transitive-merge hazard). One row of telemetry:
 # edges, wedges, triangles, global clustering = 3T / wedges.
+@memoized_build("documents")
 def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triangle count over the oriented capped-Jaccard edge
     list (doc_a < doc_b by construction, so each triangle a<b<c is

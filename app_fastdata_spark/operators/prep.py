@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import memoized_build
 from ..registry import register
 from ..tables import load_table, widen_small_scan
 from .textops import _tokens
@@ -215,6 +216,7 @@ register(
 
 
 # --- classifier-vs-heuristic agreement report -------------------------------
+@memoized_build("documents")
 def doc_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row 2x2 confusion of the LEARNED quality filter
     (classifier_frame's `keep`) against the RULE-BASED heuristic

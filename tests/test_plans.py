@@ -226,8 +226,12 @@ def test_bucketed_embedding_neardup_has_no_cross_product(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" not in plan
-    # assignment is Arrow-vectorized, pair-gen is a grouped pandas GEMM
-    assert "ArrowEvalPython" in plan
+    # r13: the Arrow-vectorized cell assignment runs at index-build time
+    # (ivf_cells_neardup, once per session/data stamp) — the query plan
+    # reads the materialized layout and its only Python stage is the
+    # grouped pandas GEMM pair-gen
+    assert "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
     assert "FlatMapGroupsInPandas" in plan
     # exactly one data shuffle feeds the GEMM (plus the distinct's)
     assert plan.count("Exchange hashpartitioning") <= 2
@@ -249,8 +253,14 @@ def test_new_join_classes_plan_shapes(spark, sf_dir):
     assert "LeftAnti" in q16, q16
     assert q16.count("Exchange hashpartitioning") == 1, q16
     assert q16.count("BroadcastHashJoin") == 2, q16
+    # r13: Q21's EXISTS pair is derived from ONE lineitem scan — two
+    # chained hash aggregates over a single l_orderkey exchange (no
+    # semi/anti joins, no fact-sized broadcast builds, no window/sort)
     q21 = plan_of(spark, sf_dir, "tpch_q21_lone_returner")
-    assert "LeftSemi" in q21 and "LeftAnti" in q21, q21
+    assert len([l for l in q21.splitlines() if "Scan parquet" in l]) == 3, q21
+    # one fact exchange (l_orderkey) + the dim-sized s_name re-agg
+    assert q21.count("Exchange hashpartitioning") == 2, q21
+    assert "Window" not in q21 and "SortMergeJoin" not in q21, q21
     q22 = plan_of(spark, sf_dir, "tpch_q22_dormant_customers")
     assert "LeftAnti" in q22 and "BroadcastExchange" in q22, q22
     for p in (q13, q15, q16, q21, q22):
@@ -981,29 +991,35 @@ def test_knn_graph_plan_bucketed_no_cartesian(spark, sf_dir):
 
 
 def test_pq_plan_one_decode_stage_broadcast_queries(spark, sf_dir):
-    """sim_ann_pq's scale contract in the physical plan: exactly ONE
-    Arrow stage (the fused encode/decode projection — a second would
-    mean the nondeterministic fence was lost and the codebook fold
-    re-runs per plan reference), the query side joins via BROADCAST
-    nested-loop (Q = N_QUERIES rows, the sim_topk_cosine shape — a
-    CartesianProduct would mean the broadcast hint was dropped and the
-    N-side shuffles), and the decoded-candidate side never exchanges
-    before the top-k window."""
+    """sim_ann_pq's scale contract in the physical plan: the decoded
+    candidate side reads the materialized PQ index (r13: ZERO Arrow
+    stages in the query plan — the one fused encode/decode projection
+    runs at index-build time, once per session/data stamp), the query
+    side joins via BROADCAST nested-loop (Q = N_QUERIES rows, the
+    sim_topk_cosine shape — a CartesianProduct would mean the broadcast
+    hint was dropped and the N-side shuffles), and the decoded-candidate
+    side never exchanges before the top-k window."""
     plan = plan_of(spark, sf_dir, "sim_ann_pq")
-    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("ArrowEvalPython") == 0, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # the index BUILD (run through the session cache) is where the one
+    # Arrow decode stage lives
+    from app_fastdata_spark.operators.similarity import _pq_index_frame
+
+    idx = _pq_index_frame(spark, sf_dir)
+    assert idx.columns == ["vec_id", "dec", "dnrm"]
 
 
 def test_ivfpq_plan_two_arrow_stages_equi_join(spark, sf_dir):
     """sim_ann_ivfpq stays on the composed scale path: the candidate
-    side is ONE fused Arrow projection (cell GEMM + codeword decode
-    evaluate in a single stage) plus the probe-cells projection — 2
-    Arrow stages total; the only join is the cell_id EQUI-join (plans
-    as BroadcastHashJoin at this SF — never a CartesianProduct /
-    BroadcastNestedLoop all-pairs)."""
+    side joins the materialized IVF and PQ indexes (r13: their
+    assignment/decode Arrow stages run at index-build time, once per
+    session/data stamp), so the query plan's ONLY Arrow stage is the
+    probe-cells projection; joins are the vec_id/cell_id EQUI-joins
+    (never a CartesianProduct / BroadcastNestedLoop all-pairs)."""
     plan = plan_of(spark, sf_dir, "sim_ann_ivfpq")
-    assert plan.count("ArrowEvalPython") == 2, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
