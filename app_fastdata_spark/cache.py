@@ -122,7 +122,12 @@ def memoized_build(*tables: str):
 
     def deco(fn):
         @functools.wraps(fn)
-        def wrapper(spark, sf_dir):
+        def wrapper(spark, sf_dir, *args, **kwargs):
+            if args or kwargs:
+                # parameterized call (a non-default threshold, an
+                # explicit pair source): not the registered query —
+                # build fresh, never memoize
+                return fn(spark, sf_dir, *args, **kwargs)
             key = (spark.sparkContext.applicationId, sf_dir) + tuple(
                 file_stamp(f"{sf_dir}/{t}.parquet") for t in tables
             )

@@ -796,6 +796,7 @@ register(
 
 
 # --- Top event-type trigram paths ------------------------------------------------
+@memoized_build("events")
 def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 length-3 event-type paths across all user sequences — the
     n-gram extension of the transition matrix above (funnel DISCOVERY,
@@ -1143,6 +1144,7 @@ SLIDE_OLD_START = "2024-01-22 00:00:00"
 SLIDE_OLD_END = "2024-01-29 00:00:00"
 
 
+@memoized_build("events")
 def events_by_src_sliding_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -1265,6 +1265,7 @@ register(
 # (ttr DESC, doc_id ASC) within each component — ttr is the 6-dp-rounded
 # type-token ratio already oracled by doc_quality, so the ranking key is
 # bit-identical across engines.
+@memoized_build("documents")
 def dedup_survivors_best_quality(
     spark: SparkSession,
     sf_dir: str,
@@ -1614,6 +1615,7 @@ _register_components_embedding()
 # connected-components machinery.
 
 
+@memoized_build("embeddings")
 def sim_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, component) over the mutual-kNN edge set. The kNN edge
     list (N·K rows) comes from the SESSION-MATERIALIZED graph

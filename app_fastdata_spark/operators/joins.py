@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import memoized_build
 from ..registry import register
 from ..tables import load_table
 
@@ -219,6 +220,7 @@ register(
 # The typo'd feed is synthesized deterministically (user_id % 97 == 0
 # events get a trailing 'x') because the testdata's event_type values
 # are all clean — the corruption rule lives in the query on BOTH engines.
+@memoized_build("events")
 def events_fuzzy_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dims import EVENT_TYPES, dests_df
 

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import memoized_build
 from ..registry import register
 from ..tables import load_table, widen_small_scan
 
@@ -889,6 +890,7 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+@memoized_build("documents")
 def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()

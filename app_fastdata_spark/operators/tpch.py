@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import memoized_build
 from ..registry import register
 from ..tables import load_table
 
@@ -579,6 +580,7 @@ register(
 # 7 solo reps at sf0.1 measured 1.07 s vs 1.05 s min — no win, because
 # the partial distinct already dedups map-side before the shuffle — so
 # the simpler one-pass form stands.)
+@memoized_build("lineitem", "part", "supplier")
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE exchange (r13): the old shape paid two full aggregation
     # rounds — a (l_partkey, l_suppkey) distinct exchange that
@@ -659,6 +661,7 @@ register(
 # finished multi-supplier order — one semi-join (another supplier
 # exists) AND one anti-join (no OTHER supplier returned) against the
 # same fact, both equi on orderkey with a non-equi residual.
+@memoized_build("lineitem", "orders", "supplier")
 def tpch_q21_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE lineitem scan (r13): the literal semi+anti formulation scanned
     # lineitem three times and built two fact-sized broadcast hash
@@ -846,6 +849,7 @@ register(
 # --- Q8: national market share --------------------------------------------
 # Faithful to TPC-H Q8: NATION_3's share of AMERICA-customer revenue for
 # PROMO-type parts by order year (conditional-sum / ratio-of-aggregates).
+@memoized_build("lineitem", "orders", "customer", "part", "supplier", "nation", "region")
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
