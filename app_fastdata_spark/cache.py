@@ -173,16 +173,37 @@ def session_clear(store: Optional[str] = None) -> None:
 
 INDEX_DIR_ENV = "SPARK_GRAFT_INDEX_DIR"
 
+_DEFAULT_INDEX_ROOT: Optional[str] = None
+
 
 def _index_root() -> str:
+    """Root directory for published index artifacts.
+
+    Cross-PROCESS persistence is opt-in: a deployment that wants a cold
+    process to serve a previously published index sets
+    ``SPARK_GRAFT_INDEX_DIR`` to a durable store path (the tests and the
+    streaming harness do exactly that). Without it the root is a fresh
+    per-process temp dir, so every new invocation derives its artifacts
+    from the parquet inputs — repeated bench/oracle runs must never be
+    accelerated by a previous run's on-disk leftovers. Within a process
+    the root is stable, so the in-session publish/read-back lifecycle
+    (atomic rename, stamp-in-path invalidation, superseded-stamp prune)
+    is exercised identically either way.
+    """
     import os
 
     root = os.environ.get(INDEX_DIR_ENV)
     if root:
         return root
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".index"
-    )
+    global _DEFAULT_INDEX_ROOT
+    if _DEFAULT_INDEX_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _DEFAULT_INDEX_ROOT = tempfile.mkdtemp(prefix="spark_graft_index_")
+        atexit.register(shutil.rmtree, _DEFAULT_INDEX_ROOT, ignore_errors=True)
+    return _DEFAULT_INDEX_ROOT
 
 
 def _index_path(store: str, sf_dir: str, stamp: tuple) -> str:

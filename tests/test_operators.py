@@ -2468,6 +2468,29 @@ def test_lsh_pairs_cold_session_serves_stored_candidates(
     assert cold == warm and cold
 
 
+def test_index_root_default_is_per_process_not_repo(monkeypatch):
+    """Cross-process index persistence is OPT-IN via SPARK_GRAFT_INDEX_DIR.
+    Without it the root must be a fresh per-process temp dir — never a
+    repo-relative path a later bench/oracle invocation would silently
+    inherit artifacts from (every invocation must compute from the
+    parquet inputs). Within the process the root is stable so the
+    publish/read-back lifecycle above still works."""
+    import os
+
+    from app_fastdata_spark import cache
+
+    monkeypatch.delenv(cache.INDEX_DIR_ENV, raising=False)
+    monkeypatch.setattr(cache, "_DEFAULT_INDEX_ROOT", None)
+    root = cache._index_root()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(cache.__file__)))
+    assert not os.path.abspath(root).startswith(repo + os.sep)
+    assert os.path.isdir(root)
+    assert cache._index_root() == root  # stable within the process
+    # explicit env always wins
+    monkeypatch.setenv(cache.INDEX_DIR_ENV, "/tmp/explicit_index_dir")
+    assert cache._index_root() == "/tmp/explicit_index_dir"
+
+
 def test_hd_graph_structure_and_deployable_recall(spark, sf_dir):
     """The high-degree NN-descent graph must carry the bounded-degree
     structural contract (≤ HD_KNN_K out-edges, contiguous ranks, no
