@@ -522,6 +522,15 @@ def connected_components(
         )
 
     prev_digest: int | None = None
+    # Superseded label checkpoints are unpersisted ONE GENERATION LATE:
+    # generation it-1 is still read by this iteration's convergence
+    # confirm join, and a localCheckpoint's blocks are its only copy
+    # (lineage is truncated — dropped blocks cannot be recomputed), so
+    # only it-2 and older are provably dead. Without this the loop
+    # accumulates every iteration's 2M-row block set; in bench context
+    # (warm JVM, 100+ prior queries) that memory pressure measured
+    # 26-34 s/run degrading across runs vs a stable 21-24 s with it.
+    prev_prev: DataFrame | None = None
     for it in range(MAX_CC_ITERS):
         prop = edges.join(
             labels.withColumnRenamed("u", "v").hint("shuffle_hash"), "v"
@@ -533,8 +542,14 @@ def connected_components(
         )
         # two jumps per round: distance to root shrinks ~4x per iteration
         # for chain-shaped components, and each extra jump is one cheap
-        # join vs a whole extra round's fixed job overhead.
+        # join vs a whole extra round's fixed job overhead (a 3-jump
+        # variant was re-A/B'd with the unpersist discipline in place:
+        # still worse, 31-72 s — the chained per-partition hash builds
+        # outweigh the saved round).
         new_labels = pointer_jump(pointer_jump(stepped)).localCheckpoint()
+        if prev_prev is not None:
+            prev_prev.unpersist(blocking=False)
+        prev_prev = labels
         # Convergence fast-path: labels only ever decrease, so the label
         # multiset is unchanged iff its order-insensitive digest is. Equal
         # digests are CONFIRMED with an exact join before stopping, so a
@@ -554,6 +569,13 @@ def connected_components(
                 .count()
             )
             if changed == 0:
+                # the confirm join above was the last reader of the
+                # previous generation; the returned frame is its own
+                # checkpoint, so the edge list and every non-returned
+                # label generation can be dropped now
+                if labels is not new_labels:
+                    labels.unpersist(blocking=False)
+                edges.unpersist(blocking=False)
                 labels = new_labels
                 CC_STATS["iters"] = it + 1
                 if stats_out is not None:

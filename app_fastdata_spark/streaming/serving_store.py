@@ -53,42 +53,53 @@ def start_per_second_store(
     agg = per_second_counts(events, retention)
 
     def upsert(batch: DataFrame, _epoch: int) -> None:
-        if batch.isEmpty():
-            return
+        # The batch wall IS the freshness lag a dashboard sees, so the
+        # upsert body runs the batch plan exactly ONCE: foreachBatch
+        # re-executes the stateful-agg pipeline per ACTION, and the old
+        # isEmpty → distinct-days → merge sequence paid it three times
+        # (~3x the measured addBatch). Persist the (tiny, update-mode)
+        # batch, derive emptiness from the same collect that finds the
+        # touched days, and let the merge read the cached rows.
         spark = batch.sparkSession
         updates = batch.withColumn(
             "day", F.date_format("second_ts", "yyyy-MM-dd")
-        )
-        days = [r.day for r in updates.select("day").distinct().collect()]
-        # Explicit existence probe — a broad except around the read would
-        # treat ANY transient read failure as "empty store" and silently
-        # drop the kept rows of the touched partitions.
-        if _path_exists(spark, store_path):
-            existing = (
-                spark.read.parquet(store_path)
-                .filter(F.col("day").isin(days))
-                .select("second_ts", "src", "count_values", "day")
-            )
-            # broadcast the (small, update-mode) key set: the anti-join
-            # becomes a map-side probe instead of shuffling the whole
-            # touched-partition read — batch wall is the freshness lag
-            # a dashboard sees, so the upsert plan IS the latency budget
-            keep = existing.join(
-                F.broadcast(updates.select("second_ts", "src")),
-                ["second_ts", "src"],
-                "left_anti",
-            )
-            merged = keep.unionByName(updates)
-        else:
-            merged = updates
-        # per-write option, NOT session conf: session-global dynamic mode
-        # would change overwrite semantics for every later write.
-        # coalesce: a micro-batch's merged rows are O(recent groups) —
-        # writing them as 32 shuffle-partition files ballooned the store
-        # file count (and every poll/serving read pays the listing).
-        merged.coalesce(4).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("day").parquet(store_path)
+        ).persist()
+        try:
+            days = [r.day for r in updates.select("day").distinct().collect()]
+            if not days:
+                return
+            # Explicit existence probe — a broad except around the read
+            # would treat ANY transient read failure as "empty store" and
+            # silently drop the kept rows of the touched partitions.
+            if _path_exists(spark, store_path):
+                existing = (
+                    spark.read.parquet(store_path)
+                    .filter(F.col("day").isin(days))
+                    .select("second_ts", "src", "count_values", "day")
+                )
+                # broadcast the (small, update-mode) key set: the anti-join
+                # becomes a map-side probe instead of shuffling the whole
+                # touched-partition read
+                keep = existing.join(
+                    F.broadcast(updates.select("second_ts", "src")),
+                    ["second_ts", "src"],
+                    "left_anti",
+                )
+                merged = keep.unionByName(updates)
+            else:
+                merged = updates
+            # per-write option, NOT session conf: session-global dynamic
+            # mode would change overwrite semantics for every later write.
+            # coalesce(1): a micro-batch's merged rows are O(recent
+            # groups) — one file per touched day per batch keeps the
+            # store listing (paid by every poll, serving read AND the
+            # next upsert's existing-read) from growing 4x faster than
+            # the batch count.
+            merged.coalesce(1).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("day").parquet(store_path)
+        finally:
+            updates.unpersist(blocking=False)
 
     writer = agg.writeStream.outputMode("update").foreachBatch(upsert)
     if available_now:
@@ -270,6 +281,7 @@ def measure_freshness_lag(
     rows_per_second: int = 20000,
     poll_s: float = 0.2,
     shuffle_partitions: int | None = 8,
+    warmup_timeout_s: float = 60.0,
 ) -> dict:
     """END-TO-END event-to-servable freshness: how stale is the serving
     store a dashboard reads (r12 judge Next #7)? The reference's
@@ -287,10 +299,21 @@ def measure_freshness_lag(
     one and two upsert-batch durations — exactly what a dashboard
     reader experiences between refreshes.
 
-    Polls before the first nonempty read are start-up (stream init +
-    first codegen pay once) and are excluded, like the bench's
-    ingest-rate warm-up drop. Returns {p50, p95, n, rows_per_second};
-    p50/p95 None when fewer than 3 polls observed data.
+    Start-up is excluded two ways, mirroring the bench's ingest-rate
+    warm-up drop: (a) polls before the first nonempty read, and (b) the
+    backlog-drain transient — the first batches pay one-time JVM/codegen
+    warm-up while the rate source keeps producing, so the stream opens
+    with tens of seconds of accumulated rows it then drains over several
+    oversized batches; staleness sampled during that drain measures the
+    warm-up transient, not the freshness a continuously-running
+    deployment serves. Sampling therefore begins after two consecutive
+    batches that each processed no more than ~one trigger's worth of
+    arrivals (numInputRows ≤ 1.25 × rows/s × max(batch wall, trigger) —
+    one small batch can land mid-drain right after an oversized one),
+    bounded by `warmup_timeout_s` — if the pipeline genuinely cannot keep up,
+    sampling starts anyway and the sustained lag is reported as
+    observed. Returns {p50, p95, n, rows_per_second}; p50/p95 None when
+    fewer than 3 polls observed data.
 
     shuffle_partitions sizes the stream's stateful agg + upsert to the
     micro-batch data (a few thousand groups/s), not the session-wide
@@ -315,6 +338,33 @@ def measure_freshness_lag(
         events, store_path, retention="10 minutes", available_now=False
     )
     staleness: list = []
+    # steady-state gate (see docstring): wait for the first caught-up
+    # batch before opening the sampling window, bounded so a pipeline
+    # that cannot keep up still gets measured.
+    t_gate = _time.time() + warmup_timeout_s
+    steady_ids: list = []  # batchIds of consecutive caught-up batches
+    while _time.time() < t_gate:
+        p = q.lastProgress
+        if p and p["batchId"] >= 1 and p["numInputRows"] > 0:
+            wall = (p["durationMs"].get("triggerExecution") or 1000) / 1e3
+            caught_up = p["numInputRows"] <= 1.25 * rows_per_second * max(
+                wall, 1.0
+            )
+            if p["batchId"] not in steady_ids[-1:]:
+                # two CONSECUTIVE caught-up batches: a single small batch
+                # can land mid-drain right after an oversized one
+                if caught_up:
+                    steady_ids = (
+                        steady_ids + [p["batchId"]]
+                        if steady_ids
+                        and p["batchId"] == steady_ids[-1] + 1
+                        else [p["batchId"]]
+                    )
+                else:
+                    steady_ids = []
+            if len(steady_ids) >= 2:
+                break
+        _time.sleep(poll_s)
     t_end = _time.time() + duration_s
     try:
         while _time.time() < t_end:
