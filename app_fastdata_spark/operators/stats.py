@@ -1329,12 +1329,29 @@ def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compiles to interpreted SortAggregate, not HashAggregate, and the
     # probe measured 2.36 s vs 0.95 s for this rank-window form. The
     # WindowGroupLimit pushdown makes the window competitive.)
-    w_mode = Window.partitionBy("user_id", "day").orderBy(
-        F.desc("n"), F.asc("event_type")
+    #
+    # ONE window exchange (r13, guide §2.4 "two operations keyed the
+    # same way can share one exchange"): the old shape re-partitioned
+    # three times — (user_id, day) for the per-day mode rank, then
+    # user_id for the run-start lag, then the output range sort. All
+    # three windows only need user_id clustering: sorting each user's
+    # daily rows by (day ASC, n DESC, event_type ASC) makes the per-day
+    # mode THE FIRST ROW OF EACH day-block (row_number()=1 under
+    # (n DESC, event_type ASC) within a day ⟺ first row of the block —
+    # (n, event_type) is unique per (user, day) since event_type is a
+    # grouping key), detected with lag(day) in the SAME user_id window;
+    # the two run windows then reuse both the partitioning and the
+    # (user_id, day)-prefix ordering, so the plan carries a single hash
+    # exchange, one sort, three Window nodes with no re-sort, and the
+    # output range exchange (4 exchanges + 2 window sorts → 2 + 1).
+    w_day = Window.partitionBy("user_id").orderBy(
+        "day", F.desc("n"), F.asc("event_type")
     )
     mode = (
-        daily.withColumn("rn", F.row_number().over(w_mode))
-        .filter(F.col("rn") == 1)
+        daily.withColumn("prev_day", F.lag("day").over(w_day))
+        .filter(
+            F.col("prev_day").isNull() | (F.col("prev_day") != F.col("day"))
+        )
         .select("user_id", "day", "event_type")
     )
     w_user = Window.partitionBy("user_id").orderBy("day")

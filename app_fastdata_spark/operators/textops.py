@@ -407,7 +407,14 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram strings twice (and paid the interpreted zip_with HOF tax to
     build them) for work a Counter does per batch: measured 2.9 s →
     ~0.6 s at sf0.1. At 100 TB this is scan-bound, like every other
-    textops query."""
+    textops query.
+
+    (r13: widen_small_scan was A/B'd here — interleaved 6×-each in one
+    session — and REJECTED: median 0.72 s widened vs 0.55 s single-task.
+    The per-doc Counter is cheap enough that the keyless round-robin
+    exchange of the text payload, plus its sort-before-repartition, costs
+    more than the parallelism buys; at real scale the multi-row-group
+    scan parallelizes without any exchange.)"""
     docs = load_table(spark, sf_dir, "documents")
     rep = F.pandas_udf(
         _py_repetition, "n_tokens int, n_distinct int, top_bigram_n long"

@@ -69,15 +69,31 @@ register(
 
 # Q3-style shipping priority: selective dim filter → two joins → top-k.
 def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
+    # Pre-reduce the broadcast side (r13, guide §3.1/§3.2): joining the
+    # fact against broadcast(ALL orders) and then broadcast(customer)
+    # built a full-orders hash relation (150 k rows collected per
+    # execution at sf0.1) and probed every lineitem row twice. The
+    # BUILDING segment keeps ~1/5 of customers, so fold the selective
+    # dim INTO the broadcast side first: orders ⋈ broadcast(building
+    # custkeys) → ~1/5 of orders, projected to the three carried
+    # columns, becomes the ONE broadcast the fact probes. The fact-side
+    # probe drops non-BUILDING lines immediately, so the aggregate and
+    # its exchange see ~20% of the rows. Same inner-join chain, same
+    # result set; plan: 2 fact-side BHJs → 1, broadcast build 150 k →
+    # ~30 k rows.
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    bo = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(F.broadcast(bo), li.l_orderkey == bo.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
