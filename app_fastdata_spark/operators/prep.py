@@ -225,22 +225,60 @@ def doc_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     its rules: tp/fp/fn/tn counts plus precision/recall/accuracy of
     the classifier treating the heuristic as ground truth. Restricted
     to docs both scorers label (the classifier's non-empty-text
-    domain). Scale: two codegen projections over one scan each, a
-    doc_id equi-join, and a single global aggregate — output is one
-    row; zero-denominator rates are NULL (guarded CASE on both
-    engines, never an ANSI divide abort)."""
-    from .textops import quality_frame
+    domain). Scale: ONE codegen projection over one scan and a single
+    global aggregate — output is one row; zero-denominator rates are
+    NULL (guarded CASE on both engines, never an ANSI divide abort).
 
-    # widen: both scorers run token-HOF projections over the corpus and
-    # each side otherwise evaluates on the single-file scan's one task
+    Fused single pass (r13, guide §2.4): both scorers are pure row-wise
+    projections of the same row, and doc_id keys the corpus, so the
+    doc_id equi-join of the two frames is a row-level zip — the old
+    two-frame shape scanned and TOKENIZED the corpus twice and shuffled
+    1.6 MB through a join for work one projection does (stage-profiled
+    1.48 s task time → one pass; exchanges 2 → 0 pre-agg). The token
+    array is computed once and feeds both labels; label semantics and
+    domains are unchanged (classifier: non-null text with ≥1 non-empty
+    token; heuristic NULLs are dropped exactly as the join's notNull
+    filter did)."""
+    # widen: the fused scorer runs token-HOF projections over the corpus
+    # and otherwise evaluates on the single-file scan's one task
     docs = widen_small_scan(
         load_table(spark, sf_dir, "documents"),
         path=f"{sf_dir}/documents.parquet",
     )
-    h = quality_frame(docs).select("doc_id", "passes_quality")
-    c = classifier_frame(docs).select("doc_id", "keep")
-    j = c.join(h, "doc_id").where(
-        F.col("keep").isNotNull() & F.col("passes_quality").isNotNull()
+    toks = _tokens(F.lower(F.col("text")))
+    pq = (
+        (F.length("text") >= 100)
+        & (F.size(toks) >= 20)
+        & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.3)
+    )
+    ctoks = F.filter(toks, lambda t: t != F.lit(""))
+    unit = (
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % CLS_BUCKETS
+            * _CLS_MULT
+        )
+        % _CLS_MOD
+    )
+    # the division is evaluated only PAST the n_ctoks > 0 filter (the
+    # same projection→filter→projection guard classifier_frame uses —
+    # under ANSI a zero-token doc would otherwise abort the query)
+    x = (F.col("unit_sum") / F.col("n_ctoks")) / _CLS_SCALE - 1.0
+    keep = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6) >= 0.5
+    j = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            F.size(ctoks).alias("n_ctoks"),
+            F.aggregate(
+                ctoks, F.lit(0).cast("long"), lambda acc, t: acc + unit(t)
+            ).alias("unit_sum"),
+            pq.alias("passes_quality"),
+        )
+        .where(F.col("n_ctoks") > 0)
+        .select(keep.alias("keep"), "passes_quality")
+        .where(
+            F.col("keep").isNotNull() & F.col("passes_quality").isNotNull()
+        )
     )
     k, p = F.col("keep"), F.col("passes_quality")
     agg = j.agg(

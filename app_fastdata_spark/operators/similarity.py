@@ -1787,8 +1787,16 @@ def _gram_partition(batches):
     for pdf in batches:
         if pdf.empty:
             continue
-        E = np.stack(pdf["q"].to_numpy()).astype("int64")
-        g = E.T @ E
+        # GEMM in float64, accumulate in int64 (r13): numpy's integer
+        # matmul never reaches BLAS — it is a naive triple loop, 10-50x
+        # slower on big batches — while the float64 product is EXACT
+        # here: every term |x*y| <= 127^2 is an integer, and a batch's
+        # dot sums stay far below 2^53 (even 10^8-row batches reach only
+        # ~1.6e12), so the cast back to int64 is lossless. The
+        # cross-batch accumulation stays integer. Interleaved A/B at
+        # sf0.1: median 0.72 s vs 0.97 s, bit-identical results.
+        E = np.stack(pdf["q"].to_numpy()).astype("float64")
+        g = (E.T @ E).astype("int64")
         G = g if G is None else G + g
     if G is not None:
         iu = np.triu_indices(G.shape[0])

@@ -1761,7 +1761,13 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     ud = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).distinct()
-    bounds = ud.agg(
+    # bounds from the RAW filtered rows, not from ud (r13): min/max of
+    # the distinct (user, day) pairs' days equals min/max of the days
+    # themselves, but Spark has no subtree reuse — deriving bounds from
+    # ud re-executed the whole scan→distinct pipeline a second time per
+    # execution, where this form is one map-side-partial min/max agg
+    # over the same scan.
+    bounds = ev.select(F.date_trunc("day", "ts").alias("day")).agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )
     x = ud.select(
