@@ -1053,3 +1053,57 @@ def test_hd_graph_build_plan_bounded_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("ArrowEvalPython") <= 3, plan
+
+
+def test_scd2_single_window_exchange(spark, sf_dir):
+    """SCD2's three windows chain on ONE user_id exchange (r13): the
+    per-day mode is the first row of each day-block under the
+    (day, n DESC, event_type) sort, so no (user_id, day) re-shuffle and
+    no second window sort exist — 2 hash exchanges total (the daily
+    aggregate + the shared window exchange), one window-feeding sort."""
+    plan = plan_of(spark, sf_dir, "user_type_scd2")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "WindowGroupLimit" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_q3_broadcast_side_prereduced(spark, sf_dir):
+    """Q3's fact side probes ONE pre-reduced broadcast (r13): the
+    BUILDING-customer join runs INSIDE the broadcast build side
+    (orders x custkeys), so lineitem passes a single BHJ and the only
+    hash exchange is the revenue aggregate's."""
+    import re as _re
+
+    plan = plan_of(spark, sf_dir, "tpch_q3_top_orders")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the dim-x-dim join is the broadcast BUILD, not a fact-path join
+    assert _re.search(
+        r"BroadcastExchange[\s\S]{0,500}?BroadcastHashJoin", plan
+    ), plan
+
+
+def test_quality_confusion_single_pass(spark, sf_dir):
+    """The confusion report is ONE fused projection over ONE corpus scan
+    (r13): both labels derive from the same token array per row — no
+    doc_id self-join, no second tokenize pass, no Python nodes."""
+    plan = plan_of(spark, sf_dir, "doc_quality_confusion")
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_sliding_distinct_bounds_not_recomputed(spark, sf_dir):
+    """The day-bounds clip must stay a plain min/max over the raw
+    filtered scan — never a re-execution of the (user, day) dedup.
+    Today this holds twice over: the source derives bounds from the raw
+    rows explicitly (r13), and Catalyst's RemoveRedundantAggregates
+    would rewrite a min/max-over-the-dedup the same way (verified: the
+    two forms plan bit-identically modulo expression IDs). The gate
+    pins the property against either layer regressing: exactly one
+    distinct-shaped dedup (3 hash exchanges: pair dedup, count-distinct
+    expand, anchor aggregate) and two scans."""
+    plan = plan_of(spark, sf_dir, "events_sliding_distinct_users")
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert plan.count("FileScan") == 2, plan
