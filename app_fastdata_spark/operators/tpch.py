@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..cache import memoized_build
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, maybe_broadcast
 
 
 # Q1-style pricing summary: wide aggregation, map-side partials dominate.
@@ -89,11 +89,11 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     bo = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        maybe_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(bo), li.l_orderkey == bo.o_orderkey)
+        li.join(maybe_broadcast(bo, sf_dir, "orders"), li.l_orderkey == bo.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -366,7 +366,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(maybe_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
     agg = joined.agg(
         F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)), 4).alias(
             "promo_revenue"
@@ -414,7 +414,7 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 300)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(maybe_broadcast(big, sf_dir, "orders"), orders.o_orderkey == big.l_orderkey)
         .select("o_orderkey", "o_custkey", "o_orderdate", "total_qty")
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(100)
@@ -464,7 +464,7 @@ register(
 def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(maybe_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -616,8 +616,8 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("s_suppkey").alias("l_suppkey"))
     pairs = li.select("l_partkey", "l_suppkey")
     return (
-        pairs.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        pairs.join(maybe_broadcast(bad, sf_dir, "supplier"), "l_suppkey", "left_anti")
+        .join(maybe_broadcast(part, sf_dir, "part"), pairs.l_partkey == part.p_partkey)
         .select("p_brand", "p_size", "l_suppkey")
         .repartition("p_brand", "p_size")
         .distinct()
@@ -654,7 +654,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_cutoff")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_cutoff"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
@@ -733,7 +733,7 @@ def tpch_q21_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(orders, cand.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), cand.lone_supp == supp.s_suppkey)
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), cand.lone_supp == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("lone_n_ret").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -828,7 +828,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -884,12 +884,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -945,8 +945,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.6
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -1035,7 +1035,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_5"
     )
     base = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("l_partkey", "l_extendedprice")
     )
@@ -1090,8 +1090,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name") == "EUROPE"
     )
     offers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(
@@ -1160,7 +1160,7 @@ def tpch_q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_7"
     )
     shippers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
         .filter(F.col("qty") > Q20_MIN_QTY)

@@ -390,6 +390,59 @@ def _input_bytes(path: str) -> int:
         return 0
 
 
+# Forced-broadcast gate (r13 verdict Next #2): an explicit F.broadcast
+# hint overrides autoBroadcastJoinThreshold entirely, so a hint on a
+# frame whose cardinality scales with the FACT data (a filtered `part`,
+# a pre-reduced `orders` slice) stops being an optimization at scale and
+# becomes a guaranteed driver/executor OOM. Gate every such hint on the
+# parquet FOOTER row count of the source table that bounds the frame's
+# cardinality (filter/project/fk-join never add rows): under the
+# threshold the hint keeps its planning value (estimates after filters
+# are unreliable, §3.1); at or above it the hint is withheld and
+# Catalyst/AQE picks the strategy from ACTUAL sizes — a still-small
+# build side still broadcasts via autoBroadcastJoinThreshold, a huge one
+# degrades to a shuffle join instead of an OOM. Same env-overridable
+# seam pattern as GEMM_MIN_ROWS; every driver testdata SF sits far
+# below the default, so gated plans are unchanged where the plan tests
+# pin them (the seam tests flip the env and assert the hint disappears).
+BROADCAST_MAX_ROWS = 8_000_000
+_BROADCAST_MAX_ROWS_ENV = "SPARK_GRAFT_BROADCAST_MAX_ROWS"
+
+
+def broadcast_max_rows() -> int:
+    """The gate threshold, read per call so tests (and a deployment
+    that knows its driver memory) can override via env. ~8M source
+    rows bounds the worst hinted build at a few hundred MB framed —
+    §3.1's 'usually fine' ceiling — far under the 8 GB / 512M-row hard
+    broadcast cap. NOTE: memoized_build plans do not re-derive on an
+    env flip mid-session (the stamp key carries no env) — flip it
+    before the session builds the plan, as the seam tests do via the
+    undecorated `__wrapped__` builder."""
+    import os as _os
+
+    raw = _os.environ.get(_BROADCAST_MAX_ROWS_ENV)
+    if raw:
+        try:
+            return int(raw)
+        except ValueError:
+            pass
+    return BROADCAST_MAX_ROWS
+
+
+def maybe_broadcast(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
+    """``F.broadcast(df)`` only when ``table``'s footer row count — an
+    upper bound on ``df``'s rows, which must derive from ``table`` by
+    filter/projection/aggregation/fk-join — is under the gate; otherwise
+    ``df`` unchanged (AQE decides). An unreadable footer fails CLOSED
+    (no forced hint): at the scale where footers go missing the hint is
+    the risky choice, and Catalyst still broadcasts provably-small
+    sides on its own."""
+    n = parquet_num_rows(f"{sf_dir}/{table}.parquet")
+    if n is not None and n < broadcast_max_rows():
+        return F.broadcast(df)
+    return df
+
+
 def widen_small_scan(df: DataFrame, path: str | None = None) -> DataFrame:
     """Re-split a scan whose file layout gives fewer partitions than the
     cluster has slots (the tiny-testdata artifact: one 600 KB parquet →

@@ -13,8 +13,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from app_fastdata_spark.cache import session_clear
 from app_fastdata_spark.catalog import queries
 from app_fastdata_spark.session import get_spark
+
+# Queries whose registered builder returns a session-memoized frame of
+# their OWN output (the stored-artifact lifecycle: the scored pair list /
+# post-insert graph a deployment would persist). Left alone, the memo
+# would let the min-of-2 timing serve a cached result on run 2 — the r13
+# verdict flagged exactly that as result caching. The bench therefore
+# clears these stores before EVERY timed run, so each timed execution
+# pays the query's real serving computation. Upstream INDEX artifacts
+# (the LSH pair store, the frozen base graph, the shingle table) are
+# deliberately NOT cleared: they are the stored inputs a cold serving
+# process reads, and their build cost is visible in the cold totals.
+RESULT_MEMO_STORES = {
+    "dedup_edit_distance": ("lev_scored",),
+    "dedup_ngram_jaccard_capped": ("capped_jaccard",),
+    "sim_knn_graph_incremental": ("inc_insert",),
+}
 
 # Headliners: the reference serving loop (SURVEY.md §3.2), the ingest-path
 # operators, the TPC-H-style analytics, and the pipeline extensions.
@@ -180,6 +197,7 @@ def compact_line(
     artifact: str = "BENCH_LAST.json",
     load1: list | None = None,
     freshness_p95: float | None = None,
+    total_cold: float | None = None,
 ) -> str:
     """The guaranteed-parseable final stdout line: total + the serving
     queries + as many worst-by-wall-time queries as fit the budget,
@@ -194,6 +212,9 @@ def compact_line(
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        # first-run total (artifact builds included); warm min-of-RUNS
+        # stays the headline `value` — methodology unchanged
+        "value_cold": total_cold,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
@@ -331,17 +352,28 @@ def main() -> None:
     # standard way to estimate the un-contended cost without inflating
     # the suite much. runs_per_query is recorded in the output line.
     RUNS = 2
+    timings_cold: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        per_run: list[float] = []
         for _ in range(RUNS):
+            # honesty gate (r13 verdict Next #1): a query must never
+            # serve its own memoized output inside the timed region
+            for store in RESULT_MEMO_STORES.get(name, ()):
+                session_clear(store)
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             # noop sink: executes the FULL plan (no column pruning from
             # count, no driver collect overhead in the measurement).
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            per_run.append(time.time() - t0)
+        # warm headline number stays min-of-RUNS (same methodology as
+        # every prior round); the FIRST run is additionally recorded so
+        # the artifact carries the cost of per-data-version artifact/
+        # plan builds that the warm number amortizes away.
+        timings[name] = round(min(per_run), 3)
+        timings_cold[name] = round(per_run[0], 3)
     total = round(sum(timings.values()), 3)
+    total_cold = round(sum(timings_cold.values()), 3)
     # Convergence telemetry for the clustering chain (not part of the
     # headline total): iterations-to-converge of connected components over
     # the capped pair source at this SF — a pair-source change that alters
@@ -449,8 +481,13 @@ def main() -> None:
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        # first-run total: includes every per-data-version artifact /
+        # prepared-plan build the warm min-of-RUNS amortizes (r13
+        # verdict Next #1 — the artifact must carry BOTH totals)
+        "value_cold": total_cold,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
         "runs_per_query": RUNS,
         "sf": float(sf),
         "cc_iters": cc_stats.get("iters"),
@@ -501,6 +538,7 @@ def main() -> None:
     line = compact_line(
         total, timings, float(sf), RUNS, ingest_eps, dcc_bad,
         artifact=artifact,
+        total_cold=total_cold,
         freshness_p95=freshness.get("p95"),
         load1=[
             (lb or [None])[0]

@@ -109,3 +109,52 @@ def test_bloom_filter_prunes_probe_side(spark, sf_dir):
     )
     want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
     assert joined.count() == want
+
+
+def test_forced_broadcasts_are_size_gated(spark, sf_dir, monkeypatch):
+    """r13 verdict Next #2: an explicit F.broadcast hint on a frame
+    whose cardinality scales with the fact data (q3's pre-reduced
+    orders, q16's filtered part) ignores autoBroadcastJoinThreshold and
+    would OOM at 100 TB. The hints are gated on the source table's
+    footer row count: below the gate the hint stands (testdata SFs —
+    the pinned plan shapes are unchanged); with the gate flipped to 0
+    the hint disappears from the analyzed plan, Catalyst/AQE owns the
+    strategy, and the result set is identical."""
+    from app_fastdata_spark.operators.tpch import (
+        tpch_q3_top_orders,
+        tpch_q16_supplier_cnt,
+    )
+
+    def analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
+    # q16 is memoized_build-wrapped; the memo key carries no env, so the
+    # seam is exercised through the undecorated builder
+    q16 = tpch_q16_supplier_cnt.__wrapped__
+
+    hinted_q3 = tpch_q3_top_orders(spark, sf_dir)
+    hinted_q16 = q16(spark, sf_dir)
+    assert "ResolvedHint" in analyzed(hinted_q3)
+    assert "ResolvedHint" in analyzed(hinted_q16)
+    want_q3 = [tuple(r) for r in hinted_q3.collect()]
+    want_q16 = [tuple(r) for r in hinted_q16.collect()]
+
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_MAX_ROWS", "0")
+    gated_q3 = tpch_q3_top_orders(spark, sf_dir)
+    gated_q16 = q16(spark, sf_dir)
+    assert "ResolvedHint" not in analyzed(gated_q3), analyzed(gated_q3)
+    assert "ResolvedHint" not in analyzed(gated_q16), analyzed(gated_q16)
+    assert [tuple(r) for r in gated_q3.collect()] == want_q3
+    assert [tuple(r) for r in gated_q16.collect()] == want_q16
+
+
+def test_maybe_broadcast_fails_closed_on_missing_footer(spark, sf_dir):
+    """An unreadable/absent source footer must WITHHOLD the forced hint
+    (the risky choice at the scale where footers go missing), not raise
+    and not hint."""
+    from app_fastdata_spark.tables import load_table, maybe_broadcast
+
+    df = load_table(spark, sf_dir, "nation")
+    out = maybe_broadcast(df, "/nonexistent_dir_xyz", "nation")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan
