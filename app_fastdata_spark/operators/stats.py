@@ -178,15 +178,28 @@ register(
 # (the quality-gate thresholds in doc_quality come from exactly this query).
 def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # r14: ONE array-percentile buffer per group instead of three
+    # independent buffers over the same column (the r13 winsorize/
+    # approx-stats fold) — identical interpolation, identical values.
     return (
         docs.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("n_chars").alias("min_chars"),
-            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
-            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
-            F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99_chars"),
+            F.percentile(
+                F.col("n_chars"),
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            ).alias("ps"),
             F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "min_chars",
+            F.round(F.col("ps")[0], 4).alias("p50_chars"),
+            F.round(F.col("ps")[1], 4).alias("p90_chars"),
+            F.round(F.col("ps")[2], 4).alias("p99_chars"),
+            "max_chars",
         )
         .orderBy("lang")
     )

@@ -51,6 +51,17 @@ def start_per_second_store(
     (voltdb-dashboard.js:50-53) — the mode the freshness-lag probe
     measures."""
     agg = per_second_counts(events, retention)
+    # Store read schema, derived ONCE from the same aggregation the
+    # upsert writes (day is the partition column, inferred as DATE on
+    # read — matching the empty-store materialization below). Passing it
+    # to every per-batch read removes the per-batch schema-inference
+    # footer pass (r13 verdict Next #5: foreachBatch re-plans per batch;
+    # the static side should not re-derive what never changes).
+    import pyspark.sql.types as T
+
+    store_schema = T.StructType(
+        [*agg.schema.fields, T.StructField("day", T.DateType())]
+    )
 
     def upsert(batch: DataFrame, _epoch: int) -> None:
         # The batch wall IS the freshness lag a dashboard sees, so the
@@ -71,10 +82,22 @@ def start_per_second_store(
             # Explicit existence probe — a broad except around the read
             # would treat ANY transient read failure as "empty store" and
             # silently drop the kept rows of the touched partitions.
-            if _path_exists(spark, store_path):
+            # Read ONLY the touched day directories (basePath keeps the
+            # partition column): the old whole-store read + day filter
+            # paid an O(all days) listing and a schema-inference footer
+            # pass on EVERY micro-batch — per-batch driver work that
+            # grows with store age, where the merge semantics only ever
+            # need the touched partitions (r13 verdict Next #5).
+            day_dirs = [
+                d
+                for d in (f"{store_path}/day={day}" for day in days)
+                if _path_exists(spark, d)
+            ]
+            if day_dirs:
                 existing = (
-                    spark.read.parquet(store_path)
-                    .filter(F.col("day").isin(days))
+                    spark.read.schema(store_schema)
+                    .option("basePath", store_path)
+                    .parquet(*day_dirs)
                     .select("second_ts", "src", "count_values", "day")
                 )
                 # broadcast the (small, update-mode) key set: the anti-join
