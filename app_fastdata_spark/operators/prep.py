@@ -148,6 +148,28 @@ _CLS_MOD = 997          # prime → near-uniform weight units
 _CLS_SCALE = 499.0      # unit → weight in ~[-1, 1): u/499 - 1
 
 
+def cls_unit(t) -> "F.Column":
+    """Per-token integer weight unit of the frozen classifier:
+    ((bucket32(t) % B) * MULT) % MOD, in 0..996. ONE definition shared
+    by classifier_frame and the fused confusion query (r13 ADVICE: the
+    frozen-model constants must not be able to drift between the three
+    sites — the two Spark builders here and the registered SQL
+    oracles, which inline the same arithmetic textually)."""
+    return (
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % CLS_BUCKETS
+        * _CLS_MULT
+    ) % _CLS_MOD
+
+
+def cls_score(unit_sum, n_tokens) -> "F.Column":
+    """6-dp sigmoid score from the integer unit fold — the single float
+    step of the model, shared like cls_unit. Callers must guard
+    n_tokens > 0 BEFORE this division evaluates (ANSI)."""
+    x = (unit_sum / n_tokens) / _CLS_SCALE - 1.0
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6)
+
+
 def classifier_frame(docs: DataFrame) -> DataFrame:
     """The classifier projection over an arbitrary documents frame —
     pure column expressions, so it runs unchanged over a batch scan or
@@ -157,24 +179,14 @@ def classifier_frame(docs: DataFrame) -> DataFrame:
     arithmetic so there is no join and nothing to broadcast. At 100 TB:
     a pure map, same shape as doc_dsir_weights."""
     toks = F.filter(_tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))
-    # integer weight units: ((bucket32(t) % B) * MULT) % MOD   (0..996)
-    unit = (
-        lambda t: (
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-            % CLS_BUCKETS
-            * _CLS_MULT
-        )
-        % _CLS_MOD
-    )
     base = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, t: acc + unit(t)
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + cls_unit(t)
         ).alias("unit_sum"),
     ).where(F.col("n_tokens") > 0)
-    x = (F.col("unit_sum") / F.col("n_tokens")) / _CLS_SCALE - 1.0
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6)
+    score = cls_score(F.col("unit_sum"), F.col("n_tokens"))
     return base.select(
         "doc_id",
         "n_tokens",
@@ -245,32 +257,21 @@ def doc_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         path=f"{sf_dir}/documents.parquet",
     )
+    from .textops import passes_quality_expr
+
     toks = _tokens(F.lower(F.col("text")))
-    pq = (
-        (F.length("text") >= 100)
-        & (F.size(toks) >= 20)
-        & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.3)
-    )
+    pq = passes_quality_expr(toks)
     ctoks = F.filter(toks, lambda t: t != F.lit(""))
-    unit = (
-        lambda t: (
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-            % CLS_BUCKETS
-            * _CLS_MULT
-        )
-        % _CLS_MOD
-    )
     # the division is evaluated only PAST the n_ctoks > 0 filter (the
     # same projection→filter→projection guard classifier_frame uses —
     # under ANSI a zero-token doc would otherwise abort the query)
-    x = (F.col("unit_sum") / F.col("n_ctoks")) / _CLS_SCALE - 1.0
-    keep = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6) >= 0.5
+    keep = cls_score(F.col("unit_sum"), F.col("n_ctoks")) >= 0.5
     j = (
         docs.where(F.col("text").isNotNull())
         .select(
             F.size(ctoks).alias("n_ctoks"),
             F.aggregate(
-                ctoks, F.lit(0).cast("long"), lambda acc, t: acc + unit(t)
+                ctoks, F.lit(0).cast("long"), lambda acc, t: acc + cls_unit(t)
             ).alias("unit_sum"),
             pq.alias("passes_quality"),
         )

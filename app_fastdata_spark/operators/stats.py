@@ -1339,9 +1339,14 @@ def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
     # (r13 note: a min_by-aggregate mode was A/B'd — argmin by struct
     # (-n, event_type) — and REJECTED: max/min over struct buffers
-    # compiles to interpreted SortAggregate, not HashAggregate, and the
-    # probe measured 2.36 s vs 0.95 s for this rank-window form. The
-    # WindowGroupLimit pushdown makes the window competitive.)
+    # compiles to interpreted SortAggregate, not HashAggregate; the
+    # probe measured 2.36 s vs 0.95 s for the rank-window form that
+    # preceded today's shape. That rank window is itself gone now —
+    # r13's single-exchange rewrite below detects the per-day mode as
+    # the first row of each day-block, and test_scd2_single_window_
+    # exchange asserts WindowGroupLimit is ABSENT — but the rejection
+    # stands a fortiori: the aggregate form lost to a shape this one
+    # then beat.)
     #
     # ONE window exchange (r13, guide §2.4 "two operations keyed the
     # same way can share one exchange"): the old shape re-partitioned

@@ -62,6 +62,20 @@ register(
 _STOPWORDS = ["the", "a", "and", "of", "to"]
 
 
+def passes_quality_expr(toks) -> Column:
+    """The rule-based quality predicate over a document row's `text`
+    column and its token array — ONE definition shared by quality_frame
+    and the fused confusion report (r13 ADVICE: the three sites that
+    encode this heuristic — two Spark builders and the SQL oracles —
+    must not be able to drift; the SQL stays textual by design, the two
+    Spark sites now share this builder)."""
+    return (
+        (F.length("text") >= 100)
+        & (F.size(toks) >= 20)
+        & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.3)
+    )
+
+
 def quality_frame(docs: DataFrame) -> DataFrame:
     """The quality projection over an arbitrary documents frame — pure
     column expressions, so it runs unchanged over a batch scan or a
@@ -74,11 +88,7 @@ def quality_frame(docs: DataFrame) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.round(stop_hits / F.size(toks), 6).alias("stopword_ratio"),
         F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
-        (
-            (F.length("text") >= 100)
-            & (F.size(toks) >= 20)
-            & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.3)
-        ).alias("passes_quality"),
+        passes_quality_expr(toks).alias("passes_quality"),
     )
 
 
