@@ -47,6 +47,7 @@ from .stats import MID_TS  # noqa: E402
 
 
 # --- Weekly cohort retention ---------------------------------------------------
+@memoized_build("events")
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-seen ISO week,
     retention = share of the cohort active k weeks later.
@@ -128,6 +129,7 @@ register(
 
 
 # --- Event-type transition matrix ---------------------------------------------
+@memoized_build("events")
 def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type bigrams → Markov transition matrix with
     row-normalized probabilities.
@@ -196,6 +198,7 @@ register(
 
 
 # --- CDC latest-wins upsert merge ---------------------------------------------
+@memoized_build("events")
 def events_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE a delta window (events ≥ MID_TS, latest per user) into a
     base snapshot (events < MID_TS, latest per user), latest-wins, with
@@ -690,6 +693,7 @@ register(
 
 
 # --- Pareto / ABC revenue classification ----------------------------------------
+@memoized_build("orders")
 def customer_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC (Pareto) classification: customers ranked by revenue, running
     cumulative revenue share, class A while the running share ≤ 80%,
@@ -869,6 +873,7 @@ register(
 DEBOUNCE_GAP_S = 21600
 
 
+@memoized_build("events")
 def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppress near-duplicate events: drop any event within
     DEBOUNCE_GAP_S of the PREVIOUS event of the same (user_id,
@@ -933,6 +938,7 @@ register("events_debounce", sql=DEBOUNCE_SQL)(events_debounce)
 
 
 # --- Spend distribution (percent_rank / cume_dist) -------------------------------
+@memoized_build("orders")
 def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each customer's position in the revenue distribution:
     percent_rank (share of OTHER customers strictly below) and cume_dist

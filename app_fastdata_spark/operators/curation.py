@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import memoized_build
 from ..registry import register
 from ..tables import load_table
 
@@ -234,6 +235,7 @@ register(
 # contract).
 
 
+@memoized_build("documents")
 def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per source: doc/token counts, raw token share, the alpha=0.5
     temperature share, and the resulting sampling boost
@@ -498,6 +500,7 @@ register(
 N_SHUFFLE_SHARDS = 16
 
 
+@memoized_build("documents")
 def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training: every doc gets a
     (shard, pos) — shard by md5 bucket, position by md5 order within the
@@ -605,6 +608,7 @@ register(
 CLUSTER_SAMPLE_CAP = 40
 
 
+@memoized_build("embeddings")
 def doc_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster_id): up to CLUSTER_SAMPLE_CAP vectors per seed
     cluster. Scale shape: the K-way assignment is a broadcast of K
@@ -654,6 +658,7 @@ _register_cluster_balanced_sample()
 # --- corpus health snapshot ------------------------------------------------
 
 
+@memoized_build("documents")
 def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus dashboard: sizes, mix breadth, token volume, the
     quality-gate pass rate, and the exact-duplicate overhang — the first
@@ -804,6 +809,7 @@ def dsir_score_frame(docs: DataFrame, lrs: list[float]) -> DataFrame:
     )
 
 
+@memoized_build("documents")
 def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, log_importance): per-doc log2 likelihood ratio
     between the target and raw hashed-unigram models, Laplace-smoothed.
@@ -1142,6 +1148,7 @@ register(
 # docs from each side and truncate some texts) so the operator has a
 # full value-hash oracle without a second testdata table; with a real
 # lake the two sides are just two scans.
+@memoized_build("documents")
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join of two snapshot fingerprint frames on doc_id →
     per-status counts. Scale shape: both sides project to (doc_id, fp)

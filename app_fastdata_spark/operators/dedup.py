@@ -154,6 +154,7 @@ _SQL_SHINGLES = """
 
 # --- exact dedup ----------------------------------------------------------
 
+@memoized_build("documents")
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 of normalized text; keep the min doc_id per group."""
     docs = load_table(spark, sf_dir, "documents")

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..dims import CLUSTERS, clusters_values_sql, dests_df, dests_values_sql
+from ..cache import memoized_build
 from ..registry import register
 from ..tables import load_table
 
@@ -103,6 +104,7 @@ def with_cluster(
 
 
 # J4 as a standalone query: (event_id, cluster).
+@memoized_build("events")
 def nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return with_cluster(ev).select("event_id", "cluster")

@@ -28,6 +28,7 @@ from ..tables import load_table
 
 # --- as-of join -----------------------------------------------------------
 
+@memoized_build("events")
 def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every event: the most recent purchase (ts' <= ts) by the same
     user, plus the running purchase count. Both sides come from the same
@@ -114,6 +115,7 @@ PRICE_BANDS = [
 BUCKET_W = 5000.0
 
 
+@memoized_build("lineitem")
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineitem ⋈ price-band intervals via bucket quantization + equi-join
     + exact refine; per-band count and total price."""
@@ -382,6 +384,7 @@ def _bloom_build_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@memoized_build("customer", "events")
 def events_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event counts for users whose customer record carries a
     negative balance — fact side Bloom-pre-filtered, then exactly

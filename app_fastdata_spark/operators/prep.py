@@ -62,6 +62,7 @@ def chunk_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+@memoized_build("documents")
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping char-window chunks: start offsets 0, S, 2S, … while
     < len(text); chunk = substring(start, WIDTH)."""
@@ -98,6 +99,7 @@ register(
 BOILERPLATE_MIN_DOCS = 3
 
 
+@memoized_build("documents")
 def doc_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact dedup: chunk hashes shared by >= MIN_DOCS
     distinct documents are boilerplate (headers, footers, license
@@ -195,6 +197,7 @@ def classifier_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+@memoized_build("documents")
 def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_frame(load_table(spark, sf_dir, "documents"))
 
@@ -371,6 +374,7 @@ register(
 BPE_TOP_PAIRS = 20
 
 
+@memoized_build("documents")
 def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE merge-selection step over the corpus.
 
@@ -617,6 +621,7 @@ register(
 # telemetry a tokenizer team tracks as merges accumulate. The learned
 # merges enter the per-doc projection as 1-row broadcasts (train on the
 # corpus, apply to the corpus, one DAG).
+@memoized_build("documents")
 def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc symbol counts after applying merge 1 then merge 2.
 

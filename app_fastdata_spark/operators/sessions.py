@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..params import SESSION_GAP_SECONDS
+from ..cache import memoized_build
 from ..registry import register
 from ..tables import load_table
 
@@ -44,6 +45,7 @@ def session_starts_df(ev: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> 
 
 # events_export contents (db/ddl.sql:78-89): session-start events, all
 # event columns minus `cluster` (FIXTURES.md §1).
+@memoized_build("events")
 def session_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return session_starts_df(ev).select(

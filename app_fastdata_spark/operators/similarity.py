@@ -1505,6 +1505,7 @@ def _quantize_np(X: np.ndarray) -> np.ndarray:
     return (np.sign(V) * r).astype(np.int64)
 
 
+@memoized_build("embeddings")
 def sim_ann_int8(
     spark: SparkSession, sf_dir: str, gemm: bool | None = None
 ) -> DataFrame:
@@ -1650,6 +1651,7 @@ register(
 
 
 # --- per-dimension embedding statistics ------------------------------------
+@memoized_build("embeddings")
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension health stats over the embedding column — the
     drift check a pipeline runs on every new embedding shard
@@ -1822,6 +1824,7 @@ def _gram_from(q: DataFrame) -> DataFrame:
     )
 
 
+@memoized_build("embeddings")
 def embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gram_from(_quantized_vecs(spark, sf_dir))
 
@@ -2364,6 +2367,7 @@ def _rp_matrix(k: int = RP_K, dim: int = DIM) -> list[list[float]]:
 _RP = _rp_matrix()
 
 
+@memoized_build("embeddings")
 def embedding_rp_project(
     spark: SparkSession, sf_dir: str, gemm: bool | None = None
 ) -> DataFrame:

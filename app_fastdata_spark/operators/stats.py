@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_ratio, sql_round_ratio
+from ..cache import memoized_build
 from ..registry import register
 from ..tables import load_table
 
@@ -64,6 +65,7 @@ MID_TS = "2024-01-16 00:00:00"  # testdata midpoint (events span Jan 2024)
 # Hierarchical subtotal rollup: (event_type, day) → per-type → grand total.
 # ROLLUP plans through one Expand + single agg pass — subtotals cost one
 # extra replicated row per level, not one extra scan per level.
+@memoized_build("events")
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
@@ -399,6 +401,7 @@ register("events_approx_stats")(events_approx_stats)
 # approx family contributes a full value-hash driver row while the
 # sketch columns stay rows-only-gated. The error-bound link between the
 # two (|approx - exact| within rsd/accuracy) is asserted in tests.
+@memoized_build("events")
 def events_approx_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13: mixing countDistinct with percentile forced the distinct-agg
     # Expand rewrite, whose first-level aggregate keys on (event_type,
@@ -504,6 +507,7 @@ def winsorize_apply(ev: DataFrame, bounds: DataFrame) -> DataFrame:
     )
 
 
+@memoized_build("events")
 def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_id, event_type, value, value_winsorized): the value
     column clipped to its event_type's [p05, p95] band."""
@@ -732,6 +736,7 @@ register(
 
 
 # --- per-user running stats (cumulative windows + lag) ---------------------
+@memoized_build("events")
 def events_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event cumulative count/sum and inter-event gap within each
     user's ordered stream — the W-class beyond plain ROW_NUMBER
@@ -778,6 +783,7 @@ register(
 MERGE_GAP_US = 60_000_000  # events within 60 s of the previous interval merge
 
 
+@memoized_build("events")
 def events_merged_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge each user's overlapping activity intervals ([ts, ts+60 s))
     into maximal sessions — the classic gaps-and-islands shape (running
@@ -1014,6 +1020,7 @@ register(
 HLL_LG_K = 14
 
 
+@memoized_build("events")
 def events_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
@@ -1041,6 +1048,7 @@ register("events_hll_users_by_type")(events_hll_users_by_type)
 HH_PHI = 0.005  # frequency threshold: > 0.5% of all events
 
 
+@memoized_build("events")
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
@@ -1126,6 +1134,7 @@ def mg_summary_partition(batches):
         )
 
 
+@memoized_build("events")
 def events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
@@ -1159,6 +1168,7 @@ register("events_heavy_hitters_mg")(events_heavy_hitters_mg)
 TRAILING_US = 3_600_000_000  # one hour
 
 
+@memoized_build("events")
 def events_user_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1206,6 +1216,7 @@ register(
 VALID_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
+@memoized_build("events")
 def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     in_window = (F.col("ts") >= F.lit("2024-01-01").cast("timestamp")) & (
@@ -1321,6 +1332,7 @@ register(
 # LAST), the classic silent-parity trap. Scale: one (user, day, type)
 # agg exchange then user-keyed window exchanges; state per user is one
 # row lookback, never the whole history.
+@memoized_build("events")
 def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1494,6 +1506,7 @@ def _qs_summary_partition(batches):
     yield pd.DataFrame({"v": cv, "w": cw})
 
 
+@memoized_build("documents")
 def doc_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1533,6 +1546,7 @@ FUNNEL_CLICK_WINDOW_US = 24 * 3600 * 1_000_000
 FUNNEL_PURCHASE_WINDOW_US = 7 * 24 * 3600 * 1_000_000
 
 
+@memoized_build("events")
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-CONSTRAINED funnel (events_funnel above is the lifetime
     form): a click converts only within 24 h of the user's first view,
@@ -1670,6 +1684,7 @@ register(
 )(events_funnel_windowed)
 
 
+@memoized_build("events")
 def events_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew telemetry over the user_id distribution: Gini
     coefficient plus top-1/top-10 key shares — the diagnostic that says
@@ -1758,6 +1773,7 @@ register(
 )(events_key_skew_gini)
 
 
+@memoized_build("events")
 def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per day — the EXACT form of the
     sliding-distinct problem (a distinct count cannot be merged across

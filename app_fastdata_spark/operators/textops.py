@@ -27,6 +27,7 @@ def _tokens(col: Column) -> Column:
 
 
 # Token counting: whitespace tokens, distinct tokens, avg token length.
+@memoized_build("documents")
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.lower(F.col("text")))
@@ -407,6 +408,7 @@ def _py_repetition(text: "pd.Series") -> "pd.DataFrame":
     )
 
 
+@memoized_build("documents")
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition metrics over ALL bigram occurrences (not
     distinct — repetition is the point).
@@ -497,6 +499,7 @@ register(
 SPAN_W = 8  # tokens per window — Lee et al. use 50 BPE tokens at web scale
 
 
+@memoized_build("documents")
 def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -555,6 +558,7 @@ register(
 TFIDF_K = 3  # keywords kept per document
 
 
+@memoized_build("documents")
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF — the classic
     keyword extraction step of a curation/indexing pipeline.
@@ -750,6 +754,7 @@ PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_CARD16 = r"\b\d{16}\b"
 
 
+@memoized_build("documents")
 def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc PII hit counts (email / IPv4 / 16-digit number) + flag.
     NULL text propagates NULL counts (cross-engine NULL parity)."""
@@ -1018,6 +1023,7 @@ def normalize_col(col: Column) -> Column:
     return F.trim(F.regexp_replace(stripped, F.lit(_WS_RX), F.lit(" ")))
 
 
+@memoized_build("documents")
 def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = normalize_col(F.col("text"))

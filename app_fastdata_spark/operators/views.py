@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import memoized_build
 from ..registry import register
 from ..tables import load_table
 
@@ -84,6 +85,7 @@ register(
 # A4 — events_by_second (db/ddl.sql:114-122): tumbling 1-s window count by src.
 # TRUNCATE(SECOND, ts) ≡ date_trunc('second', ts) (F1). `ev` lets serving
 # queries pass a scan-pruned events frame (recency pushdown).
+@memoized_build("events")
 def events_by_second(
     spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
 ) -> DataFrame:
@@ -147,6 +149,7 @@ register(
 GAP_FILL_DAY = "2024-01-01"
 
 
+@memoized_build("events")
 def events_gap_fill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import datetime, timezone
 

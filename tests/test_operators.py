@@ -2603,7 +2603,11 @@ def test_gemm_seam_auto_selects_by_row_count(spark, sf_dir, monkeypatch):
     def has_python_stage(df):
         return "mapinpandas" in df._jdf.queryExecution().executedPlan().toString().lower()
 
-    assert not has_python_stage(S.embedding_rp_project(spark, sf_dir))
+    # memoized_build's key carries no GEMM seam state — exercise the
+    # undecorated builders so the monkeypatched threshold is honored
+    rp = S.embedding_rp_project.__wrapped__
+    int8 = S.sim_ann_int8.__wrapped__
+    assert not has_python_stage(rp(spark, sf_dir))
     monkeypatch.setattr(S, "GEMM_MIN_ROWS", 1)
-    assert has_python_stage(S.embedding_rp_project(spark, sf_dir))
-    assert has_python_stage(S.sim_ann_int8(spark, sf_dir))
+    assert has_python_stage(rp(spark, sf_dir))
+    assert has_python_stage(int8(spark, sf_dir))

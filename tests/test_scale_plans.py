@@ -128,11 +128,12 @@ def test_forced_broadcasts_are_size_gated(spark, sf_dir, monkeypatch):
     def analyzed(df) -> str:
         return df._jdf.queryExecution().analyzed().toString()
 
-    # q16 is memoized_build-wrapped; the memo key carries no env, so the
-    # seam is exercised through the undecorated builder
+    # both are memoized_build-wrapped; the memo key carries no env, so
+    # the seam is exercised through the undecorated builders
+    q3 = tpch_q3_top_orders.__wrapped__
     q16 = tpch_q16_supplier_cnt.__wrapped__
 
-    hinted_q3 = tpch_q3_top_orders(spark, sf_dir)
+    hinted_q3 = q3(spark, sf_dir)
     hinted_q16 = q16(spark, sf_dir)
     assert "ResolvedHint" in analyzed(hinted_q3)
     assert "ResolvedHint" in analyzed(hinted_q16)
@@ -140,7 +141,7 @@ def test_forced_broadcasts_are_size_gated(spark, sf_dir, monkeypatch):
     want_q16 = [tuple(r) for r in hinted_q16.collect()]
 
     monkeypatch.setenv("SPARK_GRAFT_BROADCAST_MAX_ROWS", "0")
-    gated_q3 = tpch_q3_top_orders(spark, sf_dir)
+    gated_q3 = q3(spark, sf_dir)
     gated_q16 = q16(spark, sf_dir)
     assert "ResolvedHint" not in analyzed(gated_q3), analyzed(gated_q3)
     assert "ResolvedHint" not in analyzed(gated_q16), analyzed(gated_q16)
